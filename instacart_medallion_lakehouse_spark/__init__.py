@@ -1,0 +1,16 @@
+"""instacart_medallion_lakehouse_spark — a PySpark-native analytics engine.
+
+A brand-new, Spark-first implementation of the query and data-processing
+capabilities of the reference medallion lakehouse
+(dheerajunni/instacart-medallion-lakehouse): bronze/silver/gold layering,
+quality gates, star-schema gold marts, plus large-scale training-data
+pipeline extensions (dedup, similarity search, text analysis, multimodal
+plumbing, structured streaming).
+
+Everything is expressed on the DataFrame / Spark SQL API so Catalyst +
+Tungsten choose the physical plan; there are no row-at-a-time Python UDFs
+in any hot path (design constraint for the 100 TB target — see
+reference utils/quality.py which is likewise pure-DataFrame composition).
+"""
+
+__version__ = "0.1.0"

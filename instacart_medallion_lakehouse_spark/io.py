@@ -1,0 +1,117 @@
+"""Table IO: schema-enforced CSV ingest, layer reads/writes, Delta fallback.
+
+Reference parity (SURVEY.md §2.1):
+- S1 schema-enforced CSV scan  — reference notebooks/01_bronze_ingest.py:81-86
+- S2 layer table scan          — 01_bronze_ingest.py:130-131
+- S3 idempotent overwrite sink — 01_bronze_ingest.py:96-102
+- S4 partitioned sink          — 03_gold_metrics.py:96
+
+The reference writes Delta on Databricks. This environment has no Delta
+runtime, so ``TABLE_FORMAT`` degrades to Parquet: the operator surface
+(overwrite semantics, partitionBy, schema-on-read) is identical; ACID
+commit/time-travel degrade gracefully. On a cluster with delta-spark
+installed, set SPARK_GRAFT_TABLE_FORMAT=delta and everything else is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+TABLE_FORMAT = os.environ.get(
+    "SPARK_GRAFT_TABLE_FORMAT", "delta" if _delta_available() else "parquet"
+)
+
+
+def read_csv_enforced(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Read CSV with header + explicit schema — no inference.
+
+    Invalid types fail fast rather than silently coercing (the reference's
+    bronze contract, 01_bronze_ingest.py:81-86 / README.md:69). FAILFAST
+    makes the fail-fast promise explicit (the reference relies on the
+    default PERMISSIVE mode, which nulls bad cells — stricter here on
+    purpose; at 100 TB silent nulls are unrecoverable).
+    """
+    return (
+        spark.read.option("header", "true")
+        .option("mode", "FAILFAST")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """S2: load a layer table (Delta if available, else Parquet)."""
+    if TABLE_FORMAT == "delta":
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S3/S4: idempotent full-refresh write, optionally disk-partitioned.
+
+    ``overwriteSchema`` mirrors the reference's overwrite-style schema
+    evolution (02_silver_transform.py:94). Disk partitioning gives static
+    + dynamic partition pruning to every downstream reader — at 100 TB a
+    low-cardinality partition column (like the reference's ``eval_set``)
+    is the cheapest scan-elimination available.
+    """
+    writer = df.write.format(TABLE_FORMAT).mode(mode)
+    if TABLE_FORMAT == "delta":
+        writer = writer.option("overwriteSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def register_temp_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
+    """S6: expose DataFrames to Spark SQL (03_gold_metrics_serverless.py:57-64)."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+
+    The testdata writes ``ts`` as Parquet INT64 TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds with INTEGER division (``ts div 1000`` — a double-math
+    division would lose precision above 2^53 ns) — matching DuckDB's own
+    ns→us truncation, so both engines see identical timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every synthetic testdata table from a scale-factor directory."""
+    names = (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split()
+    out = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    out["events"] = read_events(spark, sf_dir)
+    return out

@@ -1,0 +1,93 @@
+"""Join operators: star enrichment, RI orphans, broadcast policy.
+
+Reference parity (SURVEY.md §2.3):
+- J1 multi-way star join  — notebooks/03_gold_metrics.py:53-58
+- J3 left outer           — 03_gold_metrics.py:124,198,205
+- J4 left anti (orphans)  — utils/quality.py:111-115
+- J6 broadcast for small dims — configs/pipeline_config.yml:28-29
+
+Scale posture: the fact table is joined LAST against pre-projected,
+explicitly broadcast dimensions. At 100 TB the fact side never shuffles
+for dimension joins — every dim join is a broadcast-hash join over the
+fact scan, so the whole enrichment is one stage with zero exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def star_enrich(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, str]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Chain inner equi-joins of ``fact`` against (dim, key) pairs.
+
+    Mirrors the reference's 5-way enrichment join (03_gold_metrics.py:53-58)
+    with the dims explicitly broadcast — the reference relies on the 10 MB
+    auto-broadcast threshold; being explicit survives stale statistics.
+    """
+    out = fact
+    for dim, key in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, on=key, how="inner")
+    return out
+
+
+def enriched_lineitem(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """The engine's flagship 5-way star join on the testdata schema.
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region — the testdata
+    transposition of order_products ⋈ orders ⋈ products ⋈ aisles ⋈
+    departments (reference 03_gold_metrics.py:53-71). Dimension chain
+    customer→nation→region plays the products→aisles→departments role.
+
+    orders at sf0.1 is 150K rows (~10 MB) — still broadcastable; at a true
+    100 TB scale orders stops being a dim and that join becomes a
+    sort-merge on l_orderkey, which AQE selects automatically once it
+    exceeds the broadcast threshold. We broadcast only the genuinely
+    small dims explicitly and let AQE decide for orders.
+    """
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "inner",
+        )
+    )
+
+
+def orphan_rows(child: DataFrame, fk: str, parent: DataFrame, pk: str) -> DataFrame:
+    """J4: child rows whose FK has no matching parent PK (RI violation set).
+
+    Left-anti join with the parent pre-projected to its distinct key —
+    only keys move, and a small parent key-set broadcasts.
+    """
+    return child.filter(F.col(fk).isNotNull()).join(
+        parent.select(F.col(pk).alias("__pk")).distinct(),
+        on=F.col(fk) == F.col("__pk"),
+        how="left_anti",
+    )

@@ -1,0 +1,694 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame,
+with an exact ANSI-SQL twin for the DuckDB oracle.
+
+This is the engine's public query surface, one entry per operator family
+from SURVEY.md §2 / §7.3. INVARIANT: the Spark implementation and the
+oracle SQL produce identical column names, identical rounding, and
+deterministic ordering-independent row sets — the driver hash-compares
+them at sf0.01 (row-count + schema + order-insensitive value hash).
+
+Cross-engine semantics notes (discovered empirically, enforced here):
+- always ``trim`` before regex-splitting text: DuckDB keeps trailing empty
+  tokens, Spark (Java split) drops them.
+- Spark ``dayofweek`` is 1=Sunday..7=Saturday; DuckDB ``dayofweek`` is
+  0=Sunday..6=Saturday — both normalized to ISO (1=Monday) explicitly.
+- session timezone is UTC on both engines (session.py).
+- every aggregate over doubles is rounded (2-6 dp) in BOTH engines so FP
+  summation order cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import dround
+from .io import read_events
+from .operators.aggs import avg_fixedpoint
+from .operators.cleanse import dedup_keep_first, enrich_events_time
+from .operators.joins import enriched_lineitem, orphan_rows
+from .operators.windows import sessionize
+from .plans import marts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry filled at import time by @_register
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _rewrite_rounds(sql: str) -> str:
+    """Rewrite every ``round(EXPR, d)`` in oracle SQL to the explicit
+    ``floor((EXPR) * 10^d + 0.5) / 10^d`` formula.
+
+    Spark ``F.round`` (HALF_UP on the decimal string) and DuckDB ``round``
+    (on the binary double) disagree on exact decimal midpoints, so BOTH
+    sides use this one formula instead: the Spark implementations call
+    ``functions.scalar.dround`` and the oracle text is rewritten here —
+    written once, guaranteed in lockstep for every registered query.
+    """
+    out: list[str] = []
+    i = 0
+    low = sql.lower()
+    while True:
+        j = low.find("round(", i)
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j = low.find("round(", j + 1)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        k = j + 5  # index of '('
+        depth = 0
+        while True:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = sql[j + 6 : k]
+        depth2, split = 0, -1
+        for idx, c in enumerate(inner):
+            if c == "(":
+                depth2 += 1
+            elif c == ")":
+                depth2 -= 1
+            elif c == "," and depth2 == 0:
+                split = idx
+        expr, digits = inner[:split], int(inner[split + 1 :].strip())
+        f = float(10**digits)
+        out.append(f"(floor(({expr}) * {f} + 0.5) / {f})")
+        i = k + 1
+    return "".join(out)
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = _rewrite_rounds(oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S1/S2/P1/F2 — bronze scan with literal metadata columns
+# (reference 01_bronze_ingest.py:89-93; current_timestamp excluded from the
+#  comparison surface per SURVEY.md §4.3.2)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bronze_meta_scan",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, l_linestatus,
+           'lineitem.parquet' AS _source_file,
+           'bronze_v1' AS _bronze_version
+    FROM lineitem
+    """,
+)
+def bronze_meta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        F.lit("lineitem.parquet").alias("_source_file"),
+        F.lit("bronze_v1").alias("_bronze_version"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — union all (reference 01_bronze_ingest.py:130-139)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "union_all",
+    """
+    WITH unioned AS (
+      SELECT * FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM unioned GROUP BY o_orderstatus
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    unioned = orders.filter(F.col("o_orderstatus") == "F").union(
+        orders.filter(F.col("o_orderstatus") != "F")
+    )
+    return unioned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/P4 — deterministic dedup keep-first (reference 02_silver_transform.py:
+# 50-56/110-116, with the nondeterministic tie-break FIXED per §4.3.1)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_first",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS _rn
+      FROM events
+    ) WHERE _rn = 1
+    """,
+)
+def dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return dedup_keep_first(
+        events, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# F4/P8 — case-chain enrichment (reference 02_silver_transform.py:71-85)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "enrich_case",
+    """
+    SELECT event_id,
+           hour(ts) AS event_hour,
+           CASE WHEN hour(ts) BETWEEN 5 AND 11 THEN 'morning'
+                WHEN hour(ts) BETWEEN 12 AND 16 THEN 'afternoon'
+                WHEN hour(ts) BETWEEN 17 AND 20 THEN 'evening'
+                ELSE 'night' END AS event_time_bucket,
+           CASE iso_dow WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+                WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+                WHEN 5 THEN 'Friday' WHEN 6 THEN 'Saturday'
+                WHEN 7 THEN 'Sunday' ELSE 'unknown' END AS event_day_name
+    FROM (SELECT *, CASE WHEN dayofweek(ts) = 0 THEN 7 ELSE dayofweek(ts) END
+          AS iso_dow FROM events)
+    """,
+)
+def enrich_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return enrich_events_time(events).select(
+        "event_id", "event_hour", "event_time_bucket", "event_day_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality gates as 1-row DataFrames (reference utils/quality.py; SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "null_rate",
+    """
+    SELECT count(*) AS total,
+           sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls,
+           round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS null_rate
+    FROM events
+    """,
+)
+def null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    nulls = F.sum(F.when(F.col("props").isNull(), 1).otherwise(0))
+    return events.agg(
+        F.count(F.lit(1)).alias("total"),
+        nulls.alias("nulls"),
+        dround(nulls * F.lit(1.0) / F.count(F.lit(1)), 6).alias("null_rate"),
+    )
+
+
+@_register(
+    "duplicate_rate",
+    """
+    WITH grp AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+    SELECT (SELECT count(*) FROM lineitem) AS total,
+           COALESCE((SELECT sum(n) FROM grp WHERE n > 1), 0) AS dup_rows,
+           round(COALESCE((SELECT sum(n) FROM grp WHERE n > 1), 0) * 1.0
+                 / (SELECT count(*) FROM lineitem), 6) AS duplicate_rate
+    """,
+)
+def duplicate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference semantics: count ALL members of >1-sized key groups
+    (utils/quality.py:65-94), via groupBy partial agg — not a window."""
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    dups = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("dup_rows"))
+    )
+    return total.crossJoin(dups).select(
+        F.col("total").cast("long").alias("total"),
+        F.col("dup_rows").cast("long").alias("dup_rows"),
+        dround(F.col("dup_rows") * F.lit(1.0) / F.col("total"), 6).alias(
+            "duplicate_rate"
+        ),
+    )
+
+
+@_register(
+    "ri_orphans",
+    """
+    SELECT count(*) AS orphan_rows,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+             AS child_rows
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    orphans = orphan_rows(li, "l_orderkey", orders, "o_orderkey").agg(
+        F.count(F.lit(1)).alias("orphan_rows")
+    )
+    child = li.filter(F.col("l_orderkey").isNotNull()).agg(
+        F.count(F.lit(1)).alias("child_rows")
+    )
+    return orphans.crossJoin(child)
+
+
+# ---------------------------------------------------------------------------
+# J1/P3 — 5-way star enrichment projection (reference 03_gold_metrics.py:53-71)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "star_enriched",
+    """
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity,
+           l.l_extendedprice, l.l_returnflag,
+           o.o_custkey, o.o_orderstatus,
+           c.c_name AS customer_name, c.c_mktsegment AS mktsegment,
+           n.n_name AS nation_name, r.r_name AS region_name
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def star_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return enriched_lineitem(
+        t("lineitem"), t("orders"), t("customer"), t("nation"), t("region")
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — deterministic MD5 surrogate key (reference 03_gold_metrics.py:85-88)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fct_surrogate_key",
+    """
+    SELECT md5(concat_ws('_', CAST(l_orderkey AS VARCHAR),
+                              CAST(l_partkey AS VARCHAR),
+                              CAST(l_linenumber AS VARCHAR))) AS line_key,
+           l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_returnflag, l_linestatus
+    FROM lineitem
+    """,
+)
+def fct_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return marts.fct_lineitem(_t(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/F4/F6/J3 — per-customer rollup (reference dim_users 03:104-157)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dim_customers_rollup",
+    """
+    WITH order_stats AS (
+      SELECT l_orderkey,
+             count(*) AS basket_size,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS return_items,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               * 100000000 // count(*) AS return_rate_e8
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_custkey,
+           count(*) AS total_orders,
+           COALESCE(sum(s.basket_size), 0) AS total_items,
+           max(s.basket_size) AS max_basket_size,
+           round(avg(s.basket_size), 2) AS avg_basket_size,
+           round(sum(s.return_rate_e8) * 1.0 / count(s.return_rate_e8)
+                 / 100000000.0, 4) AS avg_return_rate,
+           round(sum(o.o_totalprice), 2) AS lifetime_value,
+           CASE WHEN count(*) >= 15 THEN 'power'
+                WHEN count(*) >= 8 THEN 'regular'
+                ELSE 'casual' END AS customer_segment
+    FROM orders o LEFT JOIN order_stats s ON o.o_orderkey = s.l_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def dim_customers_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return marts.dim_customers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4/A8/J3 — per-part rollup (reference dim_products 03:161-228)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dim_parts_rollup",
+    """
+    WITH stats AS (
+      SELECT l.l_partkey,
+             count(*) AS times_ordered,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS return_count,
+             round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4)
+               AS return_rate,
+             round(avg(CAST(l.l_linenumber AS DOUBLE)), 2) AS avg_cart_position,
+             count(DISTINCT o.o_custkey) AS unique_customers
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type, p.p_retailprice,
+           COALESCE(s.times_ordered, 0) AS times_ordered,
+           COALESCE(s.return_count, 0) AS return_count,
+           COALESCE(s.return_rate, 0.0) AS return_rate,
+           s.avg_cart_position,
+           COALESCE(s.unique_customers, 0) AS unique_customers,
+           CASE WHEN COALESCE(s.times_ordered, 0) >= 100 THEN 'top'
+                WHEN COALESCE(s.times_ordered, 0) >= 50 THEN 'high'
+                WHEN COALESCE(s.times_ordered, 0) >= 20 THEN 'medium'
+                ELSE 'long_tail' END AS popularity_tier
+    FROM part p LEFT JOIN stats s ON p.p_partkey = s.l_partkey
+    """,
+)
+def dim_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return marts.dim_parts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/A4/A5/A6/O1 — flagship KPI mart (reference mart_dept_performance)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "region_performance",
+    """
+    WITH agg AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             count(*) AS total_line_items,
+             count(DISTINCT l.l_orderkey) AS unique_orders,
+             count(DISTINCT o.o_custkey) AS unique_customers,
+             count(DISTINCT l.l_partkey) AS unique_parts,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             round(avg(l.l_quantity), 2) AS avg_quantity,
+             round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4)
+               AS return_share,
+             round(avg(CASE WHEN l.l_discount >= 0.05 THEN 1.0 ELSE 0.0 END), 4)
+               AS promo_share
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT *, round(100.0 * total_line_items
+                    / sum(total_line_items) OVER (), 4) AS pct_of_total_items
+    FROM agg
+    """,
+)
+def region_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return marts.region_performance(
+        t("lineitem"), t("orders"), t("customer"), t("nation"), t("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/W3/F4/A7 — purchase-position velocity (reference mart_reorder_velocity)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "return_velocity",
+    """
+    WITH ranked AS (
+      SELECT o.o_custkey, l.l_partkey,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_return,
+             row_number() OVER (PARTITION BY o.o_custkey, l.l_partkey
+                                ORDER BY o.o_orderdate, o.o_orderkey,
+                                         l.l_linenumber) AS purchase_rank
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT CASE WHEN purchase_rank = 1 THEN '1_first'
+                WHEN purchase_rank <= 3 THEN '2_early'
+                WHEN purchase_rank <= 10 THEN '3_developing'
+                ELSE '4_habitual' END AS order_position_bucket,
+           count(*) AS purchase_count,
+           round(avg(CAST(is_return AS DOUBLE)), 4) AS return_rate
+    FROM ranked
+    GROUP BY 1
+    HAVING count(*) >= 50
+    """,
+)
+def return_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return marts.return_velocity(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 — deterministic top-k (reference serverless verification queries)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top_k",
+    """
+    WITH stats AS (
+      SELECT l_partkey, count(*) AS times_ordered,
+             round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4)
+               AS return_rate
+      FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
+    )
+    SELECT p.p_partkey, p.p_name, s.times_ordered, s.return_rate
+    FROM stats s JOIN part p ON s.l_partkey = p.p_partkey
+    ORDER BY s.return_rate DESC, p.p_partkey
+    LIMIT 10
+    """,
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return marts.top_returned_parts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"), k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape — the classic pricing summary (scan+filter+agg benchmark
+# headline; exercises A1-class agg without joins)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) * 1.0
+                 / count(l_extendedprice) / 100.0, 2) AS avg_price,
+           round(sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) * 1.0
+                 / count(l_discount) / 100.0, 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+        dround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        dround(F.avg("l_quantity"), 2).alias("avg_qty"),
+        # price/discount are 2-dp-discrete: use exact fixed-point averaging
+        # so the oracle hash cannot flip on a summation-order ulp (see
+        # operators.aggs.avg_fixedpoint)
+        avg_fixedpoint(F.col("l_extendedprice"), 100, 2).alias("avg_price"),
+        avg_fixedpoint(F.col("l_discount"), 100, 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows over events — batch twin of the streaming surface
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "windowed_events",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) * 1.0
+                 / count(value) / 100.0, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation. ``F.window`` aligns buckets to the
+    epoch in the session timezone (UTC here) — identical to DuckDB
+    time_bucket. The streaming twin (streaming/events.py) runs the same
+    plan over readStream with a watermark."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+            avg_fixedpoint(F.col("value"), 100, 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+@_register(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS _new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, sum(_new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization (30-min gap) — the
+    DuckDB-checkable twin of streaming session windows."""
+    events = _t(spark, sf_dir, "events")
+    sessions = sessionize(events, user_col="user_id", ts_col="ts", gap_minutes=30)
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dround(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props (testdata extension surface — the
+# reference has no JSON columns; SURVEY.md §2.8 note)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+             AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        dround(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

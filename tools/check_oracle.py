@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() twin on DuckDB
+against the same sf dir, then compares row count + column names + an
+order-insensitive multiset of stringified rows (exact value equality —
+stricter than any hash the driver could use).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from instacart_medallion_lakehouse_spark import queries as q  # noqa: E402
+from instacart_medallion_lakehouse_spark.session import build_session  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and int-valued floats
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def df_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(canon(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = build_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries, oracles = q.queries(), q.oracle_sql()
+    n_pass = n_fail = n_skip = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            rows = fn(spark, sf_dir).count()
+            print(f"{name:28s} ROWS-ONLY rows={rows}")
+            n_skip += 1
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(oracles[name])
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"{name:28s} ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            ms, md = df_to_multiset(s_cols, s_rows), df_to_multiset(d_cols, d_rows)
+            if ms != md:
+                extra_s = list((ms - md).items())[:3]
+                extra_d = list((md - ms).items())[:3]
+                problems.append(f"values spark-only={extra_s} duck-only={extra_d}")
+        if problems:
+            print(f"{name:28s} FAIL  " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"{name:28s} PASS  rows={len(s_rows)}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
