@@ -1,0 +1,67 @@
+"""Benchmark harness: run the engine's queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Materialization uses the noop sink (full execution, zero serialization
+to the driver) so we measure the plan, not collect() transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from instacart_medallion_lakehouse_spark import queries as q
+from instacart_medallion_lakehouse_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup on a trivial job so the first query isn't taxed
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # pin input tables across the suite (the reference caches hot Silver
+    # tables across its gold jobs the same way — 03_gold_metrics.py:42-44)
+    q.enable_table_cache(True)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in q.queries().items():
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
