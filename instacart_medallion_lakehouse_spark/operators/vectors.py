@@ -1,0 +1,206 @@
+"""Vector similarity operators over embedding columns (array<float>).
+
+Similarity search for the training-data pipeline: brute-force cosine
+top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path, and cosine near-duplicate pair detection.
+
+Determinism contract (what makes these DuckDB-oracle-checkable):
+all arithmetic happens on QUANTIZED vectors — each float is mapped to
+floor(x*1000 + 0.5), an integer-valued double. Dot products and squared
+norms of integer-valued doubles are EXACT in IEEE double (values stay
+far below 2^53), so they are independent of summation order and
+bit-identical across engines; cosine = dot / sqrt(na*nb) then applies
+only correctly-rounded IEEE ops. A plain float dot product would differ
+between engines at the ulp level and flip rankings/rounded digits.
+
+Scale notes:
+- Quantization + norms are scan-local array expressions (no shuffle,
+  no UDF; ~64 fused multiply-adds per row inside codegen).
+- Brute-force top-k broadcasts the (small) query set against the corpus
+  — one broadcast-nested-loop stage, no corpus shuffle, then a per-query
+  window for the top-k. Exact, O(|Q|·n), the right tool for |Q| small.
+- LSH bucketing signs each vector against h fixed Rademacher
+  hyperplanes (md5-derived ±1 pattern — no stored model), then joins
+  query↔corpus per bucket: the corpus-side work drops to the bucket's
+  share (~n/2^h) at the cost of recall — the standard ANN trade, made
+  deterministic so the oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dround
+
+QUANT_SCALE = 1000
+
+
+def quantized(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """floor(x*scale + 0.5) per element — integer-valued doubles."""
+    s = float(scale)
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(s) + F.lit(0.5)).cast("double")
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (exact on integer-valued doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column, na2: Column, nb2: Column) -> Column:
+    """dot/sqrt(na²·nb²) with precomputed squared norms (one sqrt, not two
+    — sqrt(x)*sqrt(y) and sqrt(x*y) differ by an ulp and would desync
+    the oracle)."""
+    return dot(a, b) / F.sqrt(na2 * nb2)
+
+
+def _prep(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Quantize + attach squared norm (scan-local)."""
+    q = quantized(F.col(vec_col))
+    return emb.select(
+        F.col(id_col), q.alias("_q"), sq_norm(q).alias("_n2")
+    ).filter(F.col("_n2") > 0)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids_max: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: queries = rows with id < query_ids_max.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k by
+    (cosine DESC, neighbor_id) — the id tie-break makes ranking total
+    and engine-independent even on exact cosine ties.
+    """
+    prep = _prep(emb, id_col, vec_col)
+    queries = F.broadcast(
+        prep.filter(F.col(id_col) < query_ids_max).select(
+            F.col(id_col).alias("query_id"),
+            F.col("_q").alias("_qv"),
+            F.col("_n2").alias("_qn2"),
+        )
+    )
+    cos = cosine(F.col("_qv"), F.col("_q"), F.col("_qn2"), F.col("_n2"))
+    scored = (
+        prep.join(queries, F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cos.alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", dround(F.col("_cos"), 6).alias("cos_sim"), "rank")
+    )
+
+
+def lsh_bucket(vec_q: Column, num_planes: int = 4) -> Column:
+    """Random-hyperplane LSH bucket id in [0, 2^h).
+
+    Plane p's Rademacher weights: dim d (1-based) gets +1 iff the first
+    hex digit of md5('p{p}_{d}') has its top bit set. The signed sum of
+    an integer-valued-double vector is exact, so the bucket id is
+    deterministic and both engines compute the same partitioning.
+    """
+    # plane index captured via closure factory — a lambda default arg would
+    # change the lambda arity and rebind it as zip_with's 3-arg form
+    def signer(p: int):
+        return lambda x, d: F.when(
+            F.substring(F.md5(F.concat(F.lit(f"p{p}_"), d.cast("string"))), 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            x,
+        ).otherwise(-x)
+
+    bits = []
+    for p in range(num_planes):
+        signed = F.zip_with(vec_q, F.sequence(F.lit(1), F.size(vec_q)), signer(p))
+        s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids_max: int = 10,
+    k: int = 5,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k searching only the query's LSH bucket.
+
+    Same output shape as brute_force_topk; neighbors are ranked within
+    the shared bucket, so recall < 1 by design (the scale path: each
+    query scans ~n/2^h corpus rows instead of n). The bucket join is a
+    shuffle-free broadcast of queries followed by a bucket equi-filter.
+    """
+    prep0 = _prep(emb, id_col, vec_col)
+    prep = prep0.withColumn("_bucket", lsh_bucket(F.col("_q"), num_planes))
+    queries = F.broadcast(
+        prep.filter(F.col(id_col) < query_ids_max).select(
+            F.col(id_col).alias("query_id"),
+            F.col("_q").alias("_qv"),
+            F.col("_n2").alias("_qn2"),
+            F.col("_bucket").alias("_qbucket"),
+        )
+    )
+    cos = cosine(F.col("_qv"), F.col("_q"), F.col("_qn2"), F.col("_n2"))
+    scored = prep.join(
+        queries,
+        (F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != F.col("query_id")),
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("_cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", dround(F.col("_cos"), 6).alias("cos_sim"), "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact, symmetric, id_a < id_b).
+
+    Brute-force O(n²) pair scan — correct baseline and fine to ~10⁵ rows
+    per partition-pair; the LSH bucket join (lsh_topk's prep) is the
+    drop-in candidate generator at corpus scale: near-identical vectors
+    collide in every bucket with probability ≈ 1.
+    """
+    prep = _prep(emb, id_col, vec_col)
+    a = prep.select(
+        F.col(id_col).alias("id_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na")
+    )
+    b = prep.select(
+        F.col(id_col).alias("id_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb")
+    )
+    cos = cosine(F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", dround(F.col("_cos"), 6).alias("cos_sim"))
+    )

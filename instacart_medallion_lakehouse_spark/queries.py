@@ -718,3 +718,8 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# --- part 2 of the registry: text / dedup / similarity surface -------------
+# (imported last for its @_register side effects; uses _register/_t above)
+from . import queries_text  # noqa: E402,F401

@@ -1,0 +1,461 @@
+"""Query registry, part 2: the training-data-pipeline surface.
+
+Text analysis, document dedup (exact / n-gram Jaccard / MinHash-LSH /
+SimHash), and embedding similarity search — each as a (spark, sf_dir) ->
+DataFrame callable with a DuckDB-SQL twin, same lockstep invariants as
+queries.py.
+
+The SQL twins are *generated from the same constants* (stopword lists,
+hash seeds, band layouts, quantization scale) as the Spark expressions,
+so the two engines run the literally identical algorithm — the only way
+hash-equality holds for hash-derived artifacts like minhash signatures
+and LSH buckets.
+
+Imported for its registration side effects at the bottom of queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import dround
+from .functions.text import (
+    STOPWORDS,
+    alpha_ratio,
+    bpe_ish_tokens,
+    fingerprint,
+    predicted_lang,
+    stopword_hits,
+    tokens,
+)
+from .operators import dedup, vectors
+from .queries import _register, _t
+
+# --- shared SQL fragments (kept in lockstep with functions/text.py) --------
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+_HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+_BPE_SQL = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_SHINGLES_SQL = (
+    "CASE WHEN len(t) >= 3 THEN list_distinct("
+    "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])"
+    " ELSE [] END"
+)
+
+
+def _hits_sql(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> x IN ({inlist})))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_stats",
+    f"""
+    SELECT doc_id, lang, source, n_chars,
+           length(text) AS n_chars_actual,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           round(list_sum(list_transform(t, x -> length(x))) * 1.0
+                 / len(t), 4) AS avg_token_len
+    FROM (SELECT *, {_TOKS_SQL} AS t FROM documents)
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — one narrow scan, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    tok_len_sum = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("n_chars_actual"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        dround(tok_len_sum.cast("double") / F.size(t), 4).alias("avg_token_len"),
+    )
+
+
+@_register(
+    "token_count",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len({_TOKS_SQL})) AS ws_tokens,
+           sum(len({_BPE_SQL})) AS bpe_tokens,
+           round(sum(len({_BPE_SQL})) * 1.0 / count(*), 4) AS avg_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting, rolled up per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.size(tokens(F.col("text"))).alias("_ws"),
+            F.size(bpe_ish_tokens(F.col("text"))).alias("_bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_tokens"),
+            dround(F.sum("_bpe") * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "avg_bpe_tokens"
+            ),
+        )
+    )
+
+
+def _lang_case_sql() -> str:
+    hits = {lang: _hits_sql(ws) for lang, ws in STOPWORDS.items()}
+    return f"""
+      CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+           WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['fr']}
+                AND {hits['en']} >= {hits['de']} AND {hits['en']} > 0 THEN 'en'
+           WHEN {hits['es']} >= {hits['fr']} AND {hits['es']} >= {hits['de']}
+                AND {hits['es']} > 0 THEN 'es'
+           WHEN {hits['fr']} >= {hits['de']} AND {hits['fr']} > 0 THEN 'fr'
+           WHEN {hits['de']} > 0 THEN 'de'
+           ELSE 'und' END
+    """
+
+
+@_register(
+    "language_id",
+    f"""
+    SELECT lang, {_lang_case_sql()} AS predicted_lang, count(*) AS n_docs
+    FROM (SELECT lang, text, {_TOKS_SQL} AS t FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword argmax + CJK check) vs declared lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            predicted_lang(F.col("text"), tokens(F.col("text"))).alias(
+                "predicted_lang"
+            ),
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "quality_score",
+    f"""
+    SELECT doc_id, n_tokens,
+           round(stop_ratio, 4) AS stop_ratio,
+           round(distinct_ratio, 4) AS distinct_ratio,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           round(
+             (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio >= 0.03 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END), 2)
+             AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             {_hits_sql(STOPWORDS["en"])} * 1.0 / len(t) AS stop_ratio,
+             len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio,
+             (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+               * 1.0 / nullif(length(text), 0) AS alpha_ratio,
+             list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_tok
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+    )
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score — the filtering signal a training
+    pipeline thresholds on. Four 0.25-weight components: token count in
+    range, mean token length in range, stopword density, vocabulary
+    diversity. Pure expressions; at 100 TB this is a free rider on the
+    ingest scan."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_tokens = F.size(t)
+    stop_ratio = stopword_hits(t, STOPWORDS["en"]) * F.lit(1.0) / n_tokens
+    distinct_ratio = F.size(F.array_distinct(t)) * F.lit(1.0) / n_tokens
+    avg_tok = (
+        F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+        * F.lit(1.0)
+        / n_tokens
+    )
+    score = (
+        F.when(n_tokens.between(10, 1000), 0.25).otherwise(0.0)
+        + F.when((avg_tok >= 3) & (avg_tok <= 12), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.03, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.3, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        dround(stop_ratio, 4).alias("stop_ratio"),
+        dround(distinct_ratio, 4).alias("distinct_ratio"),
+        dround(alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+        dround(score, 2).alias("quality_score"),
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fingerprint,
+           substr(md5({_NORM_SQL}), 1, 2) AS shard
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint + 256-way shard prefix (dedup/bucketing key)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 2).alias("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exact_dedup",
+    f"""
+    SELECT doc_id, fingerprint,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+    FROM (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents)
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint", "canonical_doc_id", "is_duplicate"
+    )
+
+
+_NGRAM_VERIFY_SQL = """
+    SELECT id_a, id_b,
+           round(len(list_intersect(x.shingles, y.shingles)) * 1.0
+                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+             AS jaccard
+    FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
+"""
+
+
+@_register(
+    "ngram_jaccard_dedup",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.5
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def _minhash_sql(num_hashes: int, band_rows: int) -> str:
+    sigs = ",\n             ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}_' || s))) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(sig_{b * band_rows} || '|' || sig_{b * band_rows + 1}) AS key FROM sig"
+        for b in range(num_hashes // band_rows)
+    )
+    return f"""
+    WITH sh0 AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ),
+    sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT doc_id, shingles,
+             {sigs}
+      FROM sh
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.5
+    """
+
+
+@_register("minhash_lsh_dedup", _minhash_sql(num_hashes=16, band_rows=2))
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=16, band_rows=2, threshold=0.5
+    )
+
+
+def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN substr(md5(tok), {p + 1}, 1) IN {_HEX_HIGH_SQL}"
+        f" THEN 1 ELSE -1 END) AS s{p}"
+        for p in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(bits)
+    )
+    nbands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS idx, (simhash >> {8 * j}) & 255 AS val"
+        " FROM sig"
+        for j in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM toks GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM sums),
+    bands AS (
+      {nbands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.idx = b.idx AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@_register("simhash_dedup", _simhash_sql())
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5))"
+
+_PREP_SQL = f"""
+    q AS (SELECT vec_id, {_QUANT_SQL} AS e FROM embeddings),
+    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM q
+          WHERE list_dot_product(e, e) > 0)
+"""
+
+
+def _lsh_bucket_sql(num_planes: int = 4) -> str:
+    terms = []
+    for p in range(num_planes):
+        signed = (
+            f"[CASE WHEN substr(md5('p{p}_' || i), 1, 1) IN {_HEX_HIGH_SQL}"
+            f" THEN e[i] ELSE -e[i] END for i in range(1, len(e)+1)]"
+        )
+        terms.append(
+            f"(CASE WHEN list_sum({signed}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@_register(
+    "ann_topk",
+    f"""
+    WITH {_PREP_SQL},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2) AS c
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for queries vec_id < 10."""
+    return vectors.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids_max=10, k=5
+    )
+
+
+@_register(
+    "ann_lsh_topk",
+    f"""
+    WITH {_PREP_SQL},
+    buck AS (SELECT vec_id, e, n2, {_lsh_bucket_sql(4)} AS bucket FROM n),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2) AS c
+      FROM buck a JOIN buck b
+        ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (4 random hyperplanes, 16 buckets)."""
+    return vectors.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids_max=10, k=5, num_planes=4
+    )
+
+
+@_register(
+    "embedding_neardup",
+    f"""
+    WITH {_PREP_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2) >= 0.4
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
+    return vectors.cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
