@@ -1,0 +1,185 @@
+"""Medallion pipeline orchestration: bronze → silver → gold.
+
+The reference's three notebooks as one idempotent, quality-gated
+library function (01_bronze_ingest.py / 02_silver_transform.py /
+03_gold_metrics.py re-expressed over the testdata star schema).
+
+Layer contract (reference parity, SURVEY.md §1.1/§3):
+- Bronze: raw scan + lineage metadata columns (_ingested_at,
+  _source_file, _bronze_version — 01_bronze_ingest.py:89-93), non-zero
+  row gate, idempotent overwrite.
+- Silver: deterministic PK dedup (the reference's nondeterministic
+  monotonically_increasing_id tie-break FIXED per SURVEY.md §4.3.1),
+  bronze-metadata drop, quality gates (null rate / duplicate rate /
+  referential integrity), reconciliation against bronze counts.
+- Gold: star-join marts (fct + dims + KPI marts), fact table
+  disk-partitioned for downstream partition pruning
+  (03_gold_metrics.py:96).
+
+Every write is mode=overwrite (+ overwriteSchema under Delta): the
+whole pipeline re-runs from any point with identical results —
+exactly the reference's re-runnability contract (01:95-102).
+
+Scale notes: each layer is a separate job chain; silver dedup is the
+only full-fact shuffle (window on the PK); gold reuses one cached
+enriched base across all marts (reference 03:42-44,73 does the same).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import quality
+from .io import write_table
+from .operators.cleanse import dedup_keep_first
+from .plans import marts
+
+BRONZE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+]
+
+# (table → primary key columns). lineitem is None: the synthetic data has
+# NO unique natural key there (even (l_orderkey, l_partkey, l_linenumber)
+# repeats), mirroring the reference's line-item table where multiple rows
+# per key are normal — it gets the inverted lenient duplicate gate
+# (reference 02_silver_transform.py:121 uses threshold=0.99) instead of
+# dedup.
+_SILVER_KEYS: dict[str, list[str] | None] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": None,
+}
+
+# FK → parent PK edges gated at silver (reference 02_silver_transform.py:59-68)
+_RI_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+BRONZE_VERSION = "bronze_v1"
+
+
+@dataclass
+class PipelineResult:
+    """Per-layer row counts + gate outcomes for reconciliation/reporting."""
+
+    bronze_counts: dict[str, int] = field(default_factory=dict)
+    silver_counts: dict[str, int] = field(default_factory=dict)
+    gold_counts: dict[str, int] = field(default_factory=dict)
+
+
+def run_bronze(
+    spark: SparkSession, sf_dir: str, out_dir: str, result: PipelineResult
+) -> dict[str, DataFrame]:
+    """Raw → bronze: scan, stamp lineage metadata, gate non-empty, write."""
+    out: dict[str, DataFrame] = {}
+    for name in BRONZE_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumns(
+            {
+                "_ingested_at": F.current_timestamp(),
+                "_source_file": F.lit(f"{name}.parquet"),
+                "_bronze_version": F.lit(BRONZE_VERSION),
+            }
+        )
+        write_table(df, f"{out_dir}/bronze/{name}")
+        n = spark.read.parquet(f"{out_dir}/bronze/{name}").count()
+        quality.assert_row_count_nonzero(n, f"bronze.{name}")
+        quality.log_layer_stats("bronze", name, n)
+        result.bronze_counts[name] = n
+        out[name] = spark.read.parquet(f"{out_dir}/bronze/{name}")
+    return out
+
+
+def run_silver(
+    spark: SparkSession,
+    bronze: dict[str, DataFrame],
+    out_dir: str,
+    result: PipelineResult,
+    thresholds: quality.GateThresholds = quality.DEFAULT_THRESHOLDS,
+) -> dict[str, DataFrame]:
+    """Bronze → silver: deterministic dedup, drop lineage cols, gate, write."""
+    out: dict[str, DataFrame] = {}
+    for name, keys in _SILVER_KEYS.items():
+        df = bronze[name]
+        if keys is not None:
+            df = dedup_keep_first(df, keys=keys, order_by=[F.col("_ingested_at"), *keys])
+        cleaned = df.drop("_ingested_at", "_source_file", "_bronze_version")
+        write_table(cleaned, f"{out_dir}/silver/{name}")
+        silver_df = spark.read.parquet(f"{out_dir}/silver/{name}")
+        n = silver_df.count()
+        if keys is not None:
+            quality.check_duplicate_rate(
+                silver_df, keys, thresholds.duplicate_rate, "silver"
+            )
+        quality.reconcile_row_counts(
+            result.bronze_counts[name], n, thresholds.reconcile_drift, name
+        )
+        quality.log_layer_stats("silver", name, n)
+        result.silver_counts[name] = n
+        out[name] = silver_df
+
+    for child, fk, parent, pk in _RI_EDGES:
+        quality.check_referential_integrity(
+            out[child], fk, out[parent], pk, "silver", thresholds.referential_integrity
+        )
+    return out
+
+
+def run_gold(
+    spark: SparkSession,
+    silver: dict[str, DataFrame],
+    out_dir: str,
+    result: PipelineResult,
+) -> dict[str, DataFrame]:
+    """Silver → gold: star marts, fact disk-partitioned, all overwrite."""
+    li = silver["lineitem"].cache()
+    orders = silver["orders"].cache()
+
+    gold: dict[str, tuple[DataFrame, list[str] | None]] = {
+        "fct_lineitem": (marts.fct_lineitem(li), ["l_returnflag"]),
+        "dim_customers": (marts.dim_customers(li, orders), None),
+        "dim_parts": (marts.dim_parts(li, orders, silver["part"]), None),
+        "mart_region_performance": (
+            marts.region_performance(
+                li, orders, silver["customer"], silver["nation"], silver["region"]
+            ),
+            None,
+        ),
+        "mart_return_velocity": (marts.return_velocity(li, orders), None),
+    }
+    out: dict[str, DataFrame] = {}
+    for name, (df, part_by) in gold.items():
+        write_table(df, f"{out_dir}/gold/{name}", partition_by=part_by)
+        written = spark.read.parquet(f"{out_dir}/gold/{name}")
+        n = written.count()
+        quality.assert_row_count_nonzero(n, f"gold.{name}")
+        quality.log_layer_stats("gold", name, n)
+        result.gold_counts[name] = n
+        out[name] = written
+    li.unpersist()
+    orders.unpersist()
+    return out
+
+
+def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> PipelineResult:
+    """Full bronze→silver→gold run; raises DataQualityError on gate breach."""
+    result = PipelineResult()
+    bronze = run_bronze(spark, sf_dir, out_dir, result)
+    silver = run_silver(spark, bronze, out_dir, result)
+    run_gold(spark, silver, out_dir, result)
+    return result

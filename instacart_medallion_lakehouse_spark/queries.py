@@ -720,6 +720,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- part 2 of the registry: text / dedup / similarity surface -------------
-# (imported last for its @_register side effects; uses _register/_t above)
+# --- parts 2+3 of the registry: text/dedup/similarity, multimodal, streaming
+# (imported last for their @_register side effects; they use _register/_t)
 from . import queries_text  # noqa: E402,F401
+from . import queries_ext  # noqa: E402,F401

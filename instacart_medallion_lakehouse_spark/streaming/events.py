@@ -1,0 +1,164 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY.md §2.9 — zero readStream/watermark
+anywhere), so this is the engine's streaming extension: the same logical
+aggregations as the batch queries, expressed as streaming plans with
+watermarks, so one codebase serves both execution modes — the Spark
+"unified batch/streaming" design done properly.
+
+Every streaming query here can be DRAINED TO A BATCH RESULT with
+``Trigger.AvailableNow`` + a memory sink: the stream processes all
+currently-available files in bounded micro-batches and terminates. That
+makes the streaming path oracle-checkable — the driver compares the
+drained result against the same DuckDB SQL as the batch twin
+(queries.py windowed_events / sessionize).
+
+Scale notes:
+- watermarks bound state: the tumbling agg keeps only windows newer
+  than (max event time - delay); sessions evict on gap timeout.
+- ``F.session_window`` is the native stateful session operator —
+  incremental merge, spillable state store, no full-partition windowing
+  (the batch gaps-and-islands form shuffles and sorts each user's whole
+  history instead; same answer, different cost model).
+- file sources at scale: ``maxFilesPerTrigger`` bounds micro-batch
+  size; availableNow respects it while still terminating.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.scalar import dround
+from ..operators.aggs import avg_fixedpoint
+
+# events.parquet stores ts as Parquet TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong the column surfaces as bigint
+# (see io.read_events). The stream schema mirrors that and converts.
+_EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_memory_sink_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with nanos→timestamp handling.
+
+    File-source streams require an explicit schema; ts arrives as nanos
+    (bigint) and is truncated to microseconds with integer division —
+    identical semantics to the batch reader (io.read_events), so batch
+    and stream see the same timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file stream sources require a DIRECTORY; point at the sf dir and
+    # glob-filter to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of queries.windowed_events: watermarked tumbling agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+            avg_fixedpoint(F.col("value"), 100, 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def session_windows_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native stateful session windows (gap-merge) per user.
+
+    Same islands as the batch gaps-and-islands sessionize (a session
+    closes when no event arrives within ``gap``), producing
+    (user_id, session_start, session_end, n_events, session_value).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dround(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "session_value"
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps state only for the watermark
+    delay — the bounded-state streaming analog of the batch W1 dedup.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def drain_to_batch(
+    streaming_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
+) -> DataFrame:
+    """Run a streaming DataFrame to completion and return its result.
+
+    Trigger.AvailableNow processes everything currently in the source
+    then stops; the memory sink holds the final result table. This is
+    how the driver/oracle observes streaming output as a plain
+    DataFrame. Memory sinks are test/dev only — production writes go to
+    files/Kafka with checkpointing.
+    """
+    name = f"_stream_drain_{next(_memory_sink_counter)}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = streaming_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,145 @@
+"""Known-answer tests for the text-analysis and dedup operators on a
+tiny hand-built corpus (planted exact dup, near dup, and distinct docs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from instacart_medallion_lakehouse_spark.functions import text as T
+from instacart_medallion_lakehouse_spark.operators import dedup
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
+OTHER = "completely different words appear here without any overlap at all whatsoever now"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0 (modulo case/whitespace below)
+        (2, "  " + BASE.upper() + "  "),  # normalizes to same fingerprint
+        (3, NEAR),  # one-token-off near duplicate
+        (4, OTHER),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTextFunctions:
+    def test_tokens_trim_and_split(self, spark):
+        df = spark.createDataFrame([("  a  b   c ",)], "text string")
+        assert df.select(T.tokens(F.col("text")).alias("t")).first()["t"] == [
+            "a",
+            "b",
+            "c",
+        ]
+
+    def test_shingles_short_doc_empty(self, spark):
+        df = spark.createDataFrame([("a b",), ("a b c",)], "text string")
+        out = df.select(
+            T.token_shingles(T.tokens(F.col("text")), 3).alias("s")
+        ).collect()
+        assert out[0]["s"] == []
+        assert out[1]["s"] == ["a b c"]
+
+    def test_fingerprint_normalizes(self, spark, docs):
+        fps = {
+            r["doc_id"]: r["fp"]
+            for r in docs.select(
+                "doc_id", T.fingerprint(F.col("text")).alias("fp")
+            ).collect()
+        }
+        assert fps[0] == fps[1] == fps[2]
+        assert fps[0] != fps[3]
+
+    def test_predicted_lang(self, spark):
+        rows = [
+            ("the cat is in the house and it is warm",),
+            ("el gato es de la casa y es bueno",),
+            ("le chat est de la maison et est bon",),
+            ("der hund und die katze das ist gut",),
+            ("xyzzy plugh qwerty",),
+        ]
+        df = spark.createDataFrame(rows, "text string")
+        out = [
+            r["p"]
+            for r in df.select(
+                T.predicted_lang(F.col("text"), T.tokens(F.col("text"))).alias("p")
+            ).collect()
+        ]
+        assert out == ["en", "es", "fr", "de", "und"]
+
+    def test_bpe_ish_tokens(self, spark):
+        df = spark.createDataFrame([("Hello world42 foo-bar!",)], "text string")
+        toks = df.select(T.bpe_ish_tokens(F.col("text")).alias("t")).first()["t"]
+        assert toks == ["hello", "world", "42", "foo", "-", "bar", "!"]
+
+
+class TestExactDedup:
+    def test_flags_duplicates_keeps_canonical(self, docs):
+        out = {
+            r["doc_id"]: (r["canonical_doc_id"], r["is_duplicate"])
+            for r in dedup.exact_duplicates(docs).collect()
+        }
+        assert out[0] == (0, False)
+        assert out[1] == (0, True)
+        assert out[2] == (0, True)
+        assert out[3] == (3, False)
+        assert out[4] == (4, False)
+
+
+class TestNearDup:
+    def test_ngram_jaccard_finds_planted_pair(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        }
+        assert (0, 3) in pairs
+        assert 0.3 <= pairs[(0, 3)] < 1.0
+        assert (0, 4) not in pairs
+        # exact dups have jaccard 1.0
+        assert pairs[(0, 1)] == 1.0
+
+    def test_minhash_lsh_finds_planted_pair(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        assert (0, 3) in pairs
+        assert (0, 4) not in pairs
+
+    def test_minhash_signature_seeds_differ(self, spark, docs):
+        # regression: seeds must produce DIFFERENT hash families (a
+        # lambda-arity bug once made all 16 signatures identical)
+        sh = docs.select(
+            T.token_shingles(T.tokens(F.col("text")), 3).alias("shingles")
+        ).filter(F.size("shingles") > 0)
+        row = sh.select(*dedup.minhash_signature(F.col("shingles"), 4)).first()
+        sigs = [row[f"sig_{i}"] for i in range(4)]
+        assert len(set(sigs)) > 1
+
+    def test_simhash_identical_docs_hamming_zero(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        # near-dup differs by one token → small but possibly >3 hamming;
+        # just assert the unrelated doc is not a 0-distance collision
+        assert pairs.get((0, 4), 99) != 0
+
+    def test_simhash_is_order_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta"), (1, "delta gamma beta alpha")],
+            "doc_id long, text string",
+        )
+        sigs = [
+            r["s"]
+            for r in df.select(
+                dedup.simhash32(T.tokens(F.col("text"))).alias("s")
+            ).collect()
+        ]
+        assert sigs[0] == sigs[1]

@@ -1,0 +1,87 @@
+"""Vector-similarity operator tests: cosine math vs numpy, top-k
+ranking on crafted vectors, LSH bucket determinism and recall.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from instacart_medallion_lakehouse_spark.operators import vectors
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9999, 0.001, 0.0, 0.0]),  # ~identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7071, 0.7071, 0.0, 0.0]),  # 45 degrees from 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestCosineMath:
+    def test_matches_numpy_on_quantized(self, spark, emb):
+        out = vectors.cosine_neardup_pairs(emb, threshold=-2.0).collect()
+        got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+        vecs = {
+            r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * 1000 + 0.5)
+            for r in emb.collect()
+        }
+        for (a, b), c in got.items():
+            va, vb = vecs[a], vecs[b]
+            expect = float(va @ vb) / math.sqrt(float(va @ va) * float(vb @ vb))
+            assert c == pytest.approx(expect, abs=1e-6)
+
+    def test_neardup_threshold(self, emb):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in vectors.cosine_neardup_pairs(emb, threshold=0.95).collect()
+        }
+        assert pairs == {(0, 1)}
+
+
+class TestBruteForceTopk:
+    def test_ranking(self, emb):
+        out = vectors.brute_force_topk(emb, query_ids_max=1, k=4).collect()
+        ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        # for query 0: nearest is 1 (~1.0), then 4 (0.707), then 2 (0.0), then 3 (-1)
+        assert ranked == [1, 4, 2, 3]
+
+    def test_k_limits_output(self, emb):
+        out = vectors.brute_force_topk(emb, query_ids_max=2, k=2).collect()
+        assert len(out) == 4  # 2 queries x k=2
+
+
+class TestLsh:
+    def test_bucket_deterministic(self, spark, emb):
+        q = vectors.quantized(F.col("embedding"))
+        b1 = emb.select(vectors.lsh_bucket(q, 4).alias("b")).collect()
+        b2 = emb.select(vectors.lsh_bucket(q, 4).alias("b")).collect()
+        assert [r["b"] for r in b1] == [r["b"] for r in b2]
+        assert all(0 <= r["b"] < 16 for r in b1)
+
+    def test_collinear_vectors_share_bucket(self, spark):
+        # exact positive scalar multiples project with the same sign on
+        # every hyperplane → identical bucket, guaranteed (cosine≈1 alone
+        # is only probabilistic for vectors near a plane)
+        rows = [(i, [(j + 1.0) * (1 + i) for j in range(8)]) for i in range(3)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = vectors.quantized(F.col("embedding"))
+        buckets = {r["b"] for r in df.select(vectors.lsh_bucket(q, 4).alias("b")).collect()}
+        assert len(buckets) == 1
+
+    def test_lsh_topk_subset_of_brute_force_scores(self, emb):
+        brute = {
+            (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+            for r in vectors.brute_force_topk(emb, query_ids_max=1, k=4).collect()
+        }
+        lsh = vectors.lsh_topk(emb, query_ids_max=1, k=4).collect()
+        for r in lsh:
+            key = (r["query_id"], r["neighbor_id"])
+            assert brute[key] == r["cos_sim"]  # same cosine, bucket-restricted set
