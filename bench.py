@@ -32,9 +32,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup on a trivial job so the first query isn't taxed
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # pin input tables across the suite (the reference caches hot Silver
-    # tables across its gold jobs the same way — 03_gold_metrics.py:42-44)
-    q.enable_table_cache(True)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -44,6 +41,10 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # release the query's internal pinned tables (LSH band tables,
+        # shingle tables, ...) — leaked cache entries degrade later
+        # queries' storage memory and skew their timings
+        spark.catalog.clearCache()
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

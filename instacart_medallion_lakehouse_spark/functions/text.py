@@ -82,16 +82,15 @@ def stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def predicted_lang(text: Column, toks: Column) -> Column:
-    """Deterministic heuristic language ID.
+def predicted_lang_from_hits(
+    text: Column, en: Column, es: Column, fr: Column, de: Column
+) -> Column:
+    """Language-ID decision chain over PRECOMPUTED stopword hit counts.
 
-    CJK codepoints → 'zh'; else argmax of per-language stopword hit
-    counts with fixed precedence en > es > fr > de; no hits → 'und'.
-    The DuckDB twin is the literally identical CASE chain, so the
-    prediction is engine-independent by construction.
+    Callers should materialize the hit counts in a projection first —
+    the chain references each count several times, and only a column
+    reference (not the array-filter expression) is computed once.
     """
-    hits = {lang: stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
-    en, es, fr, de = hits["en"], hits["es"], hits["fr"], hits["de"]
     return (
         F.when(text.rlike(_CJK_PATTERN), "zh")
         .when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
@@ -99,6 +98,22 @@ def predicted_lang(text: Column, toks: Column) -> Column:
         .when((fr >= de) & (fr > 0), "fr")
         .when(de > 0, "de")
         .otherwise("und")
+    )
+
+
+def predicted_lang(text: Column, toks: Column) -> Column:
+    """Deterministic heuristic language ID.
+
+    CJK codepoints → 'zh'; else argmax of per-language stopword hit
+    counts with fixed precedence en > es > fr > de; no hits → 'und'.
+    The DuckDB twin is the literally identical CASE chain, so the
+    prediction is engine-independent by construction. Inlines the hit
+    expressions — prefer predicted_lang_from_hits over a projection
+    when scanning at scale.
+    """
+    hits = {lang: stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    return predicted_lang_from_hits(
+        text, hits["en"], hits["es"], hits["fr"], hits["de"]
     )
 
 

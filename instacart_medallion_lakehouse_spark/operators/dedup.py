@@ -66,45 +66,95 @@ def _with_shingles(docs: DataFrame, n: int, id_col: str) -> DataFrame:
     )
 
 
+def shingle_table(docs: DataFrame, n: int, id_col: str) -> DataFrame:
+    """DISTINCT (id, shingle) pairs in relational (exploded) form.
+
+    posexplode the tokens ONCE, then build each n-shingle with lead()
+    windows over (doc, position) — entirely codegen'd projections plus
+    one small window shuffle. This deliberately avoids the array route
+    (token_shingles inside transform): Catalyst's projection collapse
+    inlines the split() into every element_at reference of the
+    interpreted lambda, re-tokenizing the document once per shingle per
+    position — quadratic work that the relational form structurally
+    cannot do. The distinct matches the list_distinct of the SQL twin.
+    """
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    ex = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok")
+    )
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+    last = parts[-1]
+    return (
+        ex.select(F.col(id_col), F.concat_ws(" ", *parts).alias("_sh"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "_sh")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All pairs with n-token-shingle Jaccard >= threshold.
+    """All pairs with n-token-shingle Jaccard >= threshold (exact).
 
-    Candidate generation is an inverted-index self-join: explode
-    shingles, join docs sharing at least one shingle (id_a < id_b),
-    de-dup the candidate pair list, then verify Jaccard exactly on the
-    (small, distinct) shingle arrays with array_intersect/array_union.
+    Candidate generation AND intersection counting in one pass: explode
+    distinct shingles, self-join on the shingle (inverted index), then
+    hash-aggregate the join output per pair — each shared shingle
+    contributes exactly one row, so ``count(*)`` IS ``|A ∩ B|``. Union
+    size comes free from per-doc set sizes: |A ∪ B| = |A|+|B|−|A ∩ B|.
 
-    Scale: the exploded join shuffles (shingle, id) pairs — text never
-    moves. A shingle shared by k docs yields k² candidate pairs, so a
-    stop-shingle cap would be the next knob at 100 TB (not needed at
-    test SF). For lower candidate volume use minhash_lsh_pairs.
+    This shape matters: the naive verify (re-join shingle arrays, run
+    array_intersect per pair) moves every array twice and evaluates
+    interpreted per-pair array expressions — Spark's higher-order array
+    functions are NOT whole-stage-codegen'd. The groupBy form stays in
+    codegen'd HashAggregate with map-side partial counts, shuffles only
+    (id, id, partial count), and needs no distinct. The per-doc size
+    table (one row per doc) broadcasts.
+
+    Scale: a shingle shared by k docs still yields k·(k−1)/2 aggregate
+    inputs — at 100 TB add a document-frequency stop-shingle cap or
+    prefix filtering before the self-join; or use minhash_lsh_pairs.
     """
-    sh = _with_shingles(docs, n, id_col).cache()
-    exploded = sh.select(
-        F.col(id_col).alias("_id"), F.explode("shingles").alias("_sh")
-    )
-    cand = (
-        exploded.alias("a")
+    ex = shingle_table(docs, n, id_col).cache()
+    ex.count()  # materialize BEFORE the self-join: a lazily-filled cache
+    # races — both join sides would concurrently recompute the pipeline
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    common = (
+        ex.select(F.col(id_col).alias("_ida"), F.col("_sh"))
         .join(
-            exploded.alias("b"),
-            (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")),
+            ex.select(F.col(id_col).alias("_idb"), F.col("_sh")),
+            "_sh",
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+        .filter(F.col("_ida") < F.col("_idb"))
+        .groupBy(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jacc = inter.cast("double") / union.cast("double")
+    return _jaccard_from_common(common, sizes, id_col, threshold)
+
+
+def _jaccard_from_common(
+    common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """jaccard = common / (|A|+|B|-common) via two broadcast size joins."""
+    jacc = F.col("_common").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_common")
+    ).cast("double")
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        common.join(
+            F.broadcast(
+                sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", dround(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -138,6 +188,31 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
     ]
 
 
+def _verify_jaccard(
+    cand: DataFrame, ex: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs via intersection
+    COUNTING (codegen'd joins + hash aggregate), not per-pair array ops.
+
+    cand: (id_a, id_b) distinct pairs; ex: (id_col, _sh) distinct
+    exploded shingles. |A ∩ B| = count of shingles reachable from both
+    sides; |A ∪ B| = |A| + |B| − |A ∩ B| from the size table.
+    """
+    common = (
+        cand.join(
+            ex.select(F.col(id_col).alias("id_a"), F.col("_sh")), "id_a"
+        )
+        .join(
+            ex.select(F.col(id_col).alias("id_b"), F.col("_sh")),
+            ["id_b", "_sh"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    return _jaccard_from_common(common, sizes, id_col, threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -149,10 +224,16 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash signatures + LSH banding + exact verify.
 
     Pipeline (shuffle count in brackets):
-      1. shingle + k-minhash signature per doc       [0 — scan-local]
-      2. band keys: md5(sig_i .. sig_{i+r-1}), b = k/r bands
-      3. explode bands, self-join on (band_idx, key) [1 — the LSH trick]
-      4. exact Jaccard verify on candidate pairs     [2 — small join]
+      1. explode shingles, k seeded md5 columns per row  [0 — scan-local]
+      2. k-way min hash-aggregate per doc → signature    [1 — partial agg]
+      3. band keys md5(sig_i..sig_{i+r-1}); explode bands,
+         self-join on (band_idx, key)                    [2 — the LSH trick]
+      4. exact Jaccard verify on candidate pairs only    [3 — small joins]
+
+    Signatures are computed in explode + groupBy-min form rather than
+    array_min(transform(...)): the per-row md5 columns and the min
+    aggregate are whole-stage-codegen'd with map-side partial mins,
+    whereas higher-order array functions are interpreted.
 
     With k=16, r=2, b=8: P(candidate | j) = 1-(1-j²)⁸ → 0.9997 at j=0.8,
     0.90 at j=0.5, ~0.003 at j=0.02 — planted near-dups are found with
@@ -164,10 +245,21 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % band_rows == 0
     n_bands = num_hashes // band_rows
-    sh = _with_shingles(docs, n, id_col).filter(F.size("shingles") > 0)
-    sig = sh.select(
-        F.col(id_col), F.col("shingles"), *minhash_signature(F.col("shingles"), num_hashes)
-    ).cache()
+    # cached: the signature pipeline feeds BOTH sides of the band
+    # self-join and the verification pass — without pinning, Spark
+    # re-executes the shingling + hashing chain once per consumer
+    ex = shingle_table(docs, n, id_col).cache()
+    ex.count()  # materialize before multi-consumer reuse (see ngram note)
+    hashed = ex.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{i}_"), F.col("_sh"))).alias(f"h_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
+    )
 
     band_cols = [
         F.struct(
@@ -180,9 +272,16 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # pinned: the band table feeds both sides of the LSH self-join — without
+    # it the 16-hash signature aggregation runs once per side
+    bands = (
+        sig.select(
+            F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
+        )
+        .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .cache()
+    )
+    bands.count()  # materialize before the self-join (see ngram note)
 
     cand = (
         bands.alias("a")
@@ -195,18 +294,7 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    jacc = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", dround(jacc, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cand, ex, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +351,38 @@ def simhash32(toks: Column) -> Column:
     return packed
 
 
+def simhash_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) via explode + hash aggregate — the scale form.
+
+    Identical fingerprints to simhash32 (same per-(token, position)
+    bits, and sign-sum order cannot matter), but computed as: explode
+    tokens, md5 ONCE per token, 32 conditional sums in one codegen'd
+    HashAggregate with map-side partials, then pack. The array-expression
+    form evaluates interpreted lambdas and recomputes md5 per bit
+    position; this form shuffles only (id, 32 ints).
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(tokens(F.col("text"))).alias("_tok")
+    ).select(F.col(id_col), F.md5("_tok").alias("_h"))
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("_h", p + 1, 1).isin(*_HIGH_NIBBLE), 1
+                ).otherwise(-1)
+            ).alias(f"_s{p}")
+            for p in range(SIMHASH_BITS)
+        ]
+    )
+    packed = None
+    for p in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_s{p}") > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return sums.select(F.col(id_col), packed.alias("simhash"))
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -275,9 +395,9 @@ def simhash_pairs(
     zero recall loss. Verification is bit_count(xor) on the candidates.
     """
     assert max_hamming <= 3, "4-byte banding guarantees recall only for <= 3"
-    sig = docs.select(
-        F.col(id_col), simhash32(tokens(F.col("text"))).alias("simhash")
-    ).cache()
+    # pinned: the fingerprint table feeds both sides of the band self-join
+    sig = simhash_table(docs, id_col).cache()
+    sig.count()  # materialize before the band self-join (see ngram note)
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.col("simhash").alias("_sh"),
@@ -305,11 +425,14 @@ def simhash_pairs(
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        # verify BEFORE dedup: the hamming predicate is a codegen'd filter
+        # on the join output, so non-qualifying candidates never reach the
+        # distinct's shuffle (on dense corpora that's most of them)
+        .filter(hamming <= max_hamming)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             hamming.cast("int").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )

@@ -70,6 +70,52 @@ def _prep(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).filter(F.col("_n2") > 0)
 
 
+def _scored_against_queries(
+    emb: DataFrame, query_ids_max: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, neighbor_id, _cos) for every (query, corpus) pair,
+    computed as a numpy block matmul inside mapInPandas.
+
+    The query matrix (small by contract) is collected once and shipped
+    inside the closure; the corpus streams through Arrow batches, each
+    scored as one Q @ Bᵀ GEMM — thousands of fused multiply-adds per
+    Python call instead of one interpreted lambda per element. Because
+    both sides are quantized to integer-valued doubles, every dot
+    product is exact regardless of BLAS summation order → bit-identical
+    to the SQL oracle.
+
+    This is the 100 TB shape for small |Q|: corpus never shuffles,
+    queries broadcast, score emission is (|Q|·n) rows of 3 scalars.
+    """
+    import numpy as np
+    import pandas as pd
+
+    prep = _prep(emb, id_col, vec_col)
+    qrows = prep.filter(F.col(id_col) < query_ids_max).collect()
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["_q"] for r in qrows], dtype=np.float64)
+    q_n2 = np.array([r["_n2"] for r in qrows], dtype=np.float64)
+
+    out_schema = "query_id long, neighbor_id long, _cos double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["_q"]), dtype=np.float64)
+            n2 = pdf["_n2"].to_numpy(dtype=np.float64)
+            cos = (q_mat @ mat.T) / np.sqrt(np.outer(q_n2, n2))
+            qi, bi = np.nonzero(q_ids[:, None] != ids[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": ids[bi],
+                    "_cos": cos[qi, bi],
+                }
+            )
+
+    return prep.mapInPandas(score, out_schema)
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids_max: int = 10,
@@ -81,25 +127,11 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k by
     (cosine DESC, neighbor_id) — the id tie-break makes ranking total
-    and engine-independent even on exact cosine ties.
+    and engine-independent even on exact cosine ties. Scoring is a
+    numpy GEMM per Arrow batch; the final top-k is a per-query window
+    over the (|Q|·n)-row score table.
     """
-    prep = _prep(emb, id_col, vec_col)
-    queries = F.broadcast(
-        prep.filter(F.col(id_col) < query_ids_max).select(
-            F.col(id_col).alias("query_id"),
-            F.col("_q").alias("_qv"),
-            F.col("_n2").alias("_qn2"),
-        )
-    )
-    cos = cosine(F.col("_qv"), F.col("_q"), F.col("_qn2"), F.col("_n2"))
-    scored = (
-        prep.join(queries, F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            cos.alias("_cos"),
-        )
-    )
+    scored = _scored_against_queries(emb, query_ids_max, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id")
     )
@@ -185,22 +217,42 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact, symmetric, id_a < id_b).
 
-    Brute-force O(n²) pair scan — correct baseline and fine to ~10⁵ rows
-    per partition-pair; the LSH bucket join (lsh_topk's prep) is the
-    drop-in candidate generator at corpus scale: near-identical vectors
-    collide in every bucket with probability ≈ 1.
+    Block-vs-corpus numpy GEMM inside mapInPandas: each Arrow batch of
+    corpus rows is scored against the full corpus matrix in one matmul
+    and only above-threshold (id_a < id_b) pairs are emitted — O(n²)
+    flops but near-memory-bandwidth speed, and the output stays sparse.
+
+    The corpus matrix is collected to the driver and shipped in the
+    closure — exact-baseline shape, fine to ~10⁶ rows. At true corpus
+    scale, replace the closure matrix with block-pairing (self-join of
+    row-range blocks) or LSH-bucket candidate generation (lsh_topk's
+    prep): near-identical vectors collide in every bucket with
+    probability ≈ 1. Quantized integer-valued doubles keep every dot
+    product exact, so results match the SQL oracle bit for bit.
     """
+    import numpy as np
+    import pandas as pd
+
     prep = _prep(emb, id_col, vec_col)
-    a = prep.select(
-        F.col(id_col).alias("id_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na")
-    )
-    b = prep.select(
-        F.col(id_col).alias("id_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb")
-    )
-    cos = cosine(F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("_cos"))
-        .filter(F.col("_cos") >= threshold)
-        .select("id_a", "id_b", dround(F.col("_cos"), 6).alias("cos_sim"))
-    )
+    rows = prep.collect()
+    all_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    all_mat = np.array([r["_q"] for r in rows], dtype=np.float64)
+    all_n2 = np.array([r["_n2"] for r in rows], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["_q"]), dtype=np.float64)
+            n2 = pdf["_n2"].to_numpy(dtype=np.float64)
+            cos = (mat @ all_mat.T) / np.sqrt(np.outer(n2, all_n2))
+            ai, bi = np.nonzero((cos >= threshold) & (ids[:, None] < all_ids[None, :]))
+            f = 1e6
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[ai],
+                    "id_b": all_ids[bi],
+                    "cos_sim": np.floor(cos[ai, bi] * f + 0.5) / f,
+                }
+            )
+
+    return prep.mapInPandas(score, "id_a long, id_b long, cos_sim double")

@@ -25,7 +25,7 @@ from .functions.text import (
     alpha_ratio,
     bpe_ish_tokens,
     fingerprint,
-    predicted_lang,
+    predicted_lang_from_hits,
     stopword_hits,
     tokens,
 )
@@ -142,14 +142,29 @@ def _lang_case_sql() -> str:
     """,
 )
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (stopword argmax + CJK check) vs declared lang."""
+    """Heuristic language ID (stopword argmax + CJK check) vs declared
+    lang. Hit counts are materialized in one projection so each
+    array-filter runs once per row, not once per CASE-chain reference."""
     docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    hits = docs.select(
+        "lang",
+        "text",
+        *[
+            stopword_hits(t, ws).alias(f"_h_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
     return (
-        docs.select(
+        hits.select(
             "lang",
-            predicted_lang(F.col("text"), tokens(F.col("text"))).alias(
-                "predicted_lang"
-            ),
+            predicted_lang_from_hits(
+                F.col("text"),
+                F.col("_h_en"),
+                F.col("_h_es"),
+                F.col("_h_fr"),
+                F.col("_h_de"),
+            ).alias("predicted_lang"),
         )
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))

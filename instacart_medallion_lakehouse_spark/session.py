@@ -19,6 +19,30 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+# A long-lived session compiles one codegen'd class per stage; the JVM's
+# default reserved code cache (240m) fills after a few dozen distinct
+# queries, silently DISABLING the JIT — hot loops (regex, interpreted
+# expression eval) then run 10-50x slower. These flags must reach the
+# driver JVM at LAUNCH: in local pyspark the JVM is started from
+# PYSPARK_SUBMIT_ARGS before any builder .config() is read, so
+# spark.driver.extraJavaOptions set via the builder is too late.
+_JVM_OPTS = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+
+
+def _ensure_jvm_opts() -> None:
+    """Inject code-cache JVM flags into PYSPARK_SUBMIT_ARGS before the
+    gateway launches. No-op if a JVM is already up (flags can't apply)."""
+    from pyspark import SparkContext
+
+    if SparkContext._jvm is not None:  # JVM already launched
+        return
+    existing = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+    if "ReservedCodeCacheSize" in existing:
+        return
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        f'--driver-java-options "{_JVM_OPTS}" ' + existing
+    )
+
 
 def build_session(
     app_name: str = "instacart-medallion-lakehouse-spark",
@@ -37,6 +61,7 @@ def build_session(
     - UTC session timezone so timestamp semantics match the DuckDB oracle
       and are cluster-timezone-independent.
     """
+    _ensure_jvm_opts()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
