@@ -236,23 +236,42 @@ def cosine_neardup_pairs(
     prep = _prep(emb, id_col, vec_col)
     rows = prep.collect()
     all_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    all_mat = np.array([r["_q"] for r in rows], dtype=np.float64)
+    all_mat = np.ascontiguousarray(
+        np.array([r["_q"] for r in rows], dtype=np.float64).T
+    )
     all_n2 = np.array([r["_n2"] for r in rows], dtype=np.float64)
+    n = len(all_ids)
+    # chunk rows so the score matrix is a few MB, computed into
+    # PREALLOCATED buffers reused across chunks — a fresh n×n cosine
+    # matrix would be first-touch memory every batch, which on
+    # lazily-paged hosts costs ~1ms per 4K page (seconds per batch);
+    # warm buffer reuse makes the same GEMM run at memory speed
+    chunk = max(1, min(256, (4 << 20) // max(8 * n, 1)))
 
     def score(batches):
+        g = np.empty((chunk, n))
+        denom = np.empty((chunk, n))
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["_q"]), dtype=np.float64)
             n2 = pdf["_n2"].to_numpy(dtype=np.float64)
-            cos = (mat @ all_mat.T) / np.sqrt(np.outer(n2, all_n2))
-            ai, bi = np.nonzero((cos >= threshold) & (ids[:, None] < all_ids[None, :]))
-            f = 1e6
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[ai],
-                    "id_b": all_ids[bi],
-                    "cos_sim": np.floor(cos[ai, bi] * f + 0.5) / f,
-                }
-            )
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                m = hi - lo
+                np.dot(mat[lo:hi], all_mat, out=g[:m])
+                np.multiply.outer(n2[lo:hi], all_n2, out=denom[:m])
+                np.sqrt(denom[:m], out=denom[:m])
+                np.divide(g[:m], denom[:m], out=g[:m])
+                ai, bi = np.nonzero(
+                    (g[:m] >= threshold) & (ids[lo:hi, None] < all_ids[None, :])
+                )
+                f = 1e6
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[lo + ai],
+                        "id_b": all_ids[bi],
+                        "cos_sim": np.floor(g[ai, bi] * f + 0.5) / f,
+                    }
+                )
 
     return prep.mapInPandas(score, "id_a long, id_b long, cos_sim double")

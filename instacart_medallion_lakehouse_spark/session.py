@@ -30,9 +30,18 @@ _JVM_OPTS = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
 
 
 def _ensure_jvm_opts() -> None:
-    """Inject code-cache JVM flags into PYSPARK_SUBMIT_ARGS before the
-    gateway launches. No-op if a JVM is already up (flags can't apply)."""
+    """Inject launch-time process settings before the gateway starts the
+    JVM. No-op if a JVM is already up (they can't apply retroactively)."""
     from pyspark import SparkContext
+
+    # glibc mmap()s every allocation above 128K and returns it to the OS
+    # on free, so each large numpy temporary in a python worker is
+    # fresh, lazily-faulted memory — on virtualized hosts with on-demand
+    # paging that costs ~1ms/page (a 32 MB cosine matrix ≈ seconds of
+    # faults PER BATCH). Raising the threshold keeps big buffers in the
+    # reusable arena: first use pays, the rest run warm. Exported here so
+    # the JVM and every python worker it spawns inherit it.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 
     if SparkContext._jvm is not None:  # JVM already launched
         return
