@@ -147,6 +147,7 @@ def region_performance(
     customer: DataFrame,
     nation: DataFrame,
     region: DataFrame,
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """KPI mart per (region, nation): the engine's flagship query.
 
@@ -160,7 +161,17 @@ def region_performance(
     25 (nation) keys, then a single-partition window over 25 rows for the
     grand total — in-plan, replacing the reference's driver-side
     collect-then-literal (SURVEY.md §3.2).
+
+    ``approx_distinct=True`` swaps exact countDistinct for
+    HyperLogLog++ (rsd 1%) — the 100 TB form: exact distinct expands
+    each group into one row per distinct value before re-aggregating,
+    while the sketch shuffles fixed-size registers (SURVEY.md §7.4).
     """
+    distinct = (
+        (lambda c: F.approx_count_distinct(c, 0.01))
+        if approx_distinct
+        else F.countDistinct
+    )
     enriched = enriched_lineitem(lineitem, orders, customer, nation, region).filter(
         F.col("o_orderstatus") == "F"
     )
@@ -168,9 +179,9 @@ def region_performance(
         F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
     ).agg(
         F.count(F.lit(1)).alias("total_line_items"),
-        F.countDistinct("l_orderkey").alias("unique_orders"),
-        F.countDistinct("o_custkey").alias("unique_customers"),
-        F.countDistinct("l_partkey").alias("unique_parts"),
+        distinct("l_orderkey").alias("unique_orders"),
+        distinct("o_custkey").alias("unique_customers"),
+        distinct("l_partkey").alias("unique_parts"),
         dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"
         ),

@@ -108,3 +108,106 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a new session, hence >= not >)."""
     stream = read_events_stream(spark, sf_dir)
     return drain_to_batch(session_windows_stream(stream), output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Dual API surface: the flagship mart as Spark SQL text over temp views
+# (reference's serverless notebook twin), plus P5 null-safe filtering and
+# the A4 approximate-distinct scale switch.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "region_performance_sql",
+    """
+    WITH agg AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             count(*) AS total_line_items,
+             count(DISTINCT l.l_orderkey) AS unique_orders,
+             count(DISTINCT o.o_custkey) AS unique_customers,
+             count(DISTINCT l.l_partkey) AS unique_parts,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             round(avg(l.l_quantity), 2) AS avg_quantity,
+             round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4)
+               AS return_share,
+             round(avg(CASE WHEN l.l_discount >= 0.05 THEN 1.0 ELSE 0.0 END), 4)
+               AS promo_share
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT *, round(100.0 * total_line_items
+                    / sum(total_line_items) OVER (), 4) AS pct_of_total_items
+    FROM agg
+    """,
+)
+def region_performance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship mart through the SQL front door (S5/S6 lifecycle:
+    temp views -> SQL text -> Catalyst). Must hash-equal the DataFrame
+    face (region_performance) and the DuckDB oracle."""
+    from . import sql_api
+
+    sql_api.register_star_views(spark, sf_dir)
+    return sql_api.run_sql(spark, sql_api.REGION_PERFORMANCE_SQL)
+
+
+@_register(
+    "null_safe_filter",
+    """
+    SELECT event_type, count(*) AS n_kept,
+           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null_props
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events)
+    WHERE k IS NULL OR k >= 10
+    GROUP BY event_type
+    """,
+)
+def null_safe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: null-safe disjunction filter — ``k IS NULL OR k >= 10`` keeps
+    null rows, unlike a bare ``k >= 10`` which silently drops them (the
+    semantic difference between the reference's twin notebooks,
+    03_gold_metrics.py:294 vs serverless:340; we implement the
+    DataFrame notebook's null-keeping form)."""
+    from pyspark.sql import functions as F
+
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNull() | (F.col("k") >= 10))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_null_props"
+            ),
+        )
+    )
+
+
+@_register("region_performance_approx", None)  # HLL sketch: rows-only check
+def region_performance_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 at 100 TB: the flagship mart with approx_count_distinct
+    (HyperLogLog++, rsd=1%) replacing exact countDistinct. Exact
+    distinct counts shuffle every distinct value; the sketch shuffles
+    fixed-size registers and merges — the only viable form at scale.
+    No oracle: DuckDB's approx_distinct uses a different sketch, so the
+    driver records the rows-only check for this one (by design)."""
+    from pyspark.sql import functions as F
+
+    from .plans import marts
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return marts.region_performance(
+        t("lineitem"),
+        t("orders"),
+        t("customer"),
+        t("nation"),
+        t("region"),
+        approx_distinct=True,
+    )

@@ -1,0 +1,62 @@
+"""IO layer: schema-enforced CSV ingest (S1), overwrite/partitioned
+writes (S3/S4), events nanos handling.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from instacart_medallion_lakehouse_spark import io
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "src.csv"
+    p.write_text("id,name\n1,alpha\n2,beta\n")
+    return str(p)
+
+
+SCHEMA = StructType(
+    [StructField("id", IntegerType(), False), StructField("name", StringType(), True)]
+)
+
+
+class TestCsvIngest:
+    def test_schema_enforced_not_inferred(self, spark, csv_file):
+        df = io.read_csv_enforced(spark, csv_file, SCHEMA)
+        assert df.schema["id"].dataType == IntegerType()
+        assert df.count() == 2
+
+    def test_failfast_on_bad_types(self, spark, tmp_path):
+        bad = tmp_path / "bad.csv"
+        bad.write_text("id,name\nnot_an_int,alpha\n")
+        df = io.read_csv_enforced(spark, str(bad), SCHEMA)
+        with pytest.raises(Exception):  # FAILFAST surfaces a parse error
+            df.collect()
+
+
+class TestWrites:
+    def test_overwrite_is_idempotent(self, spark, sf_dir, tmp_path):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        out = str(tmp_path / "t")
+        io.write_table(df, out)
+        io.write_table(df, out)  # second overwrite must not duplicate
+        assert spark.read.parquet(out).count() == df.count()
+
+    def test_partitioned_write_prunes(self, spark, sf_dir, tmp_path):
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = str(tmp_path / "p")
+        io.write_table(df, out, partition_by=["o_orderstatus"])
+        back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        # static partition pruning: only the matching partition dir is read
+        assert back.count() == df.filter("o_orderstatus = 'F'").count()
+        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus" in plan
+
+
+class TestEvents:
+    def test_nanos_ts_reads_as_timestamp(self, spark, sf_dir):
+        df = io.read_events(spark, sf_dir)
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.count() > 0
