@@ -33,18 +33,22 @@ def main() -> None:
     # JVM/codegen warmup on a trivial job so the first query isn't taxed
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Two passes, per-query MIN: pass 1 doubles as warmup (JIT, python
+    # worker pool, page cache — this host faults memory lazily and
+    # stalls unpredictably, so any single observation can be 10x off);
+    # the min over passes is the steady-state cost of the plan.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in q.queries().items():
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        # release the query's internal pinned tables (LSH band tables,
-        # shingle tables, ...) — leaked cache entries degrade later
-        # queries' storage memory and skew their timings
-        spark.catalog.clearCache()
+    for _pass in range(2):
+        for name, fn in q.queries().items():
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            dt = time.perf_counter() - t0
+            timings[name] = round(min(dt, timings.get(name, dt)), 3)
+            # release the query's internal pinned tables (LSH band tables,
+            # shingle tables, ...) — leaked cache entries degrade later
+            # queries' storage memory and skew their timings
+            spark.catalog.clearCache()
+    total = sum(timings.values())
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
