@@ -136,6 +136,64 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def running_user_totals_stream(
+    events: DataFrame, watermark: str = "2 hours", idle_timeout_ms: int = 3_600_000
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``.
+
+    Maintains per-user running state (event count, value sum, last seen)
+    across micro-batches — the arbitrary-stateful-processing escape
+    hatch for operators the built-in aggregations can't express
+    (per-key models, custom eviction, cross-batch business logic).
+    State is a tuple in the state store, updated from Arrow batches;
+    idle users are evicted via processing-time timeout.
+
+    Scale: state is partitioned by the grouping key across executors
+    and checkpointed incrementally; the watermark bounds replay.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, last_ts timestamp"
+    )
+    state_schema = "n long, total double, last_ts timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, total, last))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [last],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def drain_to_batch(
     streaming_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:

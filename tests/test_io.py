@@ -60,3 +60,22 @@ class TestEvents:
         df = io.read_events(spark, sf_dir)
         assert dict(df.dtypes)["ts"] == "timestamp"
         assert df.count() > 0
+
+
+class TestSkew:
+    def test_salted_join_equals_plain_join(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators.skew import salted_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity", "l_linenumber"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        ).withColumnRenamed("o_orderkey", "l_orderkey")
+        plain = li.join(orders, "l_orderkey")
+        salted = salted_join(li, orders, "l_orderkey", num_salts=8)
+        cols = sorted(plain.columns)
+        assert sorted(salted.columns) == cols
+        a = sorted(tuple(str(r[c]) for c in cols) for r in plain.collect())
+        b = sorted(tuple(str(r[c]) for c in cols) for r in salted.collect())
+        assert a == b

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism
+invariants the whole oracle strategy rests on — a test dimension the
+reference doesn't have (SURVEY.md §5: no property tests there).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from instacart_medallion_lakehouse_spark import quality
+from instacart_medallion_lakehouse_spark.quality import DataQualityError
+
+
+def dround_py(x: float, d: int) -> float:
+    f = float(10**d)
+    return math.floor(x * f + 0.5) / f
+
+
+class TestDroundCrossEngine:
+    """floor(x*10^d + 0.5)/10^d must agree bit-for-bit between Python
+    (spec), DuckDB (oracle), and Spark (engine; covered indirectly by
+    the 35 hash-matched queries — here we pin Python==DuckDB so the
+    formula itself is engine-stable)."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        st.integers(min_value=0, max_value=6),
+    )
+    def test_duckdb_matches_python(self, x, d):
+        f = float(10**d)
+        # bind x as a parameter: a textual float literal parses as
+        # DECIMAL, and wide decimal mantissas (> 2^53) convert to double
+        # with 1-ulp error — engine columns arrive bit-exact from
+        # parquet, which parameter binding models correctly
+        got = duckdb.execute(
+            f"SELECT floor(? * {f} + 0.5) / {f} AS v", [x]
+        ).fetchone()[0]
+        assert got == dround_py(x, d)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**15))
+    def test_quantized_integer_sums_are_exact(self, n):
+        # integer-valued doubles below 2^53 are exact — the invariant
+        # that makes dot products order-independent
+        assert float(n) == n or n > 2**53
+
+
+class TestGateProperties:
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=1, max_value=10**9), st.integers(min_value=0, max_value=10**9))
+    def test_reconcile_monotone_in_threshold(self, src, tgt):
+        drift = abs(tgt - src) / src
+        # passes at any threshold >= drift, raises one ulp below
+        assert quality.reconcile_row_counts(src, tgt, drift) == pytest.approx(drift)
+        if drift > 0:
+            with pytest.raises(DataQualityError):
+                quality.reconcile_row_counts(
+                    src, tgt, math.nextafter(drift, -math.inf)
+                )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(min_value=0, max_value=100))
+    def test_nonzero_gate(self, n):
+        if n == 0:
+            with pytest.raises(DataQualityError):
+                quality.assert_row_count_nonzero(n)
+        else:
+            quality.assert_row_count_nonzero(n)
+
+
+class TestJaccardIdentities:
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.sets(st.text(alphabet="abcde", min_size=1, max_size=3), min_size=1, max_size=20),
+        st.sets(st.text(alphabet="abcde", min_size=1, max_size=3), min_size=1, max_size=20),
+    )
+    def test_common_count_formula(self, a, b):
+        # |A∪B| = |A|+|B|-|A∩B| — the identity the pair verifier uses
+        common = len(a & b)
+        assert len(a | b) == len(a) + len(b) - common
+        j = common / (len(a) + len(b) - common)
+        assert 0.0 <= j <= 1.0
+        if a == b:
+            assert j == 1.0

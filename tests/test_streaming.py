@@ -50,3 +50,39 @@ class TestStreamingDedup:
         n_ids = deduped.select("event_id").distinct().count()
         assert deduped.count() == n_ids  # no duplicate event_ids survive
         assert 0 < n_ids <= total
+
+
+class TestArbitraryStatefulProcessing:
+    def test_running_user_totals_match_batch(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.io import read_events
+
+        stream = se.read_events_stream(spark, sf_dir)
+        drained = se.drain_to_batch(
+            se.running_user_totals_stream(stream), output_mode="update"
+        )
+        # update mode emits one row per user per micro-batch; the final
+        # state for a user is the row with the highest running count
+        final = {}
+        for r in drained.collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur["n_events"]:
+                final[r["user_id"]] = r
+        batch = {
+            r["user_id"]: r
+            for r in read_events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert final.keys() == batch.keys()
+        for uid, b in batch.items():
+            f = final[uid]
+            assert f["n_events"] == b["n_events"]
+            assert abs(f["total_value"] - b["total_value"]) < 1e-6
+            assert f["last_ts"] == b["last_ts"]
