@@ -1,0 +1,156 @@
+"""Training-data curation pipeline over the documents corpus.
+
+The medallion pattern applied to LLM training data — the composition
+that makes the dedup/text operators a PIPELINE rather than a toolbox:
+
+  bronze   raw documents + lineage metadata
+  silver   quality-scored, language-tagged, fingerprinted documents
+  gold     curated corpus: quality-filtered, exact-deduped, near-dup
+           clustered (MinHash-LSH) keeping one canonical doc per
+           cluster, plus a per-stage attrition report
+
+Every stage is DataFrame-native and idempotent-overwrite, mirroring
+pipeline.py's bronze→silver→gold contract. At 100 TB each stage is an
+embarrassingly-parallel scan plus the LSH candidate join; nothing here
+collects documents to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import quality
+from .functions.scalar import dround
+from .functions.text import (
+    STOPWORDS,
+    alpha_ratio,
+    fingerprint,
+    predicted_lang_from_hits,
+    stopword_hits,
+    tokens,
+)
+from .io import write_table
+from .operators.dedup import minhash_lsh_pairs
+
+
+@dataclass
+class CurationResult:
+    """Per-stage attrition accounting — the curation audit trail."""
+
+    n_raw: int = 0
+    n_scored: int = 0
+    n_quality_pass: int = 0
+    n_after_exact_dedup: int = 0
+    n_after_near_dedup: int = 0
+    stage_counts: dict = field(default_factory=dict)
+
+
+def score_documents(docs: DataFrame) -> DataFrame:
+    """Silver scoring pass: one narrow projection adds quality signals,
+    predicted language, and the exact-dup fingerprint. Zero shuffles."""
+    t = tokens(F.col("text"))
+    hits = {lang: stopword_hits(t, ws) for lang, ws in STOPWORDS.items()}
+    n_tokens = F.size(t)
+    stop_ratio = hits["en"] * F.lit(1.0) / n_tokens
+    distinct_ratio = F.size(F.array_distinct(t)) * F.lit(1.0) / n_tokens
+    avg_tok = (
+        F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+        * F.lit(1.0)
+        / n_tokens
+    )
+    score = (
+        F.when(n_tokens.between(10, 1000), 0.25).otherwise(0.0)
+        + F.when((avg_tok >= 3) & (avg_tok <= 12), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.03, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.3, 0.25).otherwise(0.0)
+    )
+    scored = docs.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        *[h.alias(f"_h_{lang}") for lang, h in hits.items()],
+        dround(alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+        dround(score, 2).alias("quality_score"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    return scored.withColumn(
+        "predicted_lang",
+        predicted_lang_from_hits(
+            F.col("text"),
+            F.col("_h_en"),
+            F.col("_h_es"),
+            F.col("_h_fr"),
+            F.col("_h_de"),
+        ),
+    ).drop(*[f"_h_{lang}" for lang in STOPWORDS])
+
+
+def drop_exact_duplicates(scored: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per fingerprint group (one shuffle)."""
+    w = Window.partitionBy("fingerprint")
+    return (
+        scored.withColumn("_canon", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_canon"))
+        .drop("_canon")
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame, threshold: float = 0.8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop MinHash-LSH near-duplicates, keeping one doc per cluster.
+
+    Pair set → connected-ish clustering by canonical-min propagation:
+    every doc that appears as the GREATER id of a qualifying pair is
+    dropped, the smallest id of each cluster survives. (Single-pass
+    min-propagation, not full transitive closure — for dedup the
+    difference only matters for chains A~B~C where A≁C, where dropping
+    both B and C is the conservative, standard choice.)
+    """
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, id_col=id_col)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def run_curation(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+) -> CurationResult:
+    """Full corpus curation: score → filter → dedup → write + report."""
+    res = CurationResult()
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res.n_raw = raw.count()
+    quality.assert_row_count_nonzero(res.n_raw, "curation.raw")
+
+    scored = score_documents(raw)
+    write_table(scored, f"{out_dir}/silver/documents_scored")
+    scored = spark.read.parquet(f"{out_dir}/silver/documents_scored")
+    res.n_scored = scored.count()
+    quality.reconcile_row_counts(res.n_raw, res.n_scored, 0.0, "documents_scored")
+
+    passed = scored.filter(F.col("quality_score") >= min_quality)
+    res.n_quality_pass = passed.count()
+
+    exact = drop_exact_duplicates(passed)
+    res.n_after_exact_dedup = exact.count()
+
+    curated = drop_near_duplicates(exact, threshold=near_dup_threshold)
+    write_table(curated, f"{out_dir}/gold/documents_curated")
+    curated = spark.read.parquet(f"{out_dir}/gold/documents_curated")
+    res.n_after_near_dedup = curated.count()
+    quality.assert_row_count_nonzero(res.n_after_near_dedup, "curation.curated")
+
+    res.stage_counts = {
+        "raw": res.n_raw,
+        "scored": res.n_scored,
+        "quality_pass": res.n_quality_pass,
+        "after_exact_dedup": res.n_after_exact_dedup,
+        "after_near_dedup": res.n_after_near_dedup,
+    }
+    quality.log_layer_stats("gold", "documents_curated", res.n_after_near_dedup)
+    return res

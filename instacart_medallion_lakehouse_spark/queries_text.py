@@ -296,7 +296,10 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(num_hashes: int, band_rows: int) -> str:
+def _minhash_ctes(source: str, num_hashes: int, band_rows: int) -> str:
+    """CTE chain computing MinHash-LSH candidate pairs over ``source``
+    (a table or earlier CTE with (doc_id, text)) — composable into
+    larger WITH chains (the curated-corpus oracle reuses it verbatim)."""
     sigs = ",\n             ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}_' || s))) AS sig_{i}"
         for i in range(num_hashes)
@@ -307,9 +310,9 @@ def _minhash_sql(num_hashes: int, band_rows: int) -> str:
         for b in range(num_hashes // band_rows)
     )
     return f"""
-    WITH sh0 AS (
+    sh0 AS (
       SELECT doc_id, {_SHINGLES_SQL} AS shingles
-      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM {source})
     ),
     sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
     sig AS (
@@ -325,6 +328,12 @@ def _minhash_sql(num_hashes: int, band_rows: int) -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
+    """
+
+
+def _minhash_sql(num_hashes: int, band_rows: int) -> str:
+    return f"""
+    WITH {_minhash_ctes("documents", num_hashes, band_rows)}
     SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.5
     """
 
@@ -474,3 +483,66 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectors.cosine_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+# ---------------------------------------------------------------------------
+# The full curation pipeline as ONE oracle-checked query: score -> quality
+# filter -> exact dedup -> MinHash-LSH near-dedup -> curated corpus.
+# ---------------------------------------------------------------------------
+
+
+def _curated_sql() -> str:
+    hits_en = _hits_sql(STOPWORDS["en"])
+    return f"""
+    WITH scored0 AS (
+      SELECT doc_id, text,
+             len(t) AS n_tokens,
+             {hits_en} * 1.0 / len(t) AS stop_ratio,
+             len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio,
+             list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_tok,
+             {_lang_case_sql()} AS predicted_lang,
+             md5({_NORM_SQL}) AS fingerprint
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, text, predicted_lang, fingerprint,
+             round(
+               (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio >= 0.03 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END), 2)
+               AS quality_score
+      FROM scored0
+    ),
+    passed AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+    exact AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS _canon
+        FROM passed
+      ) WHERE doc_id = _canon
+    ),
+    {_minhash_ctes("exact", 16, 2)},
+    pairs AS (
+      SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.8
+    ),
+    losers AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT e.doc_id, e.predicted_lang, e.quality_score
+    FROM exact e LEFT JOIN losers l ON e.doc_id = l.id_b
+    WHERE l.id_b IS NULL
+    """
+
+
+@_register("curated_docs", _curated_sql())
+def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline end to end (curation.py):
+    quality scoring, floor filter, exact dedup, MinHash-LSH near-dedup
+    (threshold 0.8, keep min-id per cluster) — the composition, not just
+    the pieces, verified against the oracle."""
+    from . import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = curation.score_documents(docs)
+    passed = scored.filter(F.col("quality_score") >= 0.5)
+    exact = curation.drop_exact_duplicates(passed)
+    curated = curation.drop_near_duplicates(exact, threshold=0.8)
+    return curated.select("doc_id", "predicted_lang", "quality_score")
