@@ -14,7 +14,7 @@ fact scan, so the whole enrichment is one stage with zero exchanges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,3 +91,78 @@ def orphan_rows(child: DataFrame, fk: str, parent: DataFrame, pk: str) -> DataFr
         on=F.col(fk) == F.col("__pk"),
         how="left_anti",
     )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    tie_col: str,
+    right_tie_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` keys (nulls if none).
+
+    Spark has no native as-of join; the scalable formulation is the
+    UNION + running ``last(ignorenulls)`` window:
+
+      1. tag right rows side=0 carrying ``right_cols``, left rows side=1
+         carrying their payload, union them (schema-aligned)
+      2. one window per key ordered by (ts, side, tie_col): the running
+         last non-null right value is exactly "the most recent right row
+         at or before me" (side=0 sorts before side=1 at equal ts, so
+         ties are inclusive)
+      3. keep side=1 rows
+
+    One shuffle on the key columns and a single sort — same cost shape
+    as sessionization, and immune to the row-explosion a range-join
+    (l.ts BETWEEN ...) would risk. ``tie_col`` must make the order total
+    (SURVEY.md §4.3.1 determinism rule); among equal-ts right rows the
+    greatest tie value wins. ``tie_col`` names the left side's
+    tie-breaker; ``right_tie_col`` the right side's (defaults to the
+    same name).
+    """
+    right_tie = right_tie_col or tie_col
+    carried = [f"_asof_{c}" for c in right_cols]
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(right_tie).alias("_tie"),
+        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
+    )
+    left_payload = [c for c in left.columns if c not in set(on) | {ts_col}]
+    l = left.select(  # noqa: E741
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        *[F.lit(None).cast(r.schema[a].dataType).alias(a) for a in carried],
+        *left_payload,
+    )
+    r = r.select(
+        *on, ts_col, "_side", "_tie", *carried,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_col, "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.select(
+        *on,
+        ts_col,
+        "_side",
+        *left_payload,
+        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias(f"asof_{ts_col}"),
+        *[
+            F.last(a, ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c, a in zip(right_cols, carried)
+        ],
+    )
+    return out.filter(F.col("_side") == 1).drop("_side")

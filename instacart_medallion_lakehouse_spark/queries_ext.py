@@ -211,3 +211,58 @@ def region_performance_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         t("region"),
         approx_distinct=True,
     )
+
+
+@_register(
+    "asof_click_view",
+    """
+    WITH u AS (
+      SELECT user_id, ts, 0 AS side, event_id,
+             CAST(NULL AS BIGINT) AS click_id, value AS view_value
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, event_id,
+             event_id AS click_id, CAST(NULL AS DOUBLE) AS view_value
+      FROM events WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT *,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER win
+               AS asof_ts,
+             last_value(view_value IGNORE NULLS) OVER win AS asof_value
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT click_id AS event_id, user_id, ts, asof_ts, asof_value
+    FROM w WHERE side = 1
+    """,
+)
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event paired with the user's most
+    recent prior (or simultaneous) view event. Spark-first union+window
+    formulation (operators.joins.as_of_join) — the oracle is the same
+    algorithm in ANSI SQL (DuckDB's native ASOF JOIN would leave
+    equal-timestamp ties unspecified)."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import as_of_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = as_of_join(
+        clicks,
+        views,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["value"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_ts"), F.col("asof_value")
+    )

@@ -79,3 +79,40 @@ class TestSkew:
         a = sorted(tuple(str(r[c]) for c in cols) for r in plain.collect())
         b = sorted(tuple(str(r[c]) for c in cols) for r in salted.collect())
         assert a == b
+
+
+class TestAsOfJoin:
+    def test_backward_inclusive_with_nulls(self, spark):
+        from instacart_medallion_lakehouse_spark.operators.joins import as_of_join
+
+        left = spark.createDataFrame(
+            [(1, 10, 100), (1, 20, 101), (2, 5, 102)],
+            "k long, ts long, lid long",
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 7.0, 900), (1, 15, 8.0, 901), (2, 50, 9.0, 902)],
+            "k long, ts long, v double, rid long",
+        )
+        out = {
+            r["lid"]: (r["asof_ts"], r["asof_v"])
+            for r in as_of_join(
+                left, right, on=["k"], ts_col="ts", right_cols=["v"],
+                tie_col="lid", right_tie_col="rid",
+            ).collect()
+        }
+        assert out[100] == (10, 7.0)  # equal ts is inclusive
+        assert out[101] == (15, 8.0)  # latest at-or-before wins
+        assert out[102] == (None, None)  # no prior right row -> nulls
+
+    def test_tie_break_is_deterministic(self, spark):
+        from instacart_medallion_lakehouse_spark.operators.joins import as_of_join
+
+        left = spark.createDataFrame([(1, 10, 1)], "k long, ts long, lid long")
+        right = spark.createDataFrame(
+            [(1, 10, 7.0, 2), (1, 10, 8.0, 3)], "k long, ts long, v double, rid long"
+        )
+        r = as_of_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["v"],
+            tie_col="lid", right_tie_col="rid",
+        ).first()
+        assert r["asof_v"] == 8.0  # greatest tie_col among equal ts wins

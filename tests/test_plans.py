@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the scale properties (broadcast
+joins, filter pushdown, column pruning) are asserted, not assumed —
+a plan that silently degrades to sort-merge or full-width scans is a
+bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from instacart_medallion_lakehouse_spark import queries as q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    names = ["region_performance", "star_enriched", "q1_pricing_summary"]
+    out = {}
+    for n in names:
+        df = q.queries()[n](spark, sf_dir)
+        # execute THIS DataFrame's own QueryExecution so AQE finalizes it
+        # (count() would plan/execute a separate wrapped query)
+        df.collect()
+        out[n] = _plan(df)
+    return out
+
+
+class TestJoinStrategy:
+    def test_star_join_broadcasts_all_dims(self, plans):
+        p = plans["star_enriched"]
+        # AQE final plans can print a join node more than once; the
+        # invariant is: broadcast joins present, NO sort-merge anywhere
+        assert p.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in p
+
+    def test_flagship_mart_broadcasts(self, plans):
+        p = plans["region_performance"]
+        assert p.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in p
+
+
+class TestScanEfficiency:
+    def test_q1_filter_pushed_to_scan(self, plans):
+        p = plans["q1_pricing_summary"]
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+    def test_q1_column_pruning(self, plans):
+        # 7 needed columns of 16+ — the scan must not read the rest
+        p = plans["q1_pricing_summary"]
+        scan = next(line for line in p.split("\n") if "FileScan parquet" in line)
+        assert "l_orderkey" not in scan  # unused key column pruned
+        assert "l_comment" not in scan
+
+    def test_status_filter_pushed_in_mart(self, plans):
+        p = plans["region_performance"]
+        assert "EqualTo(o_orderstatus,F)" in p.replace(" ", "") or (
+            "PushedFilters" in p and "o_orderstatus" in p
+        )
+
+
+class TestCodegen:
+    def test_q1_is_whole_stage_codegen(self, plans):
+        # toString marks codegen'd stages with the "*(n)" prefix
+        assert "*(1)" in plans["q1_pricing_summary"]
