@@ -266,3 +266,25 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("asof_ts"), F.col("asof_value")
     )
+
+
+@_register(
+    "stream_interval_join",
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           c.user_id, c.ts AS click_ts, v.ts AS view_ts
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '30' MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks x views within 30
+    minutes), drained to batch — must equal the SQL range join."""
+    from .streaming.events import interval_join_clicks_views_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_batch(
+        interval_join_clicks_views_stream(stream), output_mode="append"
+    )

@@ -194,6 +194,69 @@ def running_user_totals_stream(
     )
 
 
+def interval_join_clicks_views_stream(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval (range) join: every (click, view) pair of
+    the same user with ``view.ts`` in [click.ts − within, click.ts].
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    view row can be evicted once the click-side watermark passes
+    view.ts + within — Spark derives that from the time-range join
+    condition (the canonical watermarked interval-join pattern).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {within}")),
+    ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+
+
+def stream_to_parquet(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Production sink shape: append to parquet with checkpointed,
+    exactly-once progress. Re-running with the same checkpoint resumes
+    from the recorded offsets — already-processed input produces no
+    duplicate output (verified in tests/test_streaming.py).
+    """
+    q = (
+        streaming_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def drain_to_batch(
     streaming_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:

@@ -86,3 +86,46 @@ class TestArbitraryStatefulProcessing:
             assert f["n_events"] == b["n_events"]
             assert abs(f["total_value"] - b["total_value"]) < 1e-6
             assert f["last_ts"] == b["last_ts"]
+
+
+class TestFileSinkCheckpointing:
+    def test_append_then_resume_no_duplicates(self, spark, sf_dir, tmp_path):
+        out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        stream = se.read_events_stream(spark, sf_dir)
+        se.stream_to_parquet(stream, out, ckpt)
+        n_source = se.drain_to_batch(stream, output_mode="append").count()
+        assert spark.read.parquet(out).count() == n_source
+        # resume with the SAME checkpoint: all input offsets are already
+        # committed, so nothing is reprocessed and nothing duplicates
+        se.stream_to_parquet(se.read_events_stream(spark, sf_dir), out, ckpt)
+        assert spark.read.parquet(out).count() == n_source
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_equals_batch_range_join(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.io import read_events
+
+        stream = se.read_events_stream(spark, sf_dir)
+        drained = se.drain_to_batch(
+            se.interval_join_clicks_views_stream(stream), output_mode="append"
+        )
+        ev = read_events(spark, sf_dir)
+        c = ev.filter("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+        )
+        v = ev.filter("event_type = 'view'").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("vts"),
+        )
+        batch = c.join(
+            v,
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("vts") <= F.col("cts"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        got = {(r["click_id"], r["view_id"]) for r in drained.collect()}
+        want = {(r["click_id"], r["view_id"]) for r in batch.collect()}
+        assert got == want
