@@ -258,7 +258,10 @@ def stream_to_parquet(
 
 
 def drain_to_batch(
-    streaming_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion and return its result.
 
@@ -267,19 +270,31 @@ def drain_to_batch(
     how the driver/oracle observes streaming output as a plain
     DataFrame. Memory sinks are test/dev only — production writes go to
     files/Kafka with checkpointing.
+
+    ``shuffle_partitions`` is pinned at stream START and becomes the
+    stateful-operator partition count for the query's LIFETIME (state
+    store instances scale with it — per-micro-batch overhead, so the
+    default is low for test-scale drains; size it to the cluster for
+    production volumes). Restored to the session value afterwards.
     """
-    name = f"_stream_drain_{next(_memory_sink_counter)}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
     spark = streaming_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        name = f"_stream_drain_{next(_memory_sink_counter)}"
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
