@@ -275,3 +275,135 @@ def cosine_neardup_pairs(
                 )
 
     return prep.mapInPandas(score, "id_a long, id_b long, cos_sim double")
+
+
+def _exploded(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, dim, val) rows with quantized integer-valued doubles."""
+    q = quantized(F.col(vec_col))
+    return (
+        emb.select(F.col(id_col).alias("_vid"), F.posexplode(q).alias("_dim", "_val"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    iterations: int = 2,
+    probe: int = 2,
+    query_ids_max: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: coarse k-means quantizer +
+    cluster-probed search, fully deterministic and oracle-replicable.
+
+    Build (all integer-exact arithmetic on quantized vectors):
+      1. init centroids = the vectors with id < k_clusters
+      2. ``iterations`` Lloyd steps in relational form — assignment is a
+         (vector x centroid) squared-L2 argmin (ties -> lowest centroid
+         id), centroid update is a per-(cluster, dim) floor(mean); empty
+         clusters simply drop out
+    Search:
+      3. each query (id < query_ids_max) probes its ``probe`` nearest
+         centroids and ranks ONLY vectors assigned to those clusters by
+         exact cosine (desc, id tie-break)
+
+    Everything is exploded (id, dim, val) joins + hash aggregates — the
+    shape that scales out: no driver loops over data, only over the
+    fixed iteration count; at 100 TB the assignment join shuffles
+    (n x k x d) partial products with map-side combine, and the final
+    search touches ~probe/k_clusters of the corpus per query, which is
+    the IVF trade.
+
+    Recall < 1 by design (like lsh_topk); the brute-force twin is the
+    exact baseline.
+    """
+    v = _exploded(emb, id_col, vec_col).cache()
+    v.count()  # pinned: reused across iterations and the final search
+
+    cent = v.filter(F.col("_vid") < k_clusters).select(
+        F.col("_vid").alias("_cid"), "_dim", F.col("_val").alias("_cval")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = (
+            v.join(centroids, "_dim")
+            .groupBy("_vid", "_cid")
+            .agg(
+                F.sum(
+                    (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
+                ).alias("_d2")
+            )
+        )
+        w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_vid", "_cid")
+        )
+
+    for _ in range(iterations):
+        a = assign(cent)
+        cent = (
+            v.join(a, "_vid")
+            .groupBy("_cid", "_dim")
+            .agg(F.floor(F.sum("_val") * F.lit(1.0) / F.count(F.lit(1))).alias("_cval"))
+        )
+        cent = cent.cache()
+        cent.count()
+
+    final_assign = assign(cent)
+
+    # queries probe their `probe` nearest centroids (squared L2, id ties)
+    qv = v.filter(F.col("_vid") < query_ids_max)
+    qd = (
+        qv.join(cent, "_dim")
+        .groupBy("_vid", "_cid")
+        .agg(
+                F.sum(
+                    (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
+                ).alias("_d2")
+            )
+    )
+    wq = Window.partitionBy("_vid").orderBy("_d2", "_cid")
+    probed = (
+        qd.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= probe)
+        .select(F.col("_vid").alias("query_id"), "_cid")
+    )
+
+    # candidates: corpus vectors assigned to a probed cluster (not self)
+    cand = (
+        probed.join(final_assign, "_cid")
+        .select("query_id", F.col("_vid").alias("neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+
+    # exact cosine over candidate pairs from the exploded table
+    pair_dims = (
+        cand.join(qv.select(F.col("_vid").alias("query_id"), "_dim", F.col("_val").alias("_qval")), "query_id")
+        .join(
+            v.select(F.col("_vid").alias("neighbor_id"), "_dim", F.col("_val").alias("_nval")),
+            ["neighbor_id", "_dim"],
+        )
+    )
+    scored = pair_dims.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.col("_qval") * F.col("_nval")).alias("_dot"),
+        # self-multiply, not **2: POWER goes through Math.pow whose 1-ulp
+        # licence would break integer-exactness
+        F.sum(F.col("_qval") * F.col("_qval")).alias("_qn2"),
+        F.sum(F.col("_nval") * F.col("_nval")).alias("_nn2"),
+    )
+    cos = F.col("_dot") / F.sqrt(F.col("_qn2") * F.col("_nn2"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), "neighbor_id")
+    return (
+        scored.filter((F.col("_qn2") > 0) & (F.col("_nn2") > 0))
+        .select("query_id", "neighbor_id", cos.alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", dround(F.col("_cos"), 6).alias("cos_sim"), "rank"
+        )
+    )

@@ -288,3 +288,213 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_batch(
         interval_join_clicks_views_stream(stream), output_mode="append"
     )
+
+
+@_register(
+    "rollup_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(grouping(r.r_name) AS INT) AS is_region_total,
+           CAST(grouping(n.n_name) AS INT) AS is_nation_total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (region -> nation -> grand
+    total) with grouping() flags disambiguating real NULLs from
+    subtotal rows — the standard OLAP drill-down shape."""
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    from .functions.scalar import dround
+
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping("r_name").cast("int").alias("is_region_total"),
+            F.grouping("n_name").cast("int").alias("is_nation_total"),
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "n_orders",
+            "revenue",
+            "is_region_total",
+            "is_nation_total",
+        )
+    )
+
+
+@_register(
+    "pivot_status_revenue",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           round(sum(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice
+                          ELSE 0 END), 2) AS revenue_f,
+           round(sum(CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice
+                          ELSE 0 END), 2) AS revenue_o,
+           round(sum(CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice
+                          ELSE 0 END), 2) AS revenue_p
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: revenue per market segment by order status. Spark's
+    pivot() with an EXPLICIT value list (no extra distinct-values job,
+    and the output schema is stable — both mandatory at scale); the
+    oracle is the equivalent conditional aggregation."""
+    from pyspark.sql import functions as F
+
+    from .functions.scalar import dround
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    pivoted = (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dround(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2))
+    )
+    return pivoted.select(
+        "mktsegment",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("revenue_f"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("revenue_o"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("revenue_p"),
+    )
+
+
+def _ivf_sql(k_clusters: int = 8, iterations: int = 2, probe: int = 2,
+             query_max: int = 10, k: int = 5) -> str:
+    """Oracle for ivf_topk: the identical deterministic k-means-lite +
+    cluster-probed search, with Lloyd iterations unrolled as CTEs."""
+    ctes = [
+        """v AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS dim,
+             floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS val
+      FROM embeddings
+    )""",
+        f"c0 AS (SELECT vid AS cid, dim, val AS cval FROM v WHERE vid < {k_clusters})",
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT v.vid, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS d2
+      FROM v JOIN {prev} c USING (dim) GROUP BY v.vid, c.cid
+    )"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vid, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+      SELECT a.cid, v.dim, floor(sum(v.val) * 1.0 / count(*)) AS cval
+      FROM v JOIN a{i} a ON v.vid = a.vid GROUP BY a.cid, v.dim
+    )"""
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f"""df AS (
+      SELECT v.vid, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS d2
+      FROM v JOIN {prev} c USING (dim) GROUP BY v.vid, c.cid
+    )"""
+    )
+    ctes.append(
+        """af AS (
+      SELECT vid, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+        FROM df
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""probed AS (
+      SELECT vid AS query_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+        FROM df WHERE vid < {query_max}
+      ) WHERE rn <= {probe}
+    )"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT DISTINCT p.query_id, af.vid AS neighbor_id
+      FROM probed p JOIN af ON p.cid = af.cid
+      WHERE af.vid <> p.query_id
+    )"""
+    )
+    ctes.append(
+        """pd AS (
+      SELECT c.query_id, c.neighbor_id,
+             sum(q.val * n.val) AS dot,
+             sum(q.val * q.val) AS qn2,
+             sum(n.val * n.val) AS nn2
+      FROM cand c
+      JOIN v q ON q.vid = c.query_id
+      JOIN v n ON n.vid = c.neighbor_id AND n.dim = q.dim
+      GROUP BY c.query_id, c.neighbor_id
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    ranked AS (
+      SELECT query_id, neighbor_id, dot / sqrt(qn2 * nn2) AS c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / sqrt(qn2 * nn2) DESC,
+                                         neighbor_id) AS rank
+      FROM pd WHERE qn2 > 0 AND nn2 > 0
+    )
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("ann_ivf_topk", _ivf_sql())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means-lite coarse quantizer (2 Lloyd
+    iterations, integer-exact arithmetic) + 2-cluster-probed cosine
+    search. The oracle unrolls the identical iterations as CTEs."""
+    from .operators.vectors import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        k_clusters=8,
+        iterations=2,
+        probe=2,
+        query_ids_max=10,
+        k=5,
+    )

@@ -85,3 +85,32 @@ class TestLsh:
         for r in lsh:
             key = (r["query_id"], r["neighbor_id"])
             assert brute[key] == r["cos_sim"]  # same cosine, bucket-restricted set
+
+
+class TestIvf:
+    def test_ivf_scores_consistent_with_brute_force(self, emb):
+        brute = {
+            (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+            for r in vectors.brute_force_topk(emb, query_ids_max=1, k=4).collect()
+        }
+        ivf = vectors.ivf_topk(
+            emb, k_clusters=2, iterations=1, probe=1, query_ids_max=1, k=4
+        ).collect()
+        assert 0 < len(ivf) <= 4
+        for r in ivf:
+            key = (r["query_id"], r["neighbor_id"])
+            # same pair -> identical exact cosine; IVF only restricts the set
+            assert brute[key] == r["cos_sim"]
+
+    def test_ivf_ranks_are_dense_and_ordered(self, emb):
+        out = vectors.ivf_topk(
+            emb, k_clusters=2, iterations=2, probe=2, query_ids_max=2, k=4
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            cs = [r["cos_sim"] for r in rows]
+            assert cs == sorted(cs, reverse=True)
