@@ -327,8 +327,11 @@ def ivf_topk(
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
+        # centroids are <= k*d tiny rows: broadcast so the exploded corpus
+        # never shuffles for the distance computation (the 64-value _dim
+        # key would hot-spot a hash exchange)
         d = (
-            v.join(centroids, "_dim")
+            v.join(F.broadcast(centroids), "_dim")
             .groupBy("_vid", "_cid")
             .agg(
                 F.sum(
@@ -358,7 +361,7 @@ def ivf_topk(
     # queries probe their `probe` nearest centroids (squared L2, id ties)
     qv = v.filter(F.col("_vid") < query_ids_max)
     qd = (
-        qv.join(cent, "_dim")
+        qv.join(F.broadcast(cent), "_dim")
         .groupBy("_vid", "_cid")
         .agg(
                 F.sum(
@@ -383,7 +386,12 @@ def ivf_topk(
 
     # exact cosine over candidate pairs from the exploded table
     pair_dims = (
-        cand.join(qv.select(F.col("_vid").alias("query_id"), "_dim", F.col("_val").alias("_qval")), "query_id")
+        F.broadcast(cand).join(
+            qv.select(
+                F.col("_vid").alias("query_id"), "_dim", F.col("_val").alias("_qval")
+            ),
+            "query_id",
+        )
         .join(
             v.select(F.col("_vid").alias("neighbor_id"), "_dim", F.col("_val").alias("_nval")),
             ["neighbor_id", "_dim"],
@@ -406,4 +414,45 @@ def ivf_topk(
         .select(
             "query_id", "neighbor_id", dround(F.col("_cos"), 6).alias("cos_sim"), "rank"
         )
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs restricted to LSH-bucket collisions — the corpus-
+    scale candidate generator for cosine_neardup_pairs.
+
+    Same output shape; recall < 1 by design: only pairs landing in the
+    same random-hyperplane bucket are compared (P[collision] rises with
+    cosine — near-identical vectors sign identically on every plane).
+    The bucket equi-join replaces the O(n²) pair scan with ~n²/2^h
+    comparisons, shuffling only (bucket, id, vector) rows.
+    """
+    prep = _prep(emb, id_col, vec_col).withColumn(
+        "_bucket", lsh_bucket(F.col("_q"), num_planes)
+    )
+    a = prep.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_bucket"),
+        F.col("_q").alias("_qa"),
+        F.col("_n2").alias("_na"),
+    )
+    b = prep.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_bucket"),
+        F.col("_q").alias("_qb"),
+        F.col("_n2").alias("_nb"),
+    )
+    cos = cosine(F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", dround(F.col("_cos"), 6).alias("cos_sim"))
     )

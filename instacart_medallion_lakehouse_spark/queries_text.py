@@ -546,3 +546,23 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = curation.drop_exact_duplicates(passed)
     curated = curation.drop_near_duplicates(exact, threshold=0.8)
     return curated.select("doc_id", "predicted_lang", "quality_score")
+
+
+@_register(
+    "embedding_neardup_lsh",
+    f"""
+    WITH {_PREP_SQL},
+    buck AS (SELECT vec_id, e, n2, {_lsh_bucket_sql(4)} AS bucket FROM n)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2), 6) AS cos_sim
+    FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2) >= 0.4
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with LSH-bucket candidate generation — the
+    corpus-scale variant of embedding_neardup (recall < 1 by design,
+    deterministic, so the oracle replays the same bucketing)."""
+    return vectors.cosine_neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_planes=4
+    )
