@@ -498,3 +498,184 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_ids_max=10,
         k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations, array stats, window frames, percentiles, profiling —
+# rounding out the relational surface beyond the reference's inventory.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "set_ops_users",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    both_u AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers),
+    only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers)
+    SELECT 'click_and_purchase' AS cohort, count(*) AS n_users FROM both_u
+    UNION ALL
+    SELECT 'click_only' AS cohort, count(*) AS n_users FROM only_click
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohorts (distinct-set semantics), plus the
+    UNION ALL of their counts — the set-operation surface the reference
+    never exercises (SURVEY.md §2.7)."""
+    from pyspark.sql import functions as F
+
+    events = _t(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = (
+        events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    both_u = clickers.intersect(purchasers).agg(F.count(F.lit(1)).alias("n_users"))
+    only_click = clickers.exceptAll(purchasers).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return both_u.select(
+        F.lit("click_and_purchase").alias("cohort"), "n_users"
+    ).union(only_click.select(F.lit("click_only").alias("cohort"), "n_users"))
+
+
+@_register(
+    "embedding_stats",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4)
+             AS avg_min_component,
+           round(avg(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4)
+             AS avg_max_component,
+           round(avg(sqrt(list_dot_product(
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)),
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5))
+           )) / 1000.0), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics via array expressions (min/max
+    component, mean L2 norm on the quantized grid)."""
+    from pyspark.sql import functions as F
+
+    from .functions.scalar import dround
+    from .operators.vectors import quantized, sq_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = quantized(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        dround(F.avg(F.array_min(as_double)), 4).alias("avg_min_component"),
+        dround(F.avg(F.array_max(as_double)), 4).alias("avg_max_component"),
+        dround(F.avg(F.sqrt(sq_norm(q)) / 1000.0), 4).alias("avg_norm"),
+    )
+
+
+@_register(
+    "rolling_user_value",
+    """
+    SELECT event_id, user_id, ts,
+           round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w * 1.0
+                 / count(value) OVER w / 100.0, 4) AS rolling_avg_value,
+           count(*) OVER w AS window_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: 4-event rolling average per user. The frame
+    sum runs on values quantized to integers so incremental (add/remove)
+    frame evaluation and full recomputation agree exactly — a raw double
+    rolling sum would drift by ulps between engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions.scalar import dround
+
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    quantized_val = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        dround(
+            F.sum(quantized_val).over(w) * F.lit(1.0) / F.count("value").over(w) / 100.0,
+            4,
+        ).alias("rolling_avg_value"),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )
+
+
+@_register(
+    "price_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` implement the same type-7 quantile).
+    percentile_approx is the 100 TB switch, but sketches differ across
+    engines so the exact form is the oracle-checked one."""
+    from pyspark.sql import functions as F
+
+    from .functions.scalar import dround
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        dround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        dround(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        dround(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@_register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus) FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (rows / nulls / distinct per column) — the data-
+    discovery utility a quality pipeline runs before setting gate
+    thresholds. One pass per profiled column here; at 100 TB switch the
+    distinct counts to approx_count_distinct and fuse into one pass."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")
+    parts = [
+        orders.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+        )
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ]
+    return reduce(lambda a, b: a.union(b), parts)
