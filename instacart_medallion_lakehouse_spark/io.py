@@ -65,6 +65,7 @@ def write_table(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    cluster_by: list[str] | None = None,
 ) -> None:
     """S3/S4: idempotent full-refresh write, optionally disk-partitioned.
 
@@ -73,7 +74,16 @@ def write_table(
     + dynamic partition pruning to every downstream reader — at 100 TB a
     low-cardinality partition column (like the reference's ``eval_set``)
     is the cheapest scan-elimination available.
+
+    ``cluster_by`` additionally range-partitions and sorts rows by the
+    given columns before writing, so parquet row-group min/max stats
+    become selective — point/range predicates on the cluster key then
+    skip most row groups at scan time (the poor man's Z-order; at
+    100 TB this is the second-cheapest scan-elimination after disk
+    partitioning, and composes with it).
     """
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     writer = df.write.format(TABLE_FORMAT).mode(mode)
     if TABLE_FORMAT == "delta":
         writer = writer.option("overwriteSchema", "true")

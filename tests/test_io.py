@@ -116,3 +116,27 @@ class TestAsOfJoin:
             tie_col="lid", right_tie_col="rid",
         ).first()
         assert r["asof_v"] == 8.0  # greatest tie_col among equal ts wins
+
+
+class TestClusteredWrite:
+    def test_cluster_by_sorts_files(self, spark, sf_dir, tmp_path):
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = str(tmp_path / "c")
+        io.write_table(df, out, cluster_by=["l_orderkey"])
+        back = spark.read.parquet(out)
+        assert back.count() == df.count()
+        # every file's rows must be sorted by the cluster key (that is
+        # what makes parquet min/max stats selective)
+        from pyspark.sql import functions as F
+
+        with_file = back.withColumn("_f", F.input_file_name())
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
+        seq = with_file.select(
+            "_f", F.col("l_orderkey"), F.lag("l_orderkey").over(w).alias("_prev")
+        )
+        violations = seq.filter(
+            F.col("_prev").isNotNull() & (F.col("l_orderkey") < F.col("_prev"))
+        ).count()
+        assert violations == 0

@@ -90,3 +90,37 @@ class TestJaccardIdentities:
         assert 0.0 <= j <= 1.0
         if a == b:
             assert j == 1.0
+
+
+class TestAsOfJoinProperty:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)),
+            min_size=1,
+            max_size=15,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)),
+            min_size=0,
+            max_size=15,
+        ),
+    )
+    def test_matches_python_reference(self, spark, lefts, rights):
+        from instacart_medallion_lakehouse_spark.operators.joins import as_of_join
+
+        lrows = [(k, ts, i) for i, (k, ts) in enumerate(lefts)]
+        rrows = [(k, ts, float(i), 1000 + i) for i, (k, ts) in enumerate(rights)]
+        ldf = spark.createDataFrame(lrows, "k long, ts long, lid long")
+        rdf = spark.createDataFrame(rrows, "k long, ts long, v double, rid long")
+        got = {
+            r["lid"]: r["asof_v"]
+            for r in as_of_join(
+                ldf, rdf, on=["k"], ts_col="ts", right_cols=["v"],
+                tie_col="lid", right_tie_col="rid",
+            ).collect()
+        }
+        for k, ts, lid in lrows:
+            cands = [(rts, rid, v) for (rk, rts, v, rid) in rrows if rk == k and rts <= ts]
+            want = max(cands, default=None, key=lambda c: (c[0], c[1]))
+            assert got[lid] == (want[2] if want else None)
