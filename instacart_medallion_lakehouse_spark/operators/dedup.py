@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs with n-token-shingle Jaccard >= threshold (exact).
 
@@ -115,13 +116,44 @@ def ngram_jaccard_pairs(
     table (one row per doc) broadcasts.
 
     Scale: a shingle shared by k docs still yields k·(k−1)/2 aggregate
-    inputs — at 100 TB add a document-frequency stop-shingle cap or
-    prefix filtering before the self-join; or use minhash_lsh_pairs.
+    inputs. ``prefix_filter=True`` switches candidate generation to
+    PPJoin-style prefix filtering — EXACT-OUTPUT-PRESERVING: order each
+    doc's shingles by global rarity (document frequency asc, shingle),
+    index only the first L = |S| − ⌈t·|S|⌉ + 1 of them, and self-join
+    those prefixes. Any pair with J ≥ t must share a prefix shingle (if
+    the prefixes were disjoint, the intersection would fit in the
+    suffixes, bounding |A∩B| ≤ min(|A|,|B|) − L < t·|A∪B|), so recall is
+    1 and the hot head of the shingle distribution mostly drops out of
+    the join. This is the 100 TB form of the exact algorithm;
+    minhash_lsh_pairs is the cheaper approximate alternative.
     """
     ex = shingle_table(docs, n, id_col).cache()
     ex.count()  # materialize BEFORE the self-join: a lazily-filled cache
     # races — both join sides would concurrently recompute the pipeline
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+
+    if prefix_filter:
+        dfreq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        w = Window.partitionBy(id_col).orderBy("_df", "_sh")
+        ranked = (
+            ex.join(dfreq, "_sh")
+            .withColumn("_rank", F.row_number().over(w))
+            .join(F.broadcast(sizes), id_col)
+            .filter(
+                F.col("_rank")
+                <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+            )
+            .select(id_col, "_sh")
+        )
+        cand = (
+            ranked.select(F.col(id_col).alias("id_a"), "_sh")
+            .join(ranked.select(F.col(id_col).alias("id_b"), "_sh"), "_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _verify_jaccard(cand, ex, id_col, threshold)
+
     common = (
         ex.select(F.col(id_col).alias("_ida"), F.col("_sh"))
         .join(

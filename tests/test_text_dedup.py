@@ -143,3 +143,34 @@ class TestNearDup:
             ).collect()
         ]
         assert sigs[0] == sigs[1]
+
+
+class TestPrefixFilter:
+    def test_prefix_filtered_output_identical_to_naive(self, spark):
+        # real corpus slice: the prefix filter must be EXACT (recall 1)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        naive = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        filtered = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, prefix_filter=True
+            ).collect()
+        }
+        assert naive == filtered
+        assert len(naive) > 0
+
+    def test_prefix_filter_low_threshold(self, docs):
+        naive = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        }
+        filtered = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.3, prefix_filter=True
+            ).collect()
+        }
+        assert naive == filtered
