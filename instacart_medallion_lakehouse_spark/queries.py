@@ -259,7 +259,7 @@ def enrich_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_rate",
     """
     SELECT count(*) AS total,
-           sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
            round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS null_rate
     FROM events
@@ -280,7 +280,8 @@ def null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH grp AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
     SELECT (SELECT count(*) FROM lineitem) AS total,
-           COALESCE((SELECT sum(n) FROM grp WHERE n > 1), 0) AS dup_rows,
+           CAST(COALESCE((SELECT sum(n) FROM grp WHERE n > 1), 0) AS BIGINT)
+             AS dup_rows,
            round(COALESCE((SELECT sum(n) FROM grp WHERE n > 1), 0) * 1.0
                  / (SELECT count(*) FROM lineitem), 6) AS duplicate_rate
     """,
@@ -406,7 +407,7 @@ def fct_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.o_custkey,
            count(*) AS total_orders,
-           COALESCE(sum(s.basket_size), 0) AS total_items,
+           CAST(COALESCE(sum(s.basket_size), 0) AS BIGINT) AS total_items,
            max(s.basket_size) AS max_basket_size,
            round(avg(s.basket_size), 2) AS avg_basket_size,
            round(sum(s.return_rate_e8) * 1.0 / count(s.return_rate_e8)
@@ -436,7 +437,8 @@ def dim_customers_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
       SELECT l.l_partkey,
              count(*) AS times_ordered,
-             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS return_count,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS return_count,
              round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4)
                AS return_rate,
              round(avg(CAST(l.l_linenumber AS DOUBLE)), 2) AS avg_cart_position,
@@ -664,9 +666,10 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-      SELECT *, sum(_new_session) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+      SELECT *, CAST(sum(_new_session) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq,
@@ -701,7 +704,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
              AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k

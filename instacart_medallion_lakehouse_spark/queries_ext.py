@@ -159,7 +159,8 @@ def region_performance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_safe_filter",
     """
     SELECT event_type, count(*) AS n_kept,
-           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null_props
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_props
     FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
           FROM events)
@@ -645,40 +646,54 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "profile_orders",
     """
-    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-           count(DISTINCT o_orderkey) AS n_distinct
-    FROM orders
+    WITH wide AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_nulls,
+             count(DISTINCT o_orderkey) AS k_distinct,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_nulls,
+             count(DISTINCT o_custkey) AS c_distinct,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_nulls,
+             count(DISTINCT o_orderstatus) AS s_distinct
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, n_rows, k_nulls AS n_nulls,
+           k_distinct AS n_distinct FROM wide
     UNION ALL
-    SELECT 'o_custkey', count(*),
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
-           count(DISTINCT o_custkey) FROM orders
+    SELECT 'o_custkey', n_rows, c_nulls, c_distinct FROM wide
     UNION ALL
-    SELECT 'o_orderstatus', count(*),
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
-           count(DISTINCT o_orderstatus) FROM orders
+    SELECT 'o_orderstatus', n_rows, s_nulls, s_distinct FROM wide
     """,
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (rows / nulls / distinct per column) — the data-
     discovery utility a quality pipeline runs before setting gate
-    thresholds. One pass per profiled column here; at 100 TB switch the
-    distinct counts to approx_count_distinct and fuse into one pass."""
-    from functools import reduce
-
+    thresholds. All profiled columns are aggregated in a SINGLE scan of
+    the fact table (one wide agg, unpivoted with ``stack``) — at 100 TB
+    three separate scans would triple the job's I/O. The multi-distinct
+    agg plans as one scan + Expand; switch the distinct counts to
+    approx_count_distinct to drop the Expand at extreme scale."""
     from pyspark.sql import functions as F
 
     orders = _t(spark, sf_dir, "orders")
-    parts = [
-        orders.agg(
-            F.lit(c).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls")
         )
-        for c in ["o_orderkey", "o_custkey", "o_orderstatus"]
-    ]
-    return reduce(lambda a, b: a.union(b), parts)
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_rows, {c}__nulls, {c}__distinct" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_rows, n_nulls, n_distinct)"
+        )
+    )
 
 
 @_register(

@@ -91,8 +91,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len({_TOKS_SQL})) AS ws_tokens,
-           sum(len({_BPE_SQL})) AS bpe_tokens,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS ws_tokens,
+           CAST(sum(len({_BPE_SQL})) AS BIGINT) AS bpe_tokens,
            round(sum(len({_BPE_SQL})) * 1.0 / count(*), 4) AS avg_bpe_tokens
     FROM documents
     GROUP BY source

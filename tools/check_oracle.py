@@ -25,15 +25,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    """Type-STRICT canonicalization: an int and an int-valued float canon
+    differently ('5' vs '5.0'), mirroring the driver's type-sensitive
+    value hash. Round-1 lesson: the old int-valued-float normalization
+    hid the DuckDB HUGEINT (-> Arrow double) vs Spark BIGINT mismatch
+    that failed 9 queries at the driver (VERDICT.md r1 #1)."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # normalize -0.0 and int-valued floats
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        r = round(v, 9)
+        if r == 0.0:
+            r = 0.0  # collapse -0.0
+        return repr(r)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
@@ -66,9 +73,13 @@ def main():
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(oracles[name])
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            # Fetch through Arrow, like the driver: DuckDB HUGEINT has no
+            # Arrow integer type and degrades to double, so an un-CAST
+            # sum(INTEGER) oracle surfaces here as 5.0 vs Spark's 5.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            d_cols = list(tbl.column_names)
+            d_pylist = tbl.to_pylist()
+            d_rows = [tuple(d[c] for c in d_cols) for d in d_pylist]
         except Exception as e:
             print(f"{name:28s} ERROR {type(e).__name__}: {e}")
             n_fail += 1
