@@ -117,7 +117,33 @@ def run_silver(
     for name, keys in _SILVER_KEYS.items():
         df = bronze[name]
         if keys is not None:
-            df = dedup_keep_first(df, keys=keys, order_by=[F.col("_ingested_at"), *keys])
+            # Tie-break duplicate PK groups by a content hash of the
+            # payload columns: _ingested_at is current_timestamp() (one
+            # value per run) and the keys are constant within the window
+            # partition, so neither totally orders a group — ordering by
+            # them alone would make the survivor depend on partition
+            # layout when duplicate PKs carry different payloads (the
+            # exact nondeterminism SURVEY §4.3.1 exists to prevent).
+            # Identical hashes mean identical rows, where any survivor
+            # is the same row.
+            payload = [
+                c
+                for c in df.columns
+                if c not in keys
+                and c not in ("_ingested_at", "_source_file", "_bronze_version")
+            ]
+            content_hash = F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in payload
+                    ],
+                )
+            )
+            df = dedup_keep_first(
+                df, keys=keys, order_by=[F.col("_ingested_at"), content_hash]
+            )
         cleaned = df.drop("_ingested_at", "_source_file", "_bronze_version")
         write_table(cleaned, f"{out_dir}/silver/{name}")
         silver_df = spark.read.parquet(f"{out_dir}/silver/{name}")

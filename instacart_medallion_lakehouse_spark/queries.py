@@ -107,7 +107,11 @@ def oracle_sql() -> dict[str, str]:
 
 # Optional cross-query table cache (S9 — the reference pins hot Silver
 # tables across its five gold jobs the same way, 03_gold_metrics.py:42-44).
-# Off by default so single-query callers pay no memory; bench.py enables it.
+# Off by default so single-query callers pay no memory. For long-lived
+# multi-query sessions only: bench.py deliberately does NOT enable it —
+# its per-query clearCache() isolation would unpersist these tables and
+# leave stale un-cached entries in the dict (covered by test_queries
+# cache round-trip).
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CACHE_ENABLED = False
 

@@ -80,7 +80,7 @@ def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sessionize",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '30' MINUTE
                   THEN 1 ELSE 0 END AS _new_session
@@ -88,8 +88,11 @@ def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+      -- same (ts, event_id) order as the flagged CTE: with ORDER BY ts
+      -- alone, equal-timestamp rows are peers and the running sum's
+      -- ROWS frame splits them nondeterministically around a boundary
       SELECT *, sum(_new_session) OVER (PARTITION BY user_id
-                                        ORDER BY ts
+                                        ORDER BY ts, event_id
                                         ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM flagged
     )
