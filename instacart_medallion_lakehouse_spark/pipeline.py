@@ -202,10 +202,24 @@ def run_gold(
     return out
 
 
-def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> PipelineResult:
-    """Full bronze→silver→gold run; raises DataQualityError on gate breach."""
+def run_medallion(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    config_path: str | None = None,
+) -> PipelineResult:
+    """Full bronze→silver→gold run; raises DataQualityError on gate breach.
+
+    ``config_path`` points at a pipeline_config.yml (reference
+    configs/pipeline_config.yml shape); omitted → library defaults.
+    """
+    thresholds = (
+        quality.GateThresholds.from_yaml(config_path)
+        if config_path
+        else quality.DEFAULT_THRESHOLDS
+    )
     result = PipelineResult()
     bronze = run_bronze(spark, sf_dir, out_dir, result)
-    silver = run_silver(spark, bronze, out_dir, result)
+    silver = run_silver(spark, bronze, out_dir, result, thresholds=thresholds)
     run_gold(spark, silver, out_dir, result)
     return result

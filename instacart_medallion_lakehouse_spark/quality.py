@@ -39,7 +39,12 @@ class DataQualityError(Exception):
 
 @dataclass(frozen=True)
 class GateThresholds:
-    """Centralized thresholds (reference configs/pipeline_config.yml:12-25)."""
+    """Centralized thresholds (reference configs/pipeline_config.yml:12-25).
+
+    The file form lives in ``configs/pipeline_config.yml`` (the ops
+    surface: change a threshold without touching code); these defaults
+    mirror it for config-less library use.
+    """
 
     null_rate_default: float = 0.001  # 0.1%
     null_rate_days_since_prior: float = 0.07  # 7% — nulls valid for first orders
@@ -47,8 +52,35 @@ class GateThresholds:
     reconcile_drift: float = 0.001  # 0.1%
     referential_integrity: float = 0.0
 
+    @classmethod
+    def from_yaml(cls, path: str) -> "GateThresholds":
+        """Load thresholds from a pipeline_config.yml (reference
+        configs/pipeline_config.yml:12-25 shape: a ``quality_thresholds``
+        mapping). Unknown keys fail fast — a typo'd threshold name must
+        not silently fall back to a default."""
+        import yaml
+
+        with open(path) as f:
+            cfg = yaml.safe_load(f) or {}
+        section = cfg.get("quality_thresholds", {})
+        known = set(cls.__dataclass_fields__)
+        unknown = set(section) - known
+        if unknown:
+            raise ValueError(
+                f"unknown quality_thresholds keys in {path}: {sorted(unknown)}"
+            )
+        return cls(**{k: float(v) for k, v in section.items()})
+
 
 DEFAULT_THRESHOLDS = GateThresholds()
+
+
+def load_pipeline_config(path: str) -> dict:
+    """Full parsed pipeline_config.yml (paths/spark/tables sections)."""
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
 
 
 def check_null_rate(

@@ -10,10 +10,21 @@ from instacart_medallion_lakehouse_spark import pipeline
 from instacart_medallion_lakehouse_spark.quality import DataQualityError
 
 
+import os
+
+CONFIG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "configs",
+    "pipeline_config.yml",
+)
+
+
 @pytest.fixture(scope="module")
 def result(spark, sf_dir, tmp_path_factory):
     out = tmp_path_factory.mktemp("medallion")
-    res = pipeline.run_medallion(spark, sf_dir, str(out))
+    # drive the run through the externalized YAML config so the file ->
+    # thresholds -> gates path is what the end-to-end suite exercises
+    res = pipeline.run_medallion(spark, sf_dir, str(out), config_path=CONFIG)
     return out, res
 
 
