@@ -54,18 +54,58 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    vs_prev = _compare_to_previous_round(timings, total, sf)
+    if vs_prev:
+        payload["vs_prev"] = vs_prev
+    print(json.dumps(payload))
     spark.stop()
+
+
+def _compare_to_previous_round(timings, total, sf):
+    """Diff against the latest driver-recorded BENCH_r{N}.json (same sf)
+    so regressions are visible round over round. Returns None quietly if
+    no comparable record exists — bench must never fail on metadata."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            prev = json.load(f).get("parsed") or {}
+        prev_total = prev.get("value")
+        prev_q = prev.get("queries") or {}
+        if prev.get("sf") != sf or not isinstance(prev_total, (int, float)):
+            return None
+    except (OSError, ValueError):
+        return None
+    regressions = {
+        name: {"prev": prev_q[name], "now": t}
+        for name, t in timings.items()
+        if name in prev_q and t > prev_q[name] * 1.2 and t - prev_q[name] > 0.2
+    }
+    return {
+        "round": n,
+        "prev_total": prev_total,
+        "delta_sec": round(total - prev_total, 3),
+        "delta_pct": round((total - prev_total) / prev_total * 100, 1),
+        "regressions": regressions,
+        "new_queries": sorted(set(timings) - set(prev_q)),
+    }
 
 
 if __name__ == "__main__":

@@ -154,7 +154,7 @@ def region_performance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     face (region_performance) and the DuckDB oracle."""
     from . import sql_api
 
-    sql_api.register_star_views(spark, sf_dir)
+    sql_api.ensure_star_views(spark, sf_dir)
     return sql_api.run_sql(spark, sql_api.REGION_PERFORMANCE_SQL)
 
 

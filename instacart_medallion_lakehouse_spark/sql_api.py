@@ -31,6 +31,23 @@ def register_star_views(spark: SparkSession, sf_dir: str) -> None:
     read_events(spark, sf_dir).createOrReplaceTempView("events")
 
 
+# session -> sf_dir whose views are currently registered. Weak keys: a
+# stopped SparkSession must not be pinned alive by this cache.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_VIEWS_REGISTERED: "WeakKeyDictionary[SparkSession, str]" = WeakKeyDictionary()
+
+
+def ensure_star_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the star views once per (session, sf_dir) — view setup
+    belongs in session setup, not in a query's hot path. Re-registers
+    only when the sf_dir changes (views are name-keyed per session, so
+    a different sf_dir must replace them)."""
+    if _VIEWS_REGISTERED.get(spark) != sf_dir:
+        register_star_views(spark, sf_dir)
+        _VIEWS_REGISTERED[spark] = sf_dir
+
+
 # Flagship KPI mart as Spark SQL text — semantically identical to
 # plans/marts.region_performance (the DataFrame face). Rounding uses the
 # explicit floor(x*10^d + 0.5)/10^d formula everywhere, matching
