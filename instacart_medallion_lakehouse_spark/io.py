@@ -99,21 +99,31 @@ def register_temp_views(spark: SparkSession, tables: dict[str, DataFrame]) -> No
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+    """Read the events table, normalizing ``ts`` to session-zone timestamp.
 
-    The testdata writes ``ts`` as Parquet INT64 TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
-    microseconds with INTEGER division (``ts div 1000`` — a double-math
-    division would lose precision above 2^53 ns) — matching DuckDB's own
-    ns→us truncation, so both engines see identical timestamps.
+    The testdata's physical type for ``ts`` has varied between generator
+    versions — Parquet INT64 TIMESTAMP(NANOS) (rejected by Spark's
+    vectorized reader unless read as long) and plain ``timestamp[us]``
+    NTZ — so normalize whatever arrives:
+
+    - ``bigint`` (nanos via ``spark.sql.legacy.parquet.nanosAsLong``):
+      truncate to microseconds with INTEGER division (``ts div 1000`` —
+      double-math division would lose precision above 2^53 ns), matching
+      DuckDB's own ns→us truncation.
+    - ``timestamp_ntz``: cast to ``timestamp``. The session timezone is
+      pinned to UTC (session.py), so the cast reinterprets the same
+      wall-clock micros as a UTC instant — byte-identical values, and
+      one stable output type for every downstream consumer.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

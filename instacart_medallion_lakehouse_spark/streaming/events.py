@@ -42,41 +42,56 @@ from pyspark.sql.types import (
 from ..functions.scalar import dround
 from ..operators.aggs import avg_fixedpoint
 
-# events.parquet stores ts as Parquet TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong the column surfaces as bigint
-# (see io.read_events). The stream schema mirrors that and converts.
-_EVENTS_NANOS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: str) -> StructType:
+    """Stream-source schema matching the batch reader's view of ``ts``.
+
+    The testdata's physical type for ts has varied between generator
+    versions (INT64 TIMESTAMP(NANOS) → bigint under nanosAsLong, vs
+    plain timestamp[us] NTZ), so the schema is built per-dataset from
+    what the batch reader actually sees — file-source streams require an
+    explicit schema and a wrong ts type silently corrupts every window.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ts_field = LongType() if ts_type == "bigint" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_field),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
 
 _memory_sink_counter = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with nanos→timestamp handling.
+    """readStream over the events parquet, ts normalized to timestamp.
 
-    File-source streams require an explicit schema; ts arrives as nanos
-    (bigint) and is truncated to microseconds with integer division —
-    identical semantics to the batch reader (io.read_events), so batch
+    Probes the batch footer schema (a metadata-only read) to decide how
+    ts is physically stored, then applies the identical normalization as
+    the batch reader (io.read_events) — nanos are integer-truncated to
+    micros, NTZ micros are cast under the UTC session zone — so batch
     and stream see the same timestamps.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(probe.dtypes).get("ts", "timestamp_ntz")
     # file stream sources require a DIRECTORY; point at the sf dir and
     # glob-filter to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(
