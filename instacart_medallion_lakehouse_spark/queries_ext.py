@@ -7,10 +7,13 @@ Imported for its registration side effects at the bottom of queries.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from .functions.scalar import dround
 from .operators.multimodal import extract_media_features, with_media
 from .queries import _register, _t
 from .streaming.events import (
+    dedup_stream,
     drain_to_batch,
     read_events_stream,
     session_windows_stream,
@@ -740,4 +743,297 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
+    )
+
+
+@_register(
+    "stream_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup drained to batch: inject exact duplicates (a
+    second copy of every 10th event via self-union) into the stream,
+    then ``dropDuplicatesWithinWatermark`` on event_id strips them —
+    the drained result must equal the pristine events table.
+
+    Injected duplicates are EXACT row copies so the surviving row is
+    identical whichever copy arrives first — the check stays
+    deterministic while still failing if dedup under- or over-drops.
+    State holds only (event_id, ts) pairs newer than the watermark
+    horizon — bounded regardless of total stream length.
+    """
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    doubled = stream.union(stream.filter(F.col("event_id") % 10 == 0))
+    return drain_to_batch(dedup_stream(doubled), output_mode="append")
+
+
+@_register(
+    "cube_revenue",
+    """
+    SELECT o_orderstatus AS order_status,
+           o_orderpriority AS order_priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(grouping(o_orderstatus) AS INT) AS is_status_total,
+           CAST(grouping(o_orderpriority) AS INT) AS is_priority_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every grouping-set combination (status x priority, status
+    totals, priority totals, grand total) in ONE pass — the Expand
+    operator replicates each input row once per grouping set before a
+    single hash aggregate, so the fact table is still scanned once.
+    grouping() flags disambiguate subtotal rows from real NULLs.
+    Complements rollup_revenue (hierarchical subsets only)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping("o_orderstatus").cast("int").alias("is_status_total"),
+            F.grouping("o_orderpriority").cast("int").alias("is_priority_total"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderpriority").alias("order_priority"),
+            "n_orders",
+            "revenue",
+            "is_status_total",
+            "is_priority_total",
+        )
+    )
+
+
+@_register(
+    "salted_join_rollup",
+    """
+    SELECT o.o_orderstatus AS order_status,
+           count(*) AS n_lineitems,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-to-fact join: the lineitem side is salted
+    into 8 sub-keys and the orders side replicated 8x, so one
+    pathologically hot l_orderkey spreads over 8 reducers instead of
+    stalling a single straggler task. The join RESULT is row-identical
+    to the unsalted join (operators/skew.py) — the oracle proves it by
+    aggregating the plain join."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, "l_orderkey", num_salts=8)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("order_status"), "n_lineitems", "revenue"
+        )
+    )
+
+
+@_register(
+    "q5_local_supplier",
+    """
+    SELECT n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from lineitems where the customer and
+    supplier share a nation inside one region, over one order year.
+    The two big tables join on their natural key (l_orderkey); the
+    c_nationkey = s_nationkey condition rides the supplier broadcast
+    join as a post-filter, and region/nation prune via broadcast —
+    only the lineitem-orders shuffle moves real data."""
+    cutlo = F.lit("1996-01-01").cast("timestamp")
+    cuthi = F.lit("1997-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi)
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(F.col("n_name").alias("nation_name"), "revenue")
+    )
+
+
+@_register(
+    "customer_quartiles",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT quartile,
+           count(*) AS n_customers,
+           round(min(c_acctbal), 2) AS lo_bal,
+           round(max(c_acctbal), 2) AS hi_bal,
+           round(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) * 1.0
+                 / count(c_acctbal) / 100.0, 2) AS avg_bal
+    FROM ranked
+    GROUP BY quartile
+    """,
+)
+def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) equal-height buckets over account balance with a
+    c_custkey tie-break (equal balances otherwise land in buckets
+    nondeterministically), then per-quartile stats. avg uses the
+    fixed-point summation form so both engines agree to the cent.
+    Scale note: a single un-partitioned ntile serializes on one
+    reducer — at 100 TB switch to approx percentile cutpoints +
+    range-bucket join (price_percentiles shows the sketch form)."""
+    from pyspark.sql import Window
+
+    from .operators.aggs import avg_fixedpoint
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = cust.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        ranked.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dround(F.min("c_acctbal"), 2).alias("lo_bal"),
+            dround(F.max("c_acctbal"), 2).alias("hi_bal"),
+            avg_fixedpoint(F.col("c_acctbal"), 100, 2).alias("avg_bal"),
+        )
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH tokens AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM tokens WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS n_td FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS len_d FROM tok GROUP BY 1),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((tf.n_td * 1.0 / dl.len_d)
+                   * ln(n.n_docs * 1.0 / df.df_t), 6) AS tfidf
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS term_rank
+      FROM scored
+      WHERE doc_id < 20
+    )
+    SELECT doc_id, term, tfidf, term_rank
+    FROM ranked
+    WHERE term_rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document for the
+    first 20 docs, with document frequency computed over the FULL
+    corpus (the idf join is what makes this a corpus-level operator,
+    not a per-row UDF).
+
+    Plan shape for 100 TB: tokenize via explode + hash-aggregate (the
+    codegen'd path — array lambdas are interpreted), df is a
+    term-keyed aggregate reused via broadcast when the vocabulary is
+    small, and the final doc filter is pushed below the row_number
+    window because doc_id is its partition key. Scores are rounded to
+    6 dp BEFORE ranking so cross-engine float noise can't reorder the
+    top-k boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len_d"))
+    df_t = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            dround(
+                (F.col("n_td") * F.lit(1.0) / F.col("len_d"))
+                * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df_t")),
+                6,
+            ).alias("tfidf"),
+        )
+        .filter(F.col("doc_id") < 20)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tfidf", "term_rank")
     )
