@@ -92,6 +92,75 @@ def write_table(
     writer.save(path)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-enforced JSON-lines scan (one object per line).
+
+    Same bronze contract as the CSV path: explicit schema, FAILFAST on
+    malformed records — no sampling-based inference pass (which at
+    100 TB is a whole extra read of the data before the real one).
+    """
+    return (
+        spark.read.option("mode", "FAILFAST").schema(schema).json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of text/LLM corpora.
+
+    Line-delimited, so downstream readers split files at line
+    boundaries and parallelize within a file (unlike a single JSON
+    array, which serializes the whole file through one task).
+    """
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet, same pushdown/pruning story."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same overwrite/partition semantics as
+    write_table — for estates standardized on ORC (Hive-lineage)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Hash-bucketed managed table: pre-shuffles ONCE at write time so
+    every later join/aggregate on the bucket key is shuffle-free.
+
+    Two tables bucketed on the same key with the same bucket count
+    sort-merge-join with NO Exchange on either side (asserted in
+    tests/test_io.py) — at 100 TB this converts the nightly fact-dim
+    join from a full network shuffle into a local stitch per bucket.
+    ``sort_by`` additionally orders rows within each bucket file, so
+    the merge phase skips its sort. The bucket count should be sized
+    once for the cluster (tasks-per-join ≈ num_buckets) — changing it
+    requires a rewrite, which is why this is a write-time contract,
+    not a reader hint.
+    """
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(
+        num_buckets, *bucket_by
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
+
+
 def register_temp_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
     """S6: expose DataFrames to Spark SQL (03_gold_metrics_serverless.py:57-64)."""
     for name, df in tables.items():

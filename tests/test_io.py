@@ -5,6 +5,7 @@ writes (S3/S4), events nanos handling.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from instacart_medallion_lakehouse_spark import io
@@ -53,6 +54,65 @@ class TestWrites:
         # static partition pruning: only the matching partition dir is read
         assert back.count() == df.filter("o_orderstatus = 'F'").count()
         assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus" in plan
+
+
+class TestJsonl:
+    def test_roundtrip_preserves_values(self, spark, sf_dir, tmp_path):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        out = str(tmp_path / "j")
+        io.write_jsonl(df, out)
+        back = io.read_jsonl(spark, out, df.schema)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_failfast_on_malformed_line(self, spark, tmp_path):
+        p = tmp_path / "bad.jsonl"
+        p.write_text('{"id": 1, "name": "a"}\n{not json\n')
+        df = io.read_jsonl(spark, str(p), SCHEMA)
+        with pytest.raises(Exception):
+            df.collect()
+
+
+class TestOrc:
+    def test_roundtrip_and_partitioning(self, spark, sf_dir, tmp_path):
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = str(tmp_path / "o")
+        io.write_orc(df, out, partition_by=["o_orderstatus"])
+        back = io.read_orc(spark, out)
+        assert back.count() == df.count()
+        pruned = back.filter("o_orderstatus = 'F'")
+        assert pruned.count() == df.filter("o_orderstatus = 'F'").count()
+
+
+class TestBucketedJoin:
+    def test_cobucketed_join_has_no_shuffle(self, spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        io.write_bucketed(li, "b_lineitem", ["l_orderkey"], 4, sort_by=["l_orderkey"])
+        io.write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_by=["o_orderkey"])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force a sort-merge join so shuffle elimination is observable
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle either side
+            # and the result is still correct
+            expect = li.join(
+                orders, li["l_orderkey"] == orders["o_orderkey"]
+            ).count()
+            assert joined.count() == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
 class TestEvents:
