@@ -325,6 +325,54 @@ def _exploded(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _kmeans_lite(
+    v: DataFrame, k_clusters: int, iterations: int
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic relational k-means over an exploded (id, dim, val)
+    table: init centroids = vectors with id < k, then ``iterations``
+    Lloyd steps (squared-L2 argmin assignment with lowest-centroid-id
+    tie-break; floor(mean) centroid update so values stay integer-exact).
+    Returns (final centroids, final assignment (_vid, _cid)).
+
+    Shared by ivf_topk (coarse quantizer) and semantic_dedup (blocking
+    clusters); the oracle unrolls the identical iterations as CTEs.
+    """
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        # centroids are <= k*d tiny rows: broadcast so the exploded corpus
+        # never shuffles for the distance computation (the 64-value _dim
+        # key would hot-spot a hash exchange)
+        d = (
+            v.join(F.broadcast(centroids), "_dim")
+            .groupBy("_vid", "_cid")
+            .agg(
+                F.sum(
+                    (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
+                ).alias("_d2")
+            )
+        )
+        w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_vid", "_cid")
+        )
+
+    cent = v.filter(F.col("_vid") < k_clusters).select(
+        F.col("_vid").alias("_cid"), "_dim", F.col("_val").alias("_cval")
+    )
+    for _ in range(iterations):
+        a = assign(cent)
+        cent = (
+            v.join(a, "_vid")
+            .groupBy("_cid", "_dim")
+            .agg(F.floor(F.sum("_val") * F.lit(1.0) / F.count(F.lit(1))).alias("_cval"))
+        )
+        cent = cent.cache()
+        cent.count()
+    return cent, assign(cent)
+
+
 def ivf_topk(
     emb: DataFrame,
     k_clusters: int = 8,
@@ -362,41 +410,7 @@ def ivf_topk(
     v = _exploded(emb, id_col, vec_col).cache()
     v.count()  # pinned: reused across iterations and the final search
 
-    cent = v.filter(F.col("_vid") < k_clusters).select(
-        F.col("_vid").alias("_cid"), "_dim", F.col("_val").alias("_cval")
-    )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        # centroids are <= k*d tiny rows: broadcast so the exploded corpus
-        # never shuffles for the distance computation (the 64-value _dim
-        # key would hot-spot a hash exchange)
-        d = (
-            v.join(F.broadcast(centroids), "_dim")
-            .groupBy("_vid", "_cid")
-            .agg(
-                F.sum(
-                    (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
-                ).alias("_d2")
-            )
-        )
-        w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
-        return (
-            d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_vid", "_cid")
-        )
-
-    for _ in range(iterations):
-        a = assign(cent)
-        cent = (
-            v.join(a, "_vid")
-            .groupBy("_cid", "_dim")
-            .agg(F.floor(F.sum("_val") * F.lit(1.0) / F.count(F.lit(1))).alias("_cval"))
-        )
-        cent = cent.cache()
-        cent.count()
-
-    final_assign = assign(cent)
+    cent, final_assign = _kmeans_lite(v, k_clusters, iterations)
 
     # queries probe their `probe` nearest centroids (squared L2, id ties)
     qv = v.filter(F.col("_vid") < query_ids_max)
@@ -495,4 +509,74 @@ def cosine_neardup_pairs_lsh(
         .select("id_a", "id_b", cos.alias("_cos"))
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", dround(F.col("_cos"), 6).alias("cos_sim"))
+    )
+
+def semantic_dedup(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    iterations: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style semantic deduplication: cluster embeddings with
+    the deterministic k-means-lite, then compare pairs only WITHIN each
+    cluster and drop every vector that has a higher-similarity twin
+    with a smaller id in its cluster.
+
+    Output: (vec_id, cluster_id, is_kept) for every non-zero vector —
+    is_kept = false iff some same-cluster vector with a smaller id has
+    exact cosine >= threshold.
+
+    This is the cluster-blocking trade (SemDedup, Abbas et al. 2023):
+    candidate generation is O(sum n_c^2) instead of O(n^2), with
+    cross-cluster near-dups missed by design — the LSH-bucketed
+    near-dup is the recall-oriented twin. At 100 TB, k scales with the
+    corpus so each cluster's pairwise block stays executor-sized; each
+    cluster is scored as ONE chunked numpy GEMM inside applyInPandas
+    (quantized integer-valued doubles -> bit-identical to the SQL
+    oracle regardless of BLAS summation order). Compose with the
+    block-pairing self-join inside oversized clusters if a single
+    cluster outgrows one task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = _exploded(emb, id_col, vec_col).cache()
+    v.count()
+    _, assign = _kmeans_lite(v, k_clusters, iterations)
+
+    prep = _prep(emb, id_col, vec_col).join(
+        assign.withColumnRenamed("_vid", id_col), id_col
+    )
+
+    def score_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_q"]), dtype=np.float64)
+        n2 = pdf["_n2"].to_numpy(dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"_dup": np.array([], dtype=np.int64)})
+        # chunked upper-triangle GEMM with reused buffers (first-touch
+        # pages and fresh mmaps are seconds at scale on this host)
+        chunk = max(1, min(256, (4 << 20) // max(8 * n, 1)))
+        g = np.empty((chunk, n))
+        dropped = set()
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            m = hi - lo
+            np.dot(mat[lo:hi], mat.T, out=g[:m])
+            g[:m] /= np.sqrt(np.outer(n2[lo:hi], n2))
+            keep = (g[:m] >= threshold) & (ids[lo:hi, None] > ids[None, :])
+            dropped.update(ids[lo + r] for r in np.nonzero(keep.any(axis=1))[0])
+        return pd.DataFrame({"_dup": np.fromiter(dropped, dtype=np.int64)})
+
+    dups = prep.groupBy("_cid").applyInPandas(score_cluster, "_dup long")
+    return (
+        prep.join(dups, prep[id_col] == dups["_dup"], "left")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("_cid").alias("cluster_id"),
+            F.col("_dup").isNull().alias("is_kept"),
+        )
     )

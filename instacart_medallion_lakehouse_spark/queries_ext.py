@@ -399,10 +399,11 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql(k_clusters: int = 8, iterations: int = 2, probe: int = 2,
-             query_max: int = 10, k: int = 5) -> str:
-    """Oracle for ivf_topk: the identical deterministic k-means-lite +
-    cluster-probed search, with Lloyd iterations unrolled as CTEs."""
+def _kmeans_ctes(k_clusters: int, iterations: int) -> list[str]:
+    """Shared oracle CTEs for the deterministic k-means-lite
+    (operators/vectors._kmeans_lite): exploded quantized vectors ``v``,
+    unrolled Lloyd iterations, distances ``df`` and final assignment
+    ``af`` against the last centroids."""
     ctes = [
         """v AS (
       SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS dim,
@@ -448,6 +449,14 @@ def _ivf_sql(k_clusters: int = 8, iterations: int = 2, probe: int = 2,
       ) WHERE rn = 1
     )"""
     )
+    return ctes
+
+
+def _ivf_sql(k_clusters: int = 8, iterations: int = 2, probe: int = 2,
+             query_max: int = 10, k: int = 5) -> str:
+    """Oracle for ivf_topk: the identical deterministic k-means-lite +
+    cluster-probed search, with Lloyd iterations unrolled as CTEs."""
+    ctes = _kmeans_ctes(k_clusters, iterations)
     ctes.append(
         f"""probed AS (
       SELECT vid AS query_id, cid FROM (
@@ -488,6 +497,61 @@ def _ivf_sql(k_clusters: int = 8, iterations: int = 2, probe: int = 2,
     SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def _semdedup_sql(k_clusters: int = 8, iterations: int = 1,
+                  threshold: float = 0.4) -> str:
+    """Oracle for semantic_dedup: identical k-means-lite clustering,
+    then within-cluster pairwise exact cosine; a vector is dropped iff
+    a smaller-id same-cluster vector has cosine >= threshold."""
+    ctes = _kmeans_ctes(k_clusters, iterations)
+    ctes.append("n2 AS (SELECT vid, sum(val * val) AS nn FROM v GROUP BY vid)")
+    ctes.append(
+        """pairs AS (
+      SELECT a.vid AS id_a, b.vid AS id_b
+      FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid
+    )"""
+    )
+    ctes.append(
+        """pd AS (
+      SELECT p.id_a, p.id_b,
+             sum(x.val * y.val) AS dot,
+             sum(x.val * x.val) AS an2,
+             sum(y.val * y.val) AS bn2
+      FROM pairs p
+      JOIN v x ON x.vid = p.id_a
+      JOIN v y ON y.vid = p.id_b AND y.dim = x.dim
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        f"""dup AS (
+      SELECT DISTINCT id_b FROM pd
+      WHERE an2 > 0 AND bn2 > 0 AND dot / sqrt(an2 * bn2) >= {threshold}
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT af.vid AS vec_id, af.cid AS cluster_id,
+           dup.id_b IS NULL AS is_kept
+    FROM af
+    JOIN n2 ON af.vid = n2.vid AND n2.nn > 0
+    LEFT JOIN dup ON af.vid = dup.id_b
+    """
+
+
+@_register("semdedup_docs", _semdedup_sql())
+def semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup: k-means-lite blocking clusters,
+    within-cluster exact-cosine pair scan (one numpy GEMM per cluster),
+    drop any vector with a smaller-id twin above threshold. The oracle
+    replays the identical clustering and pair logic in SQL."""
+    from .operators.vectors import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k_clusters=8, iterations=1, threshold=0.4
+    )
 
 
 @_register("ann_ivf_topk", _ivf_sql())

@@ -114,3 +114,24 @@ class TestIvf:
             assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
             cs = [r["cos_sim"] for r in rows]
             assert cs == sorted(cs, reverse=True)
+
+
+class TestSemanticDedup:
+    def test_invariants(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators.vectors import (
+            semantic_dedup,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = semantic_dedup(emb, k_clusters=8, iterations=1, threshold=0.4)
+        rows = out.collect()
+        # every non-zero vector appears exactly once
+        assert len({r.vec_id for r in rows}) == len(rows) == emb.count()
+        # the smallest id in each cluster can never be dropped (no
+        # smaller-id witness exists)
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for rs in by_cluster.values():
+            head = min(rs, key=lambda r: r.vec_id)
+            assert head.is_kept
