@@ -1,0 +1,175 @@
+"""Versioned parquet tables: snapshot isolation + time travel without a
+Delta runtime.
+
+The reference persists every layer as Delta Lake and leans on two of its
+properties: atomic overwrite (readers never observe a half-written
+table) and time travel (01_bronze_ingest.py:96-102 overwrite semantics;
+SURVEY.md §2.1 S3). delta-spark cannot be installed in this environment,
+so this module provides the same two contracts with a miniature
+manifest-commit protocol on plain parquet — the same design Delta's
+transaction log uses, reduced to full-snapshot (non-incremental) tables:
+
+    table_root/
+      _versions/v00000001.json   <- commit record (the COMMIT POINT)
+      _versions/v00000002.json
+      _data/v00000001/...parquet <- immutable snapshot data
+      _data/v00000002/...parquet
+
+Write protocol: (1) write the new snapshot's parquet under a fresh
+``_data/v{N}`` directory; (2) only then publish ``_versions/v{N}.json``
+via write-temp-then-atomic-rename. The manifest is the commit point:
+a reader lists ``_versions/`` and reads the snapshot the newest
+manifest names, so a crashed or in-flight writer (data written, no
+manifest) is simply invisible — readers keep seeing version N-1.
+Version numbers are monotonically increasing; concurrent writers race
+on the rename and the loser fails cleanly rather than corrupting (POSIX
+rename onto an existing path would overwrite, so the commit uses
+``os.link`` + unlink, which fails with EEXIST if the version was taken).
+
+Scale notes: the protocol is pure metadata — one small JSON per commit,
+no data-file rewrite beyond the snapshot itself, identical on an object
+store (publish = conditional PUT of the manifest key). Readers pay one
+directory listing of ``_versions/`` (tiny files), never a listing of
+the data tree. Old snapshots stay readable until ``vacuum``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSIONS = "_versions"
+_DATA = "_data"
+
+
+def _version_dir(root: str) -> str:
+    return os.path.join(root, _VERSIONS)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_version_dir(root), f"v{version:08d}.json")
+
+
+def _data_dir(root: str, version: int) -> str:
+    return os.path.join(root, _DATA, f"v{version:08d}")
+
+
+def list_versions(root: str) -> list[int]:
+    """Committed versions, ascending. Uncommitted data dirs are ignored."""
+    vdir = _version_dir(root)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_versioned(df: DataFrame, root: str) -> int:
+    """Commit ``df`` as the next snapshot version and return its number.
+
+    Data first, manifest last (see module docstring): a failure between
+    the two leaves an orphan data dir that readers never observe and
+    ``vacuum`` removes.
+    """
+    os.makedirs(_version_dir(root), exist_ok=True)
+    version = (list_versions(root) or [0])[-1] + 1
+    data = _data_dir(root, version)
+    df.write.mode("errorifexists").parquet(data)
+
+    manifest = {
+        "version": version,
+        "data": os.path.relpath(data, root),
+        "committed_at": time.time(),
+        "schema": df.schema.jsonValue(),
+    }
+    final = _manifest_path(root, version)
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        # link+unlink instead of rename: rename would silently overwrite
+        # a concurrent committer's manifest; link fails with EEXIST, so
+        # exactly one writer wins each version number
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit lost the race for version {version} of {root}"
+        )
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def read_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot — latest by default, or time-travel to
+    an explicit ``version``."""
+    versions = list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} of {root} does not exist "
+            f"(committed: {versions})"
+        )
+    with open(_manifest_path(root, version)) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(os.path.join(root, manifest["data"]))
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (data + manifest)
+    plus any orphaned (uncommitted) data dirs. Returns removed versions.
+
+    Mirrors Delta's VACUUM contract: time travel only reaches retained
+    versions afterwards.
+    """
+    import shutil
+
+    committed = list_versions(root)
+    keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+    removed = []
+    for v in committed:
+        if v not in keep:
+            os.unlink(_manifest_path(root, v))
+            shutil.rmtree(_data_dir(root, v), ignore_errors=True)
+            removed.append(v)
+    # orphans: data dirs with no manifest (crashed writers)
+    ddir = os.path.join(root, _DATA)
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            try:
+                v = int(name[1:])
+            except (ValueError, IndexError):
+                continue
+            if v not in keep and v not in committed:
+                shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
+                if v not in removed:
+                    removed.append(v)
+    return removed
+
+
+def history(root: str) -> list[dict]:
+    """Commit history (version, committed_at, data path), oldest first —
+    the DESCRIBE HISTORY analog."""
+    out = []
+    for v in list_versions(root):
+        with open(_manifest_path(root, v)) as f:
+            m = json.load(f)
+        out.append(
+            {"version": v, "committed_at": m["committed_at"], "data": m["data"]}
+        )
+    return out

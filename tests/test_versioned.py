@@ -1,0 +1,73 @@
+"""Versioned parquet tables: atomic-commit overwrite + time travel
+(the Delta contracts the reference relies on, without a Delta runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from instacart_medallion_lakehouse_spark import versioned as V
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+class TestCommitProtocol:
+    def test_versions_increment_and_latest_wins(self, spark, sf_dir, root):
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        assert V.write_versioned(region, root) == 1
+        assert V.write_versioned(nation, root) == 2
+        latest = V.read_versioned(spark, root)
+        assert latest.count() == nation.count()
+        assert set(latest.columns) == set(nation.columns)
+
+    def test_time_travel_reads_old_snapshot(self, spark, sf_dir, root):
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        V.write_versioned(region.limit(2), root)
+        assert V.read_versioned(spark, root, version=1).count() == region.count()
+        assert V.read_versioned(spark, root).count() == 2
+
+    def test_uncommitted_data_is_invisible(self, spark, sf_dir, root):
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        # simulate a crashed writer: data dir exists, manifest never lands
+        region.limit(1).write.parquet(V._data_dir(root, 2))
+        assert V.list_versions(root) == [1]
+        assert V.read_versioned(spark, root).count() == region.count()
+        # the next successful commit skips over nothing — version numbers
+        # come from manifests, so the orphan's slot is reused and the
+        # write fails on the existing dir rather than silently merging
+        with pytest.raises(Exception):
+            V.write_versioned(region, root)
+
+    def test_commit_race_single_winner(self, spark, sf_dir, root, monkeypatch):
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        # race: both writers read "latest = 1" and target version 2; the
+        # second to publish must FAIL (link EEXIST), not overwrite
+        forged = V._manifest_path(root, 2)
+        with open(forged, "w") as f:
+            f.write('{"version": 2, "data": "_data/v00000001"}')
+        monkeypatch.setattr(V, "list_versions", lambda _root: [1])
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            V.write_versioned(region, root)
+        # the forged winner's manifest is untouched
+        assert open(forged).read().startswith('{"version": 2')
+
+    def test_history_and_vacuum(self, spark, sf_dir, root):
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        for _ in range(3):
+            V.write_versioned(region, root)
+        h = V.history(root)
+        assert [e["version"] for e in h] == [1, 2, 3]
+        assert V.vacuum(root, keep_last=1) == [1, 2]
+        assert V.list_versions(root) == [3]
+        with pytest.raises(FileNotFoundError):
+            V.read_versioned(spark, root, version=1)
+        assert V.read_versioned(spark, root).count() == region.count()
