@@ -65,3 +65,43 @@ class TestCodegen:
     def test_q1_is_whole_stage_codegen(self, plans):
         # toString marks codegen'd stages with the "*(n)" prefix
         assert "*(1)" in plans["q1_pricing_summary"]
+
+
+@pytest.fixture(scope="module")
+def plans2(spark, sf_dir):
+    from instacart_medallion_lakehouse_spark import queries_ext as qx
+
+    names = ["q5_local_supplier", "cube_revenue", "tfidf_top_terms"]
+    out = {}
+    for n in names:
+        df = qx.__dict__[n](spark, sf_dir)
+        df.collect()
+        out[n] = _plan(df)
+    return out
+
+
+class TestRound2Plans:
+    def test_q5_broadcasts_every_dim(self, plans2):
+        # only lineitem<->orders may shuffle; customer/supplier/nation/
+        # region must ride broadcasts
+        p = plans2["q5_local_supplier"]
+        assert p.count("BroadcastHashJoin") >= 4
+
+    def test_q5_date_filter_pushed(self, plans2):
+        p = plans2["q5_local_supplier"]
+        assert "PushedFilters" in p and "o_orderdate" in p
+
+    def test_cube_is_single_scan_expand(self, plans2):
+        # CUBE = one scan + one Expand, not a scan per grouping set
+        # (AQE toString repeats the plan as "Initial Plan"; count only
+        # the final one)
+        p = plans2["cube_revenue"].split("== Initial Plan ==")[0]
+        assert p.count("FileScan parquet") == 1
+        assert "Expand" in p
+
+    def test_tfidf_doc_filter_pushed_below_window(self, plans2):
+        # the doc_id < 20 output filter must reach the documents scan on
+        # the tf/dl side (doc_id is the window partition key, so Catalyst
+        # can push it through row_number)
+        p = plans2["tfidf_top_terms"]
+        assert "PushedFilters" in p and "LessThan(doc_id,20)" in p
