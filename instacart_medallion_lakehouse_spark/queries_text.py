@@ -566,3 +566,84 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectors.cosine_neardup_pairs_lsh(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, num_planes=4
     )
+
+
+@_register(
+    "bigram_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+               generate_subscripts(arr, 1) AS pos,
+               unnest(arr) AS term
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+              FROM documents)
+      ) WHERE term <> ''
+    ),
+    big AS (
+      SELECT term AS t1,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM tok
+    )
+    SELECT t1, t2, count(*) AS n
+    FROM big WHERE t2 IS NOT NULL
+    GROUP BY t1, t2
+    ORDER BY n DESC, t1, t2
+    LIMIT 10
+    """,
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-10 bigrams. Adjacency comes from a lead() window
+    over token position — one shuffle on doc_id instead of the naive
+    position self-join (which would shuffle the token table twice and
+    build a join hash map per doc). Ties broken lexicographically so
+    the LIMIT is deterministic. At 100 TB the bigram count is a
+    classic map-side-combine aggregate: partial counts collapse each
+    partition's duplicates before the (t1, t2)-keyed exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        F.col("term").alias("t1"), F.lead("term").over(w).alias("t2")
+    )
+    return (
+        big.filter(F.col("t2").isNotNull())
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2")
+        .limit(10)
+    )
+
+
+@_register(
+    "nation_segments",
+    """
+    SELECT n.n_name AS nation_name,
+           count(*) AS n_customers,
+           list_sort(list_distinct(list(c.c_mktsegment))) AS segments
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-nation distinct market segments as a
+    SORTED array column (collect_set is unordered across partitions —
+    the array_sort is what makes the result deterministic and
+    comparable). The pattern behind feature-list / label-set columns
+    in training manifests."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        )
+        .select(F.col("n_name").alias("nation_name"), "n_customers", "segments")
+    )
