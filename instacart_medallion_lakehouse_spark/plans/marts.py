@@ -163,12 +163,17 @@ def region_performance(
     collect-then-literal (SURVEY.md §3.2).
 
     ``approx_distinct=True`` swaps exact countDistinct for
-    HyperLogLog++ (rsd 1%) — the 100 TB form: exact distinct expands
-    each group into one row per distinct value before re-aggregating,
-    while the sketch shuffles fixed-size registers (SURVEY.md §7.4).
+    HyperLogLog++ (rsd 5%, Spark's default) — the 100 TB form: exact
+    distinct expands each group into one row per distinct value before
+    re-aggregating, while the sketch shuffles fixed-size registers
+    (SURVEY.md §7.4). Register count scales as (1.04/rsd)^2 — rsd 1%
+    means 2^14 registers (~12 KB serialized per group-column), which
+    made the sketch SLOWER than exact at bench scale; 5% is ~512
+    registers and the right accuracy for share-of-total KPIs. Tighten
+    rsd only when the distinct counts feed decisions that need it.
     """
     distinct = (
-        (lambda c: F.approx_count_distinct(c, 0.01))
+        (lambda c: F.approx_count_distinct(c, 0.05))
         if approx_distinct
         else F.countDistinct
     )

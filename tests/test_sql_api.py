@@ -55,5 +55,9 @@ class TestDualSurface:
             for r in marts.region_performance(*args, approx_distinct=True).collect()
         }
         assert exact.keys() == approx.keys()
+        # rsd=0.05 is one sigma; allow 3 sigma so the deterministic
+        # sketch stays comfortably inside (HLL++ is deterministic for a
+        # fixed input, so this cannot flake run-to-run — the margin is
+        # for dataset regeneration between rounds)
         for key, n in exact.items():
-            assert abs(approx[key] - n) <= max(3, 0.05 * n)
+            assert abs(approx[key] - n) <= max(3, 0.15 * n)
