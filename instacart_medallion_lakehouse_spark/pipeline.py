@@ -171,8 +171,17 @@ def run_gold(
     silver: dict[str, DataFrame],
     out_dir: str,
     result: PipelineResult,
+    versioned_gold: bool = False,
 ) -> dict[str, DataFrame]:
-    """Silver → gold: star marts, fact disk-partitioned, all overwrite."""
+    """Silver → gold: star marts, fact disk-partitioned, all overwrite.
+
+    ``versioned_gold=True`` commits each mart as a new snapshot version
+    (versioned.py manifest protocol) instead of overwriting in place:
+    re-runs append to history, readers of the previous version are
+    never disturbed mid-write, and any earlier run stays reachable by
+    time travel — the Delta semantics the reference gets from
+    Databricks (01_bronze_ingest.py:96-102), on plain parquet.
+    """
     li = silver["lineitem"].cache()
     orders = silver["orders"].cache()
 
@@ -190,8 +199,14 @@ def run_gold(
     }
     out: dict[str, DataFrame] = {}
     for name, (df, part_by) in gold.items():
-        write_table(df, f"{out_dir}/gold/{name}", partition_by=part_by)
-        written = spark.read.parquet(f"{out_dir}/gold/{name}")
+        if versioned_gold:
+            from .versioned import read_versioned, write_versioned
+
+            write_versioned(df, f"{out_dir}/gold/{name}", partition_by=part_by)
+            written = read_versioned(spark, f"{out_dir}/gold/{name}")
+        else:
+            write_table(df, f"{out_dir}/gold/{name}", partition_by=part_by)
+            written = spark.read.parquet(f"{out_dir}/gold/{name}")
         n = written.count()
         quality.assert_row_count_nonzero(n, f"gold.{name}")
         quality.log_layer_stats("gold", name, n)
@@ -207,11 +222,14 @@ def run_medallion(
     sf_dir: str,
     out_dir: str,
     config_path: str | None = None,
+    versioned_gold: bool = False,
 ) -> PipelineResult:
     """Full bronze→silver→gold run; raises DataQualityError on gate breach.
 
     ``config_path`` points at a pipeline_config.yml (reference
     configs/pipeline_config.yml shape); omitted → library defaults.
+    ``versioned_gold`` snapshots each gold mart through the versioned
+    commit protocol (see run_gold).
     """
     thresholds = (
         quality.GateThresholds.from_yaml(config_path)
@@ -221,5 +239,5 @@ def run_medallion(
     result = PipelineResult()
     bronze = run_bronze(spark, sf_dir, out_dir, result)
     silver = run_silver(spark, bronze, out_dir, result, thresholds=thresholds)
-    run_gold(spark, silver, out_dir, result)
+    run_gold(spark, silver, out_dir, result, versioned_gold=versioned_gold)
     return result

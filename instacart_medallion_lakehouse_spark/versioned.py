@@ -72,17 +72,24 @@ def list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def write_versioned(df: DataFrame, root: str) -> int:
+def write_versioned(
+    df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> int:
     """Commit ``df`` as the next snapshot version and return its number.
 
     Data first, manifest last (see module docstring): a failure between
     the two leaves an orphan data dir that readers never observe and
-    ``vacuum`` removes.
+    ``vacuum`` removes. ``partition_by`` disk-partitions the snapshot —
+    partition pruning composes with versioning since each snapshot is an
+    ordinary parquet tree.
     """
     os.makedirs(_version_dir(root), exist_ok=True)
     version = (list_versions(root) or [0])[-1] + 1
     data = _data_dir(root, version)
-    df.write.mode("errorifexists").parquet(data)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data)
 
     manifest = {
         "version": version,

