@@ -1101,3 +1101,40 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term_rank") <= 3)
         .select("doc_id", "term", "tfidf", "term_rank")
     )
+
+
+@_register(
+    "supplier_balance_ranks",
+    """
+    SELECT s_suppkey,
+           round(s_acctbal, 2) AS acctbal,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full relative-rank family in one window: percent_rank,
+    cume_dist, rank, dense_rank over account balance (s_suppkey
+    tie-break makes the ordering total, so every rank is engine-
+    independent). Both rank ratios are exact rational values —
+    (rank-1)/(n-1) and rows<=current/n — computed identically by both
+    engines, then rounded for hash stability. A single un-partitioned
+    window serializes on one reducer; at 100 TB rank against
+    percentile cutpoints instead (price_percentiles shows the sketch
+    path)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        dround(F.col("s_acctbal"), 2).alias("acctbal"),
+        dround(F.percent_rank().over(w), 6).alias("pr"),
+        dround(F.cume_dist().over(w), 6).alias("cd"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )

@@ -313,3 +313,39 @@ def drain_to_batch(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stream_to_versioned(
+    streaming_df: DataFrame,
+    root: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch sink committing each micro-batch as a versioned
+    snapshot (versioned.py manifest protocol).
+
+    The checkpoint gives replay-once per micro-batch under normal
+    operation; on crash-replay foreachBatch is at-least-once, and the
+    failure mode here is an EXTRA snapshot version (readers of
+    "latest" see a duplicate commit of the same batch), never a
+    half-written or corrupted table — the manifest publish is atomic.
+    Re-running a drained stream against the same checkpoint commits
+    nothing (offsets already recorded), which is what makes a
+    streaming pipeline + versioned gold layer safely re-runnable.
+    """
+    from ..versioned import write_versioned
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_versioned(batch_df, root)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()

@@ -95,3 +95,30 @@ class TestVersionedGoldPipeline:
             df.filter("l_returnflag = 'R'")
             ._jdf.queryExecution().executedPlan().toString()
         ) or df.filter("l_returnflag = 'R'").count() > 0
+
+
+class TestStreamToVersioned:
+    def test_checkpoint_prevents_duplicate_commits(self, spark, sf_dir, tmp_path):
+        from instacart_medallion_lakehouse_spark.streaming.events import (
+            read_events_stream,
+            stream_to_versioned,
+        )
+        from instacart_medallion_lakehouse_spark.io import read_events
+
+        root = str(tmp_path / "events_versioned")
+        ckpt = str(tmp_path / "ckpt")
+        stream = read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        stream_to_versioned(stream, root, ckpt)
+        assert [e["version"] for e in V.history(root)] == [1]
+        assert (
+            V.read_versioned(spark, root).count()
+            == read_events(spark, sf_dir).count()
+        )
+        # same checkpoint -> offsets recorded -> no new snapshot
+        stream_to_versioned(stream, root, ckpt)
+        assert [e["version"] for e in V.history(root)] == [1]
+        # fresh checkpoint -> reprocess -> a second, identical snapshot
+        stream_to_versioned(stream, root, str(tmp_path / "ckpt2"))
+        assert [e["version"] for e in V.history(root)] == [1, 2]
