@@ -1138,3 +1138,73 @@ def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
     )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-quantity orders via HAVING on a fact
+    rollup, then enrich with order + customer. The heavy work is ONE
+    map-side-combinable aggregate of lineitem; the surviving order
+    keys are a tiny fraction, so both enrichment joins broadcast the
+    AGGREGATED side, never shuffling orders or customer against the
+    full fact table. l_quantity is integer-valued, so the HAVING
+    threshold is exact in any summation order (no cross-engine float
+    drift on the cut)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("_qty"),
+        )
+        .filter(F.col("_qty") > 250)
+        .select("l_orderkey", dround(F.col("_qty"), 2).alias("total_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            dround(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@_register("stream_running_totals", None)  # custom stateful op: rows-only
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState): per-user
+    running totals maintained in the state store across micro-batches,
+    drained with update-mode output. No SQL oracle BY DESIGN — the
+    operator's contract (incremental cross-batch state, processing-time
+    timeouts) is not SQL-expressible; the driver records the rows-only
+    check and tests/test_streaming.py proves final-state equivalence to
+    the batch aggregate."""
+    from .streaming.events import (
+        drain_to_batch,
+        read_events_stream,
+        running_user_totals_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    totals = running_user_totals_stream(stream)
+    return drain_to_batch(totals, output_mode="update")

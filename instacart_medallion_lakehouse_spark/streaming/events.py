@@ -152,7 +152,9 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def running_user_totals_stream(
-    events: DataFrame, watermark: str = "2 hours", idle_timeout_ms: int = 3_600_000
+    events: DataFrame,
+    watermark: str = "2 hours",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``.
 
@@ -160,8 +162,14 @@ def running_user_totals_stream(
     across micro-batches — the arbitrary-stateful-processing escape
     hatch for operators the built-in aggregations can't express
     (per-key models, custom eviction, cross-batch business logic).
-    State is a tuple in the state store, updated from Arrow batches;
-    idle users are evicted via processing-time timeout.
+    State is a tuple in the state store, updated from Arrow batches.
+
+    ``idle_timeout_ms`` (production knob) evicts idle users via
+    processing-time timeout. Leave it None for AvailableNow drains:
+    pending processing-time timeouts keep the trigger scheduling
+    micro-batches long after the input is exhausted (observed: 100+
+    empty epochs until the drain's own timeout force-stopped it), so
+    a bounded drain and timeout-eviction are mutually exclusive.
 
     Scale: state is partitioned by the grouping key across executors
     and checkpointed incrementally; the watermark bounds replay.
@@ -186,7 +194,8 @@ def running_user_totals_stream(
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
         state.update((n, total, last))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -204,7 +213,11 @@ def running_user_totals_stream(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
