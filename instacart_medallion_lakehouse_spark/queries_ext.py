@@ -1208,3 +1208,100 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     totals = running_user_totals_stream(stream)
     return drain_to_batch(totals, output_mode="update")
+
+
+@_register(
+    "daily_orders_zerofilled",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+             max(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT s.day, coalesce(d.n, 0) AS n_orders,
+           coalesce(d.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def daily_orders_zerofilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine zero-fill: generate every calendar day between the
+    first and last order (sequence + explode — no driver loop, no UDF),
+    left-join daily aggregates, coalesce gaps to zero. The canonical
+    fix for time series that silently skip empty days. The spine is
+    derived IN-PLAN from a 1-row min/max aggregate (cross-joined, so
+    no collect-then-literal); at 100 TB the spine side is a few
+    thousand rows and broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "trailing_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS day_revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT day, day_revenue,
+           round(sum(day_revenue) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_7d
+    FROM daily
+    """,
+)
+def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-day revenue plus its trailing
+    7-day sum via RANGE BETWEEN INTERVAL — value-based framing, which
+    unlike a ROWS frame stays correct when days are missing from the
+    series (a 6-row lookback would silently span more than 7 calendar
+    days across gaps). Summed values are pre-rounded day aggregates,
+    so the window sum is exact cross-engine."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dround(F.sum("o_totalprice"), 2).alias("day_revenue"))
+    # RANGE frames need an orderable numeric/date expression; Spark's
+    # rangeBetween over dates counts in DAYS via datediff-style casting
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "day_revenue",
+        dround(F.sum("day_revenue").over(w), 2).alias("trailing_7d"),
+    )
