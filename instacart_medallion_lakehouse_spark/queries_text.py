@@ -647,3 +647,94 @@ def nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n_name").alias("nation_name"), "n_customers", "segments")
     )
+
+
+@_register(
+    "repetition_ratio",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+               generate_subscripts(arr, 1) AS pos,
+               unnest(arr) AS term
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+              FROM documents)
+      ) WHERE term <> ''
+    ),
+    big AS (
+      SELECT doc_id, term AS t1,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM tok
+    ),
+    counts AS (
+      SELECT doc_id, t1, t2, count(*) AS n
+      FROM big WHERE t2 IS NOT NULL GROUP BY doc_id, t1, t2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(max(n) AS BIGINT) AS top_bigram_n,
+           round(max(n) * 1.0 / sum(n), 6) AS rep_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: the share of a document's
+    bigrams taken by its single most frequent bigram. Degenerate
+    machine-generated or boilerplate text scores high and gets culled
+    before training. Everything is explode + two hash aggregates —
+    the per-doc bigram count collapses map-side before the doc_id
+    exchange, so the shuffled volume is distinct bigrams, not tokens.
+    Docs with fewer than two tokens have no bigrams and drop out (no
+    signal, matching the oracle's inner aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", F.col("term").alias("t1"), F.lead("term").over(w).alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    counts = big.groupBy("doc_id", "t1", "t2").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.max("n").alias("top_bigram_n"),
+        dround(F.max("n") * F.lit(1.0) / F.sum("n"), 6).alias("rep_ratio"),
+    )
+
+
+@_register(
+    "train_val_test_split",
+    """
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs
+    FROM assigned GROUP BY split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-independent train/val/test assignment:
+    bucket each doc by the first md5 byte of its id (lowercase-hex
+    string comparison IS numeric comparison, so 'cd'/'e6' cut at
+    ~80%/90%). Unlike seeded sampling (engine-specific RNG streams),
+    the same row lands in the same split on any engine, any run, any
+    partitioning — the reproducibility property a training pipeline
+    actually needs. Scan-local: no shuffle except the 3-group count."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
