@@ -738,3 +738,61 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@_register(
+    "benchmark_contamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id < 10),
+    bsize AS (SELECT bench_id, count(*) AS bench_size FROM bench GROUP BY 1),
+    hits AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      FROM ex c JOIN bench b ON c.s = b.s AND c.doc_id >= 10
+      GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.bench_id, h.n_shared, s.bench_size,
+           round(h.n_shared * 1.0 / s.bench_size, 6) AS overlap_ratio
+    FROM hits h JOIN bsize s USING (bench_id)
+    WHERE h.n_shared * 1.0 / s.bench_size >= 0.2
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >= 20%
+    of a held-out document's 3-token shingles (benchmark set = docs
+    with id < 10, standing in for an eval suite). Training on such
+    documents inflates eval scores — this is the screen a corpus runs
+    before release.
+
+    Shape for 100 TB: the benchmark shingle set is tiny and BROADCASTS;
+    the corpus streams through the join with no shuffle of its own and
+    the per-(doc, bench) counts collapse map-side. Asymmetric by
+    construction — unlike dedup there is no corpus self-join anywhere.
+    """
+    ex = dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id")
+    bench = ex.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), F.col("_sh")
+    )
+    bsize = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_size"))
+    hits = (
+        ex.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "_sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = F.col("n_shared") * F.lit(1.0) / F.col("bench_size")
+    return (
+        hits.join(F.broadcast(bsize), "bench_id")
+        .filter(ratio >= 0.2)
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            "bench_size",
+            dround(ratio, 6).alias("overlap_ratio"),
+        )
+    )
