@@ -66,6 +66,8 @@ def write_table(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_files: int | None = None,
 ) -> None:
     """S3/S4: idempotent full-refresh write, optionally disk-partitioned.
 
@@ -78,10 +80,43 @@ def write_table(
     ``cluster_by`` additionally range-partitions and sorts rows by the
     given columns before writing, so parquet row-group min/max stats
     become selective — point/range predicates on the cluster key then
-    skip most row groups at scan time (the poor man's Z-order; at
-    100 TB this is the second-cheapest scan-elimination after disk
-    partitioning, and composes with it).
+    skip most row groups at scan time (lexicographic, so only the FIRST
+    key gets selective stats; at 100 TB this is the second-cheapest
+    scan-elimination after disk partitioning, and composes with it).
+
+    ``zorder_by=(colA, colB)`` instead lays rows out along a Morton
+    curve over BOTH columns (see zorder_key): predicates on either
+    column skip most files/row groups. The two columns are scaled to
+    16-bit buckets from a min/max aggregate of this input (one extra
+    tiny job at write time). ``zorder_files`` caps the file count
+    (default: leave partitioning as-is after the range exchange).
     """
+    from pyspark.sql import functions as F
+
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        ca, cb = zorder_by
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(ca), F.max(ca), F.min(cb), F.max(cb)
+        ).first()
+        span_a = max(int(hi_a) - int(lo_a), 1)
+        span_b = max(int(hi_b) - int(lo_b), 1)
+        scale = (1 << 16) - 1
+
+        def bucket(col, lo, span):
+            return ((F.col(col) - F.lit(int(lo))) * scale / F.lit(span)).cast(
+                "long"
+            )
+
+        zkey = zorder_key(bucket(ca, lo_a, span_a), bucket(cb, lo_b, span_b))
+        stamped = df.withColumn("_zkey", zkey)
+        parts = [zorder_files] if zorder_files else []
+        df = (
+            stamped.repartitionByRange(*parts, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     writer = df.write.format(TABLE_FORMAT).mode(mode)
@@ -90,6 +125,34 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Bit-interleaved (Morton) key over two numeric columns, each
+    normalized to ``bits`` rank buckets via min/max range scaling.
+
+    ``cluster_by`` (lexicographic range sort) makes row-group stats
+    selective for the FIRST key only; interleaving makes a single sort
+    order serve predicates on EITHER column — each file covers ~sqrt of
+    the per-key range a one-key sort would give it on the neglected
+    column. This is Delta's OPTIMIZE ZORDER idea as a pure Catalyst
+    expression (shift/or/and bit spreading, whole-stage codegen; no UDF).
+
+    ``a``/``b`` must already be scaled to [0, 2^bits) longs — see
+    write_table(zorder_by=...), which derives the scaling from a
+    min/max aggregate of the input.
+    """
+    from pyspark.sql import functions as F
+
+    def spread(x):  # 16-bit -> even bit positions of a 32-bit value
+        # .bitwiseOR, not `|`: PySpark maps `|` to logical OR
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:

@@ -180,3 +180,39 @@ def history(root: str) -> list[dict]:
             {"version": v, "committed_at": m["committed_at"], "data": m["data"]}
         )
     return out
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Rewrite the latest snapshot into right-sized files and commit the
+    result as a NEW version (the OPTIMIZE/compaction maintenance job).
+
+    Streaming sinks and fine-grained writers accumulate small files;
+    at 100 TB a scan's task count and footer-read overhead are driven
+    by file count, so periodic compaction is what keeps read
+    performance flat over time. The rewrite rides the same manifest
+    protocol as any write: readers keep the old version until the
+    compacted one is committed, and time travel still reaches the
+    pre-compaction snapshot. File count = ceil(snapshot bytes /
+    target_file_bytes), measured from the current data files.
+    """
+    import math
+
+    versions = list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    with open(_manifest_path(root, versions[-1])) as f:
+        manifest = json.load(f)
+    data = os.path.join(root, manifest["data"])
+    total = 0
+    for dirpath, _dirs, files in os.walk(data):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, name))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(data)
+    # coalesce, not repartition: compaction must not pay a shuffle
+    return write_versioned(df.coalesce(n_files), root)

@@ -200,3 +200,33 @@ class TestClusteredWrite:
             F.col("_prev").isNotNull() & (F.col("l_orderkey") < F.col("_prev"))
         ).count()
         assert violations == 0
+
+
+class TestZOrder:
+    def test_both_keys_get_selective_file_stats(self, spark, sf_dir, tmp_path):
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        zpath, cpath = str(tmp_path / "z"), str(tmp_path / "c")
+        io.write_table(df, zpath, zorder_by=("l_orderkey", "l_partkey"),
+                       zorder_files=8)
+        # lexicographic baseline at the same file count
+        (df.repartitionByRange(8, "l_orderkey")
+           .sortWithinPartitions("l_orderkey")
+           .write.mode("overwrite").parquet(cpath))
+
+        def avg_coverage(path, col):
+            back = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+            lo, hi = df.agg(F.min(col), F.max(col)).first()
+            span = (hi - lo) or 1
+            rows = back.groupBy("_f").agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()
+            return sum((r["hi"] - r["lo"]) / span for r in rows) / len(rows)
+
+        # morton layout: BOTH keys' per-file ranges are fractional
+        assert avg_coverage(zpath, "l_orderkey") < 0.75
+        assert avg_coverage(zpath, "l_partkey") < 0.75
+        # lexicographic: first key sharp, second key blown out
+        assert avg_coverage(cpath, "l_orderkey") < 0.3
+        assert avg_coverage(cpath, "l_partkey") > 0.9
+        # and the data survives intact
+        assert spark.read.parquet(zpath).count() == df.count()

@@ -122,3 +122,28 @@ class TestStreamToVersioned:
         # fresh checkpoint -> reprocess -> a second, identical snapshot
         stream_to_versioned(stream, root, str(tmp_path / "ckpt2"))
         assert [e["version"] for e in V.history(root)] == [1, 2]
+
+
+class TestCompaction:
+    def test_compaction_reduces_files_and_preserves_rows(
+        self, spark, sf_dir, tmp_path
+    ):
+        import glob
+
+        from instacart_medallion_lakehouse_spark.versioned import (
+            compact_versioned,
+        )
+
+        root = str(tmp_path / "tbl")
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # simulate a small-file mess: 16 files for a tiny table
+        V.write_versioned(df.repartition(16), root)
+        before = glob.glob(f"{root}/_data/v00000001/*.parquet")
+        assert len(before) == 16
+        v = compact_versioned(spark, root, target_file_bytes=1 << 30)
+        assert v == 2
+        after = glob.glob(f"{root}/_data/v00000002/*.parquet")
+        assert len(after) == 1
+        assert V.read_versioned(spark, root).count() == df.count()
+        # pre-compaction snapshot still reachable
+        assert V.read_versioned(spark, root, version=1).count() == df.count()
