@@ -1425,3 +1425,43 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@_register(
+    "union_by_name_drift",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS revenue
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    b AS (
+      SELECT o_orderstatus, o_orderkey FROM orders WHERE o_orderstatus = 'O'
+    ),
+    u AS (SELECT * FROM a UNION ALL BY NAME (SELECT * FROM b))
+    SELECT o_orderstatus, count(*) AS n, count(revenue) AS n_with_rev,
+           round(sum(revenue), 2) AS rev
+    FROM u GROUP BY o_orderstatus
+    """,
+)
+def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two extracts with different column ORDER and
+    SETS combined by NAME (missing columns null-filled) — what multi-
+    source bronze ingestion actually needs; positional UNION would
+    silently misalign columns or fail. The null-filled column then
+    flows through count/sum with standard null semantics, proving the
+    fill is a real NULL, not a sentinel."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dround(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderstatus", "o_orderkey"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("revenue").alias("n_with_rev"),
+        dround(F.sum("revenue"), 2).alias("rev"),
+    )

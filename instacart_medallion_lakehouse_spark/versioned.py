@@ -216,3 +216,37 @@ def compact_versioned(
     df = spark.read.parquet(data)
     # coalesce, not repartition: compaction must not pay a shuffle
     return write_versioned(df.coalesce(n_files), root)
+
+
+def upsert_versioned(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: list[str],
+) -> int:
+    """MERGE (SCD-1 upsert) against the latest snapshot, committed as a
+    new version: rows matching ``key`` are replaced by the update row,
+    unmatched update rows are inserted, everything else carries over.
+
+    Relationally this is ``(current ANTI-JOIN updates ON key) UNION ALL
+    updates`` — one anti-join (updates side broadcasts when small, the
+    overwhelmingly common case for incremental loads) plus the snapshot
+    rewrite. That is exactly what a Delta MERGE does physically to
+    touched files, except this full-snapshot format rewrites the whole
+    table — the simplification that keeps the commit protocol to one
+    manifest. Readers see the old version until the new manifest lands;
+    concurrent upserts race on the version number and the loser fails
+    cleanly (write_versioned's link-based publish), which is the
+    serializable-writer behavior MERGE needs.
+    """
+    from pyspark.sql import functions as F
+
+    current = read_versioned(spark, root)
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"upsert schema mismatch: table has {sorted(current.columns)}, "
+            f"updates have {sorted(updates.columns)}"
+        )
+    kept = current.join(F.broadcast(updates.select(*key)), on=key, how="left_anti")
+    merged = kept.unionByName(updates)
+    return write_versioned(merged, root)

@@ -147,3 +147,67 @@ class TestCompaction:
         assert V.read_versioned(spark, root).count() == df.count()
         # pre-compaction snapshot still reachable
         assert V.read_versioned(spark, root, version=1).count() == df.count()
+
+
+class TestUpsert:
+    def test_merge_updates_inserts_and_preserves(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.versioned import (
+            upsert_versioned,
+        )
+
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        updates = spark.createDataFrame(
+            [(0, "RENAMED"), (99, "BRAND_NEW")], "r_regionkey long, r_name string"
+        )
+        v = upsert_versioned(spark, root, updates, key=["r_regionkey"])
+        assert v == 2
+        latest = {r["r_regionkey"]: r["r_name"] for r in
+                  V.read_versioned(spark, root).collect()}
+        assert latest[0] == "RENAMED"          # matched -> replaced
+        assert latest[99] == "BRAND_NEW"       # unmatched -> inserted
+        assert len(latest) == region.count() + 1
+        # untouched rows carried over verbatim
+        orig = {r["r_regionkey"]: r["r_name"] for r in region.collect()}
+        for k, name in orig.items():
+            if k != 0:
+                assert latest[k] == name
+        # time travel still shows the pre-merge state
+        old = {r["r_regionkey"]: r["r_name"] for r in
+               V.read_versioned(spark, root, version=1).collect()}
+        assert old == orig
+
+    def test_schema_mismatch_rejected(self, spark, sf_dir, tmp_path):
+        import pytest as _pytest
+
+        from instacart_medallion_lakehouse_spark.versioned import (
+            upsert_versioned,
+        )
+
+        root = str(tmp_path / "tbl")
+        V.write_versioned(spark.read.parquet(f"{sf_dir}/region.parquet"), root)
+        bad = spark.createDataFrame([(1,)], "r_regionkey long")
+        with _pytest.raises(ValueError, match="schema mismatch"):
+            upsert_versioned(spark, root, bad, key=["r_regionkey"])
+
+
+class TestSchemaEvolution:
+    def test_versions_keep_their_own_schema(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        evolved = region.withColumn("r_tier", F.lit("gold"))
+        V.write_versioned(evolved, root)
+        assert "r_tier" not in V.read_versioned(spark, root, version=1).columns
+        assert "r_tier" in V.read_versioned(spark, root).columns
+        # the manifest records each version's schema for catalogs
+        import json as _json
+
+        with open(V._manifest_path(root, 2)) as f:
+            fields = {x["name"] for x in _json.load(f)["schema"]["fields"]}
+        assert "r_tier" in fields
