@@ -1465,3 +1465,20 @@ def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("revenue").alias("n_with_rev"),
         dround(F.sum("revenue"), 2).alias("rev"),
     )
+
+
+@_register("price_percentiles_approx", None)  # sketch: rows-only check
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of price_percentiles: percentile_approx
+    (Greenwald-Khanna sketch, accuracy 10000) instead of exact
+    percentile. Exact percentiles buffer every group value; the sketch
+    is fixed-size and merges map-side — the same exact/sketch pairing
+    as region_performance vs _approx. No oracle: DuckDB's approximate
+    quantile uses a different sketch (rows-only by design); closeness
+    to the exact twin is asserted in tests/test_queries_round2.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        dround(F.expr("percentile_approx(o_totalprice, 0.5, 10000)"), 2).alias("p50"),
+        dround(F.expr("percentile_approx(o_totalprice, 0.9, 10000)"), 2).alias("p90"),
+        dround(F.expr("percentile_approx(o_totalprice, 0.99, 10000)"), 2).alias("p99"),
+    )

@@ -105,3 +105,36 @@ class TestRound2Plans:
         # can push it through row_number)
         p = plans2["tfidf_top_terms"]
         assert "PushedFilters" in p and "LessThan(doc_id,20)" in p
+
+
+@pytest.fixture(scope="module")
+def plans3(spark, sf_dir):
+    from instacart_medallion_lakehouse_spark import queries_ext as qx
+
+    names = ["q18_large_orders", "q10_returned_items", "q7_volume_shipping"]
+    out = {}
+    for n in names:
+        df = qx.__dict__[n](spark, sf_dir)
+        df.collect()
+        out[n] = _plan(df)
+    return out
+
+
+class TestTpchPlans:
+    def test_q18_aggregated_side_broadcasts(self, plans3):
+        # the HAVING rollup result (tiny) broadcasts into orders; the
+        # fact table must not sort-merge against orders
+        p = plans3["q18_large_orders"]
+        assert p.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in p
+
+    def test_q10_filters_pushed(self, plans3):
+        p = plans3["q10_returned_items"]
+        assert "PushedFilters" in p
+        assert "l_returnflag" in p and "o_orderdate" in p
+        assert p.count("BroadcastHashJoin") >= 2
+
+    def test_q7_dims_broadcast(self, plans3):
+        p = plans3["q7_volume_shipping"]
+        assert p.count("BroadcastHashJoin") >= 4
+        assert "PushedFilters" in p and "l_shipdate" in p

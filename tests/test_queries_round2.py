@@ -91,3 +91,28 @@ class TestTfidf:
             rs.sort(key=lambda r: r.term_rank)
             for a, b in zip(rs, rs[1:]):
                 assert a.tfidf >= b.tfidf
+
+
+class TestApproxPercentiles:
+    def test_sketch_close_to_exact(self, spark, sf_dir):
+        exact = {r.o_orderstatus: r for r in qx.__dict__["price_percentiles"](
+            spark, sf_dir
+        ).collect()} if "price_percentiles" in qx.__dict__ else None
+        if exact is None:
+            from instacart_medallion_lakehouse_spark import queries as q
+
+            exact = {
+                r.o_orderstatus: r
+                for r in q.queries()["price_percentiles"](spark, sf_dir).collect()
+            }
+        approx = {
+            r.o_orderstatus: r
+            for r in qx.price_percentiles_approx(spark, sf_dir).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for k, e in exact.items():
+            a = approx[k]
+            for col in ("p50", "p90", "p99"):
+                # GK sketch at accuracy 10000 on a few hundred rows is
+                # near-exact; allow 2% relative slack
+                assert abs(a[col] - e[col]) <= 0.02 * abs(e[col]) + 1e-9
