@@ -524,8 +524,8 @@ def semantic_dedup(
     cluster and drop every vector that has a higher-similarity twin
     with a smaller id in its cluster.
 
-    Output: (vec_id, cluster_id, is_kept) for every non-zero vector —
-    is_kept = false iff some same-cluster vector with a smaller id has
+    Output: (vec_id, cluster_id, is_kept 0/1) for every non-zero vector —
+    is_kept = 0 iff some same-cluster vector with a smaller id has
     exact cosine >= threshold.
 
     This is the cluster-blocking trade (SemDedup, Abbas et al. 2023):
@@ -577,6 +577,8 @@ def semantic_dedup(
         .select(
             F.col(id_col).alias("vec_id"),
             F.col("_cid").alias("cluster_id"),
-            F.col("_dup").isNull().alias("is_kept"),
+            # int, not boolean: the only bool output column in the registry
+            # would be an untested type in the driver's cross-engine hash
+            F.col("_dup").isNull().cast("int").alias("is_kept"),
         )
     )

@@ -534,7 +534,7 @@ def _semdedup_sql(k_clusters: int = 8, iterations: int = 1,
     return f"""
     WITH {joined}
     SELECT af.vid AS vec_id, af.cid AS cluster_id,
-           dup.id_b IS NULL AS is_kept
+           CAST(dup.id_b IS NULL AS INT) AS is_kept
     FROM af
     JOIN n2 ON af.vid = n2.vid AND n2.nn > 0
     LEFT JOIN dup ON af.vid = dup.id_b
