@@ -1482,3 +1482,79 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.expr("percentile_approx(o_totalprice, 0.9, 10000)"), 2).alias("p90"),
         dround(F.expr("percentile_approx(o_totalprice, 0.99, 10000)"), 2).alias("p99"),
     )
+
+
+@_register(
+    "price_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram (50k-wide buckets, top bucket open) —
+    the profiling primitive behind distribution dashboards and skew
+    detection. Bucketing is a scan-local expression; the aggregate has
+    at most 10 groups, so partial aggregation collapses essentially
+    all rows map-side and the exchange moves ~10 rows per task."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast(
+        "long"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.min("o_totalprice"), 2).alias("lo"),
+            dround(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@_register(
+    "fuzzy_name_pairs",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM c a
+    JOIN c b ON length(a.c_name) = length(b.c_name)
+            AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity resolution): name pairs
+    within levenshtein distance 1, blocked on exact string length so
+    the self-join is an equi-join (hash-partitionable), not an
+    all-pairs nested loop. Equal-length blocking captures
+    substitution typos; to also catch single insert/delete typos add
+    a second bucketed join on length±1 — same shape, one more pass.
+    At 100 TB the block key keeps candidate pairs near-linear when
+    lengths are diverse; for skewed length distributions compose with
+    an additional prefix block (first char) like the PPJoin prefix
+    trick in dedup.py."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_name", F.length("c_name").alias("_len"))
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("_na"), "_len"
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("_nb"), "_len"
+    )
+    dist = F.levenshtein(F.col("_na"), F.col("_nb"))
+    return (
+        a.join(b, ["_len"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 1)
+        .select("id_a", "id_b", dist.alias("dist"))
+    )
