@@ -1,0 +1,72 @@
+"""Bounded label propagation: connected components for dedup clusters.
+
+Every dedup operator in this engine emits PAIRS (id_a, id_b). A
+curation pipeline then needs CLUSTERS — one surviving representative
+per connected component of the pair graph (A~B, B~C must collapse to
+one group even when A~C was never scored). This module closes that gap
+with min-label propagation in pure DataFrame form:
+
+    label(v) <- min(label(v), min over neighbors' labels), k rounds
+
+After k rounds every vertex holds the smallest vertex id within k hops,
+so components with diameter <= k are exactly labeled by their minimum
+member — the canonical deterministic representative. k is FIXED (not
+run-to-convergence) so the DuckDB oracle can replay the identical
+computation as unrolled CTEs; convergence for a given dataset is
+asserted separately in tests (one extra round changes nothing).
+
+Scale notes: each round is one join + one aggregate on the edge list —
+the textbook BSP step. Rounds shuffle O(|E|); caching each round's
+labels keeps lineage flat. Diameters in near-dup graphs are small
+(duplicates cluster around a few originals), so k stays single-digit;
+for adversarial chains switch to the large-star/small-star contraction
+(same join shape, fewer rounds), which this fixed-k form approximates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 6,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """(node, component) for every vertex in ``edges`` after
+    ``iterations`` rounds of min-label propagation. component = the
+    minimum vertex id within ``iterations`` hops (= the component's
+    minimum once converged)."""
+    a = F.col(src_col).alias("src")
+    b = F.col(dst_col).alias("dst")
+    sym = edges.select(a, b).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    sym = sym.distinct().cache()
+    sym.count()  # pinned: reused every round
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iterations):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        labels = labels.cache()
+        labels.count()  # materialize: flat lineage, no recompute cascade
+    return labels.select("node", F.col("label").alias("component"))

@@ -116,3 +116,27 @@ class TestApproxPercentiles:
                 # GK sketch at accuracy 10000 on a few hundred rows is
                 # near-exact; allow 2% relative slack
                 assert abs(a[col] - e[col]) <= 0.02 * abs(e[col]) + 1e-9
+
+
+class TestComponents:
+    def test_converged_and_valid_clustering(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = qx.fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b").cache()
+        six = {r.node: r.component for r in
+               label_propagation(edges, iterations=6).collect()}
+        seven = {r.node: r.component for r in
+                 label_propagation(edges, iterations=7).collect()}
+        assert six == seven  # a 7th round changes nothing -> converged
+        # every edge joins two nodes of the SAME component
+        for e in edges.collect():
+            assert six[e.id_a] == six[e.id_b]
+        # each component is labeled by its minimum member
+        comps: dict[int, list[int]] = {}
+        for node, comp in six.items():
+            comps.setdefault(comp, []).append(node)
+        for comp, members in comps.items():
+            assert comp == min(members)
+        edges.unpersist()
