@@ -491,6 +491,34 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _scored_passed_ctes() -> str:
+    """Shared oracle CTEs: quality scoring + floor filter (the curation
+    pipeline's first two stages), reused by curated_docs and
+    curated_docs_v2."""
+    hits_en = _hits_sql(STOPWORDS["en"])
+    return f"""scored0 AS (
+      SELECT doc_id, text,
+             len(t) AS n_tokens,
+             {hits_en} * 1.0 / len(t) AS stop_ratio,
+             len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio,
+             list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_tok,
+             {_lang_case_sql()} AS predicted_lang,
+             md5({_NORM_SQL}) AS fingerprint
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, text, predicted_lang, fingerprint,
+             round(
+               (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio >= 0.03 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END), 2)
+               AS quality_score
+      FROM scored0
+    ),
+    passed AS (SELECT * FROM scored WHERE quality_score >= 0.5)"""
+
+
 def _curated_sql() -> str:
     hits_en = _hits_sql(STOPWORDS["en"])
     return f"""
@@ -796,3 +824,132 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(ratio, 6).alias("overlap_ratio"),
         )
     )
+
+
+def _curated_v2_sql() -> str:
+    """curated_docs_v2 oracle: v1's score+filter+dedup chain extended
+    with the repetition-ratio filter and the benchmark-decontamination
+    screen — the full modern corpus recipe as ONE SQL statement."""
+    return f"""
+    WITH {_scored_passed_ctes()},
+    rtok AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+               generate_subscripts(arr, 1) AS pos,
+               unnest(arr) AS term
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+              FROM documents)
+      ) WHERE term <> ''
+    ),
+    rbig AS (
+      SELECT doc_id, term AS t1,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM rtok
+    ),
+    rcounts AS (
+      SELECT doc_id, t1, t2, count(*) AS n
+      FROM rbig WHERE t2 IS NOT NULL GROUP BY doc_id, t1, t2
+    ),
+    rep AS (SELECT doc_id, max(n) * 1.0 / sum(n) AS r FROM rcounts GROUP BY doc_id),
+    repok AS (
+      SELECT p.* FROM passed p
+      LEFT JOIN rep ON p.doc_id = rep.doc_id
+      WHERE coalesce(rep.r, 0.0) <= 0.1
+    ),
+    csh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ),
+    cex AS (SELECT doc_id, unnest(shingles) AS s FROM csh),
+    cbench AS (SELECT doc_id AS bench_id, s FROM cex WHERE doc_id < 10),
+    cbsize AS (SELECT bench_id, count(*) AS bench_size FROM cbench GROUP BY 1),
+    chits AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      FROM cex c JOIN cbench b ON c.s = b.s AND c.doc_id >= 10
+      GROUP BY 1, 2
+    ),
+    cflag AS (
+      SELECT DISTINCT h.doc_id
+      FROM chits h JOIN cbsize s USING (bench_id)
+      WHERE h.n_shared * 1.0 / s.bench_size >= 0.2
+    ),
+    clean AS (
+      SELECT r.* FROM repok r
+      LEFT JOIN cflag f ON r.doc_id = f.doc_id
+      WHERE r.doc_id >= 10 AND f.doc_id IS NULL
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS _canon
+        FROM clean
+      ) WHERE doc_id = _canon
+    ),
+    {_minhash_ctes("exact", 16, 2)},
+    pairs AS (
+      SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.8
+    ),
+    losers AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT e.doc_id, e.predicted_lang, e.quality_score
+    FROM exact e LEFT JOIN losers l ON e.doc_id = l.id_b
+    WHERE l.id_b IS NULL
+    """
+
+
+@_register("curated_docs_v2", _curated_v2_sql())
+def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern training-corpus recipe as one oracle-checked
+    composition: quality score -> floor filter -> repetition-ratio cull
+    (Gopher-style, <= 0.1) -> benchmark decontamination (>= 20% shingle
+    overlap with held-out docs id < 10, benchmark itself excluded) ->
+    exact dedup -> MinHash-LSH near-dedup (0.8). Stage ORDER matters:
+    dedup's min-id canonicalization runs on the already-cleaned set, so
+    both engines must apply the same sequence. Each stage is the
+    already-verified operator; this entry verifies the composition."""
+    from . import curation
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = curation.score_documents(docs)
+    passed = scored.filter(F.col("quality_score") >= 0.5)
+
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", F.col("term").alias("t1"), F.lead("term").over(w).alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    rep = (
+        big.groupBy("doc_id", "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg((F.max("n") * F.lit(1.0) / F.sum("n")).alias("_rep"))
+    )
+    repok = (
+        passed.join(rep, "doc_id", "left")
+        .filter(F.coalesce(F.col("_rep"), F.lit(0.0)) <= 0.1)
+        .drop("_rep")
+    )
+
+    ex = dedup.shingle_table(docs, 3, "doc_id")
+    bench = ex.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), "_sh"
+    )
+    bsize = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_size"))
+    flagged = (
+        ex.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "_sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(F.broadcast(bsize), "bench_id")
+        .filter(F.col("n_shared") * F.lit(1.0) / F.col("bench_size") >= 0.2)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = repok.filter(F.col("doc_id") >= 10).join(flagged, "doc_id", "left_anti")
+
+    exact = curation.drop_exact_duplicates(clean)
+    curated = curation.drop_near_duplicates(exact, threshold=0.8)
+    return curated.select("doc_id", "predicted_lang", "quality_score")
