@@ -1599,16 +1599,17 @@ def _components_sql(iterations: int = 6) -> str:
     """
 
 
-@_register("name_match_components", _components_sql())
+@_register("name_match_components", _components_sql(3))
 def name_match_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the fuzzy-name match graph: collapse
     pairwise matches (A~B, B~C) into clusters labeled by their minimum
     member — the step that turns any dedup operator's PAIR output into
-    survivors (keep the component minimum, drop the rest). 6 rounds of
-    min-label propagation; the digit-substitution name graph has
-    diameter <= 3 per length class, and convergence is asserted in
-    tests (a 7th round changes nothing)."""
+    survivors (keep the component minimum, drop the rest). 3 rounds of
+    min-label propagation suffice: equal-length blocking makes each
+    component a Hamming-ball of digit strings with diameter <= 3
+    (one round per differing position); convergence is asserted in
+    tests (a 4th round changes nothing)."""
     from .operators.graph import label_propagation
 
     edges = fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b")
-    return label_propagation(edges, iterations=6)
+    return label_propagation(edges, iterations=3)

@@ -126,10 +126,10 @@ class TestComponents:
 
         edges = qx.fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b").cache()
         six = {r.node: r.component for r in
-               label_propagation(edges, iterations=6).collect()}
+               label_propagation(edges, iterations=3).collect()}
         seven = {r.node: r.component for r in
-                 label_propagation(edges, iterations=7).collect()}
-        assert six == seven  # a 7th round changes nothing -> converged
+                 label_propagation(edges, iterations=4).collect()}
+        assert six == seven  # a 4th round changes nothing -> converged
         # every edge joins two nodes of the SAME component
         for e in edges.collect():
             assert six[e.id_a] == six[e.id_b]
