@@ -100,14 +100,25 @@ def write_table(
         lo_a, hi_a, lo_b, hi_b = df.agg(
             F.min(ca), F.max(ca), F.min(cb), F.max(cb)
         ).first()
-        span_a = max(int(hi_a) - int(lo_a), 1)
-        span_b = max(int(hi_b) - int(lo_b), 1)
+        if lo_a is None or lo_b is None:
+            raise ValueError(
+                f"zorder_by{zorder_by}: input has no non-null rows to scale by"
+            )
+        # all arithmetic in double (cast FIRST — a 32-bit int column
+        # would overflow the *65535 multiply) against float min/max (int
+        # truncation of a fractional lo shifts every bucket), clamped to
+        # [0, 2^16) so spread()'s 16-bit masks always see in-range input
+        span_a = max(float(hi_a) - float(lo_a), 1e-300)
+        span_b = max(float(hi_b) - float(lo_b), 1e-300)
         scale = (1 << 16) - 1
 
         def bucket(col, lo, span):
-            return ((F.col(col) - F.lit(int(lo))) * scale / F.lit(span)).cast(
-                "long"
-            )
+            raw = (
+                (F.col(col).cast("double") - F.lit(float(lo)))
+                * scale
+                / F.lit(span)
+            ).cast("long")
+            return F.greatest(F.lit(0), F.least(F.lit(scale), raw))
 
         zkey = zorder_key(bucket(ca, lo_a, span_a), bucket(cb, lo_b, span_b))
         stamped = df.withColumn("_zkey", zkey)

@@ -62,7 +62,10 @@ class GateThresholds:
 
         with open(path) as f:
             cfg = yaml.safe_load(f) or {}
-        section = cfg.get("quality_thresholds", {})
+        # `or {}` also covers a PRESENT-but-empty section (YAML null):
+        # every threshold commented out must mean "all defaults", not a
+        # TypeError from iterating None
+        section = cfg.get("quality_thresholds") or {}
         known = set(cls.__dataclass_fields__)
         unknown = set(section) - known
         if unknown:

@@ -1033,7 +1033,7 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT tf.doc_id, tf.term,
              round((tf.n_td * 1.0 / dl.len_d)
-                   * ln(n.n_docs * 1.0 / df.df_t), 6) AS tfidf
+                   * ln(n.n_docs * 1.0 / df.df_t), 4) AS tfidf
       FROM tf
       JOIN dl USING (doc_id)
       JOIN df USING (term)
@@ -1062,8 +1062,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-keyed aggregate reused via broadcast when the vocabulary is
     small, and the final doc filter is pushed below the row_number
     window because doc_id is its partition key. Scores are rounded to
-    6 dp BEFORE ranking so cross-engine float noise can't reorder the
-    top-k boundary."""
+    4 dp BEFORE ranking (ties broken by term) so cross-engine float
+    noise can't reorder the top-k boundary — ln() is the one
+    transcendental in the compared surface, and DuckDB's libm and the
+    JVM's Math.log carry a 1-ulp licence; coarse rounding shrinks the
+    boundary-straddle probability ~100x vs 6 dp."""
     docs = _t(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -1088,7 +1091,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(
                 (F.col("n_td") * F.lit(1.0) / F.col("len_d"))
                 * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df_t")),
-                6,
+                4,
             ).alias("tfidf"),
         )
         .filter(F.col("doc_id") < 20)

@@ -520,29 +520,8 @@ def _scored_passed_ctes() -> str:
 
 
 def _curated_sql() -> str:
-    hits_en = _hits_sql(STOPWORDS["en"])
     return f"""
-    WITH scored0 AS (
-      SELECT doc_id, text,
-             len(t) AS n_tokens,
-             {hits_en} * 1.0 / len(t) AS stop_ratio,
-             len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio,
-             list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_tok,
-             {_lang_case_sql()} AS predicted_lang,
-             md5({_NORM_SQL}) AS fingerprint
-      FROM (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
-    ),
-    scored AS (
-      SELECT doc_id, text, predicted_lang, fingerprint,
-             round(
-               (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
-               + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END)
-               + (CASE WHEN stop_ratio >= 0.03 THEN 0.25 ELSE 0.0 END)
-               + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END), 2)
-               AS quality_score
-      FROM scored0
-    ),
-    passed AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+    WITH {_scored_passed_ctes()},
     exact AS (
       SELECT * FROM (
         SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS _canon

@@ -41,11 +41,19 @@ _VIEWS_REGISTERED: "WeakKeyDictionary[SparkSession, str]" = WeakKeyDictionary()
 def ensure_star_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the star views once per (session, sf_dir) — view setup
     belongs in session setup, not in a query's hot path. Re-registers
-    only when the sf_dir changes (views are name-keyed per session, so
-    a different sf_dir must replace them)."""
-    if _VIEWS_REGISTERED.get(spark) != sf_dir:
-        register_star_views(spark, sf_dir)
-        _VIEWS_REGISTERED[spark] = sf_dir
+    when the sf_dir changes OR when any star view has been dropped
+    since (the cache alone can't see catalog mutations made by other
+    code in a long-lived session). The existence probe is per-call,
+    cheap, and catalog-only; a view SHADOWED by foreign
+    createOrReplaceTempView under the same name is indistinguishable
+    from our own registration — callers owning exotic catalogs should
+    call register_star_views explicitly."""
+    if _VIEWS_REGISTERED.get(spark) == sf_dir and all(
+        spark.catalog.tableExists(t) for t in [*STAR_TABLES, "events"]
+    ):
+        return
+    register_star_views(spark, sf_dir)
+    _VIEWS_REGISTERED[spark] = sf_dir
 
 
 # Flagship KPI mart as Spark SQL text — semantically identical to

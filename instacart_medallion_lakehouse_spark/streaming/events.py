@@ -358,7 +358,17 @@ def stream_to_versioned(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # the drain did NOT reach end-of-input: some micro-batches
+            # may already be committed as snapshot versions. Surface it
+            # — a silent partial table is worse than a loud one. The
+            # checkpoint makes a retry resume where this one stopped.
+            raise TimeoutError(
+                f"versioned drain into {root} did not finish within "
+                f"{timeout_sec}s; committed snapshots are a prefix of the "
+                "input — re-run with the same checkpoint to resume"
+            )
     finally:
         if q.isActive:
             q.stop()

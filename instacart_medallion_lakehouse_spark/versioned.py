@@ -72,6 +72,24 @@ def list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def _orphan_versions(root: str) -> list[int]:
+    """Data-dir version numbers with NO published manifest (crashed or
+    in-flight writers). Invisible to readers by protocol."""
+    ddir = os.path.join(root, _DATA)
+    if not os.path.isdir(ddir):
+        return []
+    committed = set(list_versions(root))
+    out = []
+    for name in os.listdir(ddir):
+        try:
+            v = int(name[1:])
+        except (ValueError, IndexError):
+            continue
+        if v not in committed:
+            out.append(v)
+    return sorted(out)
+
+
 def write_versioned(
     df: DataFrame, root: str, partition_by: list[str] | None = None
 ) -> int:
@@ -84,7 +102,11 @@ def write_versioned(
     ordinary parquet tree.
     """
     os.makedirs(_version_dir(root), exist_ok=True)
-    version = (list_versions(root) or [0])[-1] + 1
+    # skip over orphan data dirs (crashed writers that never published a
+    # manifest): committing into their slot would fail forever on
+    # errorifexists and wedge every re-run — the orphan stays invisible
+    # to readers and is reclaimed by vacuum()
+    version = max(list_versions(root) + _orphan_versions(root), default=0) + 1
     data = _data_dir(root, version)
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -137,12 +159,20 @@ def read_versioned(
     return spark.read.parquet(os.path.join(root, manifest["data"]))
 
 
-def vacuum(root: str, keep_last: int = 1) -> list[int]:
+def vacuum(
+    root: str, keep_last: int = 1, orphan_retention_sec: float = 3600.0
+) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (data + manifest)
-    plus any orphaned (uncommitted) data dirs. Returns removed versions.
+    plus STALE orphaned data dirs. Returns removed versions.
 
     Mirrors Delta's VACUUM contract: time travel only reaches retained
-    versions afterwards.
+    versions afterwards, and — like Delta's retention window — an
+    orphan data dir is only reclaimed once it is older than
+    ``orphan_retention_sec``. A younger manifest-less dir may belong to
+    an IN-FLIGHT writer between its data write and manifest publish;
+    deleting it would make that writer's subsequent commit point at a
+    destroyed directory. The retention window just needs to exceed the
+    longest plausible snapshot write.
     """
     import shutil
 
@@ -154,18 +184,19 @@ def vacuum(root: str, keep_last: int = 1) -> list[int]:
             os.unlink(_manifest_path(root, v))
             shutil.rmtree(_data_dir(root, v), ignore_errors=True)
             removed.append(v)
-    # orphans: data dirs with no manifest (crashed writers)
-    ddir = os.path.join(root, _DATA)
-    if os.path.isdir(ddir):
-        for name in os.listdir(ddir):
-            try:
-                v = int(name[1:])
-            except (ValueError, IndexError):
-                continue
-            if v not in keep and v not in committed:
-                shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
-                if v not in removed:
-                    removed.append(v)
+    now = time.time()
+    for v in _orphan_versions(root):
+        if v in keep:
+            continue
+        path = _data_dir(root, v)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if age >= orphan_retention_sec:
+            shutil.rmtree(path, ignore_errors=True)
+            if v not in removed:
+                removed.append(v)
     return removed
 
 

@@ -53,3 +53,15 @@ class TestFullConfig:
             "orders",
             "lineitem",
         ]
+
+
+class TestEmptySection:
+    def test_present_but_null_section_means_defaults(self, tmp_path):
+        from instacart_medallion_lakehouse_spark.quality import (
+            DEFAULT_THRESHOLDS,
+            GateThresholds,
+        )
+
+        p = tmp_path / "cfg.yml"
+        p.write_text("quality_thresholds:\n# all thresholds commented out\n")
+        assert GateThresholds.from_yaml(str(p)) == DEFAULT_THRESHOLDS

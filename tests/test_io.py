@@ -230,3 +230,20 @@ class TestZOrder:
         assert avg_coverage(cpath, "l_partkey") > 0.9
         # and the data survives intact
         assert spark.read.parquet(zpath).count() == df.count()
+
+
+class TestZOrderFractional:
+    def test_fractional_columns_bucket_in_range(self, spark, sf_dir, tmp_path):
+        # doubles in [0, ~0.1): int-truncated spans would corrupt the
+        # Morton interleave (bit 16 leaking past the spread masks)
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = str(tmp_path / "zf")
+        io.write_table(df, out, zorder_by=("l_discount", "l_tax"),
+                       zorder_files=4)
+        assert spark.read.parquet(out).count() == df.count()
+
+    def test_empty_input_fails_loud(self, spark, sf_dir, tmp_path):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet").filter("1=0")
+        with pytest.raises(ValueError, match="no non-null rows"):
+            io.write_table(df, str(tmp_path / "ze"),
+                           zorder_by=("r_regionkey", "r_regionkey"))

@@ -40,11 +40,20 @@ class TestCommitProtocol:
         region.limit(1).write.parquet(V._data_dir(root, 2))
         assert V.list_versions(root) == [1]
         assert V.read_versioned(spark, root).count() == region.count()
-        # the next successful commit skips over nothing — version numbers
-        # come from manifests, so the orphan's slot is reused and the
-        # write fails on the existing dir rather than silently merging
-        with pytest.raises(Exception):
-            V.write_versioned(region, root)
+        # the next commit SKIPS the orphan's slot (re-runnability: a
+        # crashed writer must not wedge every later write) and the
+        # orphan stays invisible
+        assert V.write_versioned(region, root) == 3
+        assert V.list_versions(root) == [1, 3]
+        assert V.read_versioned(spark, root).count() == region.count()
+        # fresh orphans survive vacuum (in-flight writer protection)...
+        assert V.vacuum(root, keep_last=2) == []
+        import os as _os
+
+        assert _os.path.isdir(V._data_dir(root, 2))
+        # ...but stale ones are reclaimed once past the retention window
+        assert V.vacuum(root, keep_last=2, orphan_retention_sec=0.0) == [2]
+        assert not _os.path.isdir(V._data_dir(root, 2))
 
     def test_commit_race_single_winner(self, spark, sf_dir, root, monkeypatch):
         region = spark.read.parquet(f"{sf_dir}/region.parquet")
