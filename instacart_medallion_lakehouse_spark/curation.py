@@ -87,6 +87,61 @@ def score_documents(docs: DataFrame) -> DataFrame:
     ).drop(*[f"_h_{lang}" for lang in STOPWORDS])
 
 
+def repetition_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, rep_ratio) per document: the share of its bigrams taken by
+    the single most frequent bigram (Gopher-style repetition signal).
+    Docs with fewer than two tokens emit no row — join with a left and
+    coalesce to 0 when filtering. Shared by the repetition_ratio query
+    and curated_docs_v2 (one definition, no engine-side drift)."""
+    tok = docs.select(
+        id_col,
+        F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = tok.select(
+        id_col, F.col("term").alias("t1"), F.lead("term").over(w).alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    return (
+        big.groupBy(id_col, "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg((F.max("n") * F.lit(1.0) / F.sum("n")).alias("rep_ratio"))
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench_max_id: int = 10,
+    overlap_threshold: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct ids of corpus docs (id >= bench_max_id) sharing at least
+    ``overlap_threshold`` of some benchmark doc's (id < bench_max_id)
+    3-token shingles. The benchmark side is tiny and broadcasts; the
+    corpus never shuffles for candidate generation. Shared by the
+    benchmark_contamination query and curated_docs_v2."""
+    from .operators.dedup import shingle_table
+
+    ex = shingle_table(docs, 3, id_col)
+    bench = ex.filter(F.col(id_col) < bench_max_id).select(
+        F.col(id_col).alias("bench_id"), "_sh"
+    )
+    bsize = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_size"))
+    return (
+        ex.filter(F.col(id_col) >= bench_max_id)
+        .join(F.broadcast(bench), "_sh")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(F.broadcast(bsize), "bench_id")
+        .filter(
+            F.col("n_shared") * F.lit(1.0) / F.col("bench_size")
+            >= overlap_threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
 def drop_exact_duplicates(scored: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id document per fingerprint group (one shuffle)."""
     w = Window.partitionBy("fingerprint")

@@ -886,46 +886,19 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines must apply the same sequence. Each stage is the
     already-verified operator; this entry verifies the composition."""
     from . import curation
-    from pyspark.sql import Window as W
 
     docs = _t(spark, sf_dir, "documents")
     scored = curation.score_documents(docs)
     passed = scored.filter(F.col("quality_score") >= 0.5)
 
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("pos", "term"),
-    ).filter(F.col("term") != "")
-    w = W.partitionBy("doc_id").orderBy("pos")
-    big = tok.select(
-        "doc_id", F.col("term").alias("t1"), F.lead("term").over(w).alias("t2")
-    ).filter(F.col("t2").isNotNull())
-    rep = (
-        big.groupBy("doc_id", "t1", "t2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg((F.max("n") * F.lit(1.0) / F.sum("n")).alias("_rep"))
-    )
+    rep = curation.repetition_table(docs)
     repok = (
         passed.join(rep, "doc_id", "left")
-        .filter(F.coalesce(F.col("_rep"), F.lit(0.0)) <= 0.1)
-        .drop("_rep")
+        .filter(F.coalesce(F.col("rep_ratio"), F.lit(0.0)) <= 0.1)
+        .drop("rep_ratio")
     )
-
-    ex = dedup.shingle_table(docs, 3, "doc_id")
-    bench = ex.filter(F.col("doc_id") < 10).select(
-        F.col("doc_id").alias("bench_id"), "_sh"
-    )
-    bsize = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_size"))
-    flagged = (
-        ex.filter(F.col("doc_id") >= 10)
-        .join(F.broadcast(bench), "_sh")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .join(F.broadcast(bsize), "bench_id")
-        .filter(F.col("n_shared") * F.lit(1.0) / F.col("bench_size") >= 0.2)
-        .select("doc_id")
-        .distinct()
+    flagged = curation.contamination_flags(
+        docs, bench_max_id=10, overlap_threshold=0.2
     )
     clean = repok.filter(F.col("doc_id") >= 10).join(flagged, "doc_id", "left_anti")
 
