@@ -247,3 +247,22 @@ class TestZOrderFractional:
         with pytest.raises(ValueError, match="no non-null rows"):
             io.write_table(df, str(tmp_path / "ze"),
                            zorder_by=("r_regionkey", "r_regionkey"))
+
+
+class TestZOrderKeyMath:
+    def test_morton_interleave_is_a_bijection(self, spark):
+        # all 256x256 bucket pairs must map to 65536 DISTINCT keys in
+        # [0, 2^16) — any mask/shift slip collides or leaks bits
+        pairs = (
+            spark.range(256)
+            .withColumnRenamed("id", "a")
+            .crossJoin(spark.range(256).withColumnRenamed("id", "b"))
+        )
+        keyed = pairs.select(io.zorder_key(F.col("a"), F.col("b")).alias("z"))
+        stats = keyed.agg(
+            F.countDistinct("z").alias("n"),
+            F.min("z").alias("lo"),
+            F.max("z").alias("hi"),
+        ).first()
+        assert stats["n"] == 65536
+        assert stats["lo"] == 0 and stats["hi"] == 65535
