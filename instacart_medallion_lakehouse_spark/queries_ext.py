@@ -1616,3 +1616,47 @@ def name_match_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b")
     return label_propagation(edges, iterations=3)
+
+
+@_register(
+    "modal_priority",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus AS order_status,
+           o_orderpriority AS modal_priority,
+           n AS n_orders
+    FROM ranked WHERE rn = 1
+    """,
+)
+def modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group as a deterministic
+    argmax-over-counts: count, then row_number with a value tie-break.
+    Built-in `mode()` breaks count ties arbitrarily across engines, so
+    this is the form that hash-verifies — and the two-level aggregate
+    is the scalable shape anyway (first level collapses map-side)."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
