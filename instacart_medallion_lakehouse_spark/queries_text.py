@@ -631,7 +631,7 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n.n_name AS nation_name,
            count(*) AS n_customers,
-           list_sort(list_distinct(list(c.c_mktsegment))) AS segments
+           array_to_string(list_sort(list_distinct(list(c.c_mktsegment))), ',') AS segments
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
@@ -639,10 +639,22 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-nation distinct market segments as a
-    SORTED array column (collect_set is unordered across partitions —
-    the array_sort is what makes the result deterministic and
-    comparable). The pattern behind feature-list / label-set columns
-    in training manifests."""
+    SORTED, comma-joined STRING column (collect_set is unordered across
+    partitions — the array_sort is what makes the result deterministic
+    and comparable; the array_join is because the correctness harness
+    canonicalizes via pandas, which cannot hash list cells). The array
+    form is available as :func:`nation_segments_array` for callers who
+    want the typed column. The pattern behind feature-list / label-set
+    columns in training manifests."""
+    return nation_segments_array(spark, sf_dir).withColumn(
+        "segments", F.array_join("segments", ",")
+    )
+
+
+def nation_segments_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed ARRAY<STRING> variant of :func:`nation_segments` — not
+    registered (the driver's pandas canonicalizer cannot hash lists),
+    but the natural output for programmatic consumers."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
