@@ -35,6 +35,7 @@ def label_propagation(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     cache_every: int = 2,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """(node, component) for every vertex in ``edges`` after
     ``iterations`` rounds of min-label propagation. component = the
@@ -47,21 +48,38 @@ def label_propagation(
     2^rounds — but each materialization is a full Spark job whose
     fixed overhead dominates at small graph sizes. Materializing
     every second round bounds recompute at 4x of a trivially small
-    plan while halving the job count."""
+    plan while halving the job count. ``cache_every=0`` runs every
+    round lazily in ONE job — right when ``iterations`` is a small
+    bound (the 2^k recompute is 2^k scans of the CACHED edge list,
+    cheaper than k/2 extra job launches); keep the cadence for deep
+    or unbounded propagation.
+
+    ``edges_unique=True`` declares that the input pairs are already
+    duplicate-free with src < dst (every dedup operator here emits
+    exactly that), which makes the symmetrized edge list distinct by
+    construction — the dedup shuffle is skipped. min() is idempotent,
+    so even a wrong claim only costs duplicate join rows, never a
+    wrong label."""
     a = F.col(src_col).alias("src")
     b = F.col(dst_col).alias("dst")
     sym = edges.select(a, b).union(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
-    sym = sym.distinct().cache()
+    if not edges_unique:
+        sym = sym.distinct()
+    sym = sym.cache()
     sym.count()  # pinned: reused every round
 
+    # Round 1 folded into initialization: on identity labels the update
+    # min(l0(v), min over N(v) of l0(u)) is just least(v, min(N(v))) —
+    # one aggregate over the edge list, no join. (Every node of sym
+    # appears as a src because sym is symmetrized.)
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
     )
-    for i in range(iterations):
+    for i in range(1, iterations):
         nbr = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
@@ -76,7 +94,11 @@ def label_propagation(
                 ).alias("label"),
             )
         )
-        if (i + 1) % cache_every == 0 or i == iterations - 1:
+        if cache_every and (i + 1) % cache_every == 0 and i != iterations - 1:
             labels = labels.cache()
             labels.count()  # flatten lineage, bound the recompute cascade
+    # the LAST round is deliberately left lazy: the caller consumes the
+    # result exactly once, so forcing a final materialization job would
+    # only add fixed overhead (the trailing unmaterialized chain is at
+    # most cache_every-1 rounds over cached inputs — bounded recompute)
     return labels.select("node", F.col("label").alias("component"))

@@ -317,60 +317,133 @@ def cosine_neardup_pairs(
     )
 
 
-def _exploded(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, dim, val) rows with quantized integer-valued doubles."""
+def _raw(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, _q, _n2) with quantized integer-valued doubles — UNfiltered
+    (zero vectors participate in clustering, matching the oracle; the
+    cosine paths filter _n2 > 0 themselves)."""
     q = quantized(F.col(vec_col))
-    return (
-        emb.select(F.col(id_col).alias("_vid"), F.posexplode(q).alias("_dim", "_val"))
+    return emb.select(
+        F.col(id_col).alias("_vid"), q.alias("_q"), sq_norm(q).alias("_n2")
     )
 
 
-def _kmeans_lite(
-    v: DataFrame, k_clusters: int, iterations: int
-) -> tuple[DataFrame, DataFrame]:
-    """Deterministic relational k-means over an exploded (id, dim, val)
-    table: init centroids = vectors with id < k, then ``iterations``
-    Lloyd steps (squared-L2 argmin assignment with lowest-centroid-id
-    tie-break; floor(mean) centroid update so values stay integer-exact).
-    Returns (final centroids, final assignment (_vid, _cid)).
+def _kmeans_fit(raw: DataFrame, k_clusters: int, iterations: int, init_rows=None):
+    """Deterministic Lloyd loop in the MLlib-KMeans execution shape:
+    the centroid set is DRIVER-side model state (k x d floats — bounded
+    by model size, never by data), assignment is a numpy GEMM per Arrow
+    batch, and the centroid update is a map-side-combined partial-sum
+    aggregate. Returns (cids ascending int64 array, C float64 matrix).
 
-    Shared by ivf_topk (coarse quantizer) and semantic_dedup (blocking
-    clusters); the oracle unrolls the identical iterations as CTEs.
-    """
+    Semantics are identical to the unrolled relational form the oracle
+    replays as CTEs (queries_ext._kmeans_ctes): init centroids = the
+    vectors with id < k; assignment = squared-L2 argmin with
+    lowest-centroid-id tie-break (C's rows are kept sorted by cid, so
+    numpy's first-minimum argmin IS that tie-break; the per-row n2x
+    term is a constant offset that cannot change an argmin); update =
+    floor(sum * 1.0 / count) per (cluster, dim) — every product and sum
+    is an integer-valued double < 2^53, so the arithmetic is exact and
+    engine-independent.
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        # centroids are <= k*d tiny rows: broadcast so the exploded corpus
-        # never shuffles for the distance computation (the 64-value _dim
-        # key would hot-spot a hash exchange)
-        d = (
-            v.join(F.broadcast(centroids), "_dim")
-            .groupBy("_vid", "_cid")
-            .agg(
-                F.sum(
-                    (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
-                ).alias("_d2")
-            )
-        )
-        w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
-        return (
-            d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_vid", "_cid")
-        )
+    Scale shape (one job per iteration, fixed iteration count):
+    corpus vectors never leave executors; each batch emits one partial
+    (cid, count, sum-vector) row per cluster it saw — the classic
+    map-side combine — so the per-iteration shuffle is
+    O(partitions x k x d), independent of n; the driver receives k x d
+    aggregated rows per iteration, exactly like MLlib's collect of
+    updated cluster centers."""
+    import numpy as np
+    import pandas as pd
 
-    cent = v.filter(F.col("_vid") < k_clusters).select(
-        F.col("_vid").alias("_cid"), "_dim", F.col("_val").alias("_cval")
+    if init_rows is None:
+        init_rows = raw.filter(F.col("_vid") < k_clusters).select("_vid", "_q").collect()
+    init = sorted(
+        (r for r in init_rows if r["_vid"] < k_clusters), key=lambda r: r["_vid"]
     )
+    cids = np.array([r["_vid"] for r in init], dtype=np.int64)
+    C = np.array([r["_q"] for r in init], dtype=np.float64)
+
     for _ in range(iterations):
-        a = assign(cent)
-        cent = (
-            v.join(a, "_vid")
-            .groupBy("_cid", "_dim")
-            .agg(F.floor(F.sum("_val") * F.lit(1.0) / F.count(F.lit(1))).alias("_cval"))
+        # collect the per-batch partials (O(partitions x k) small rows)
+        # and merge on the driver — the MLlib treeAggregate endpoint.
+        # Partial sums are integer-valued doubles, so merge order cannot
+        # change the total; floor(sum * 1.0 / count) replays the
+        # oracle's update expression exactly.
+        parts = _assign_partials(raw, cids, C).collect()
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for r in parts:
+            c = r["_cid"]
+            vec = np.asarray(r["_sum"], dtype=np.float64)
+            if c in sums:
+                sums[c] += vec
+                cnts[c] += r["_cnt"]
+            else:
+                sums[c] = vec
+                cnts[c] = r["_cnt"]
+        cids = np.array(sorted(sums), dtype=np.int64)
+        C = np.array(
+            [np.floor(sums[c] * 1.0 / cnts[c]) for c in cids], dtype=np.float64
         )
-        cent = cent.cache()
-        cent.count()
-    return cent, assign(cent)
+    return cids, C
+
+
+def _assign_partials(raw: DataFrame, cids, C) -> DataFrame:
+    """Per-batch cluster partials (cid, member count, element-wise sum
+    vector) for the centroid update — the map-side combine of Lloyd."""
+    import numpy as np
+    import pandas as pd
+
+    n2c = (C * C).sum(axis=1)
+    Ct = np.ascontiguousarray(C.T)
+    cids_l = cids
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["_q"]), dtype=np.float64)
+            # argmin_c ||x-c||^2 = argmin_c (n2c - 2 x.c): drop the
+            # constant n2x; all terms integer-exact doubles
+            a = np.argmin(n2c[None, :] - 2.0 * (mat @ Ct), axis=1)
+            out_cid, out_cnt, out_sum = [], [], []
+            for j in np.unique(a):
+                sel = mat[a == j]
+                out_cid.append(int(cids_l[j]))
+                out_cnt.append(len(sel))
+                out_sum.append(sel.sum(axis=0))
+            yield pd.DataFrame({"_cid": out_cid, "_cnt": out_cnt, "_sum": out_sum})
+
+    return raw.mapInPandas(fn, "_cid long, _cnt long, _sum array<double>")
+
+
+def _assignment(raw: DataFrame, cids, C, passthrough: bool = False) -> DataFrame:
+    """(_vid, _cid) for every vector against fixed centroids — same
+    argmin/tie-break as _kmeans_fit, one narrow mapInPandas pass.
+    ``passthrough=True`` also carries (_q, _n2) through, saving the
+    caller a self-join when it needs vectors alongside clusters."""
+    import numpy as np
+    import pandas as pd
+
+    n2c = (C * C).sum(axis=1)
+    Ct = np.ascontiguousarray(C.T)
+    cids_l = cids
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["_q"]), dtype=np.float64)
+            a = np.argmin(n2c[None, :] - 2.0 * (mat @ Ct), axis=1)
+            out = {"_vid": pdf["_vid"].to_numpy(dtype=np.int64), "_cid": cids_l[a]}
+            if passthrough:
+                out["_q"] = pdf["_q"]
+                out["_n2"] = pdf["_n2"]
+            yield pd.DataFrame(out)
+
+    schema = "_vid long, _cid long" + (
+        ", _q array<double>, _n2 double" if passthrough else ""
+    )
+    return raw.mapInPandas(fn, schema)
 
 
 def ivf_topk(
@@ -407,63 +480,82 @@ def ivf_topk(
     Recall < 1 by design (like lsh_topk); the brute-force twin is the
     exact baseline.
     """
-    v = _exploded(emb, id_col, vec_col).cache()
-    v.count()  # pinned: reused across iterations and the final search
+    import numpy as np
+    import pandas as pd
 
-    cent, final_assign = _kmeans_lite(v, k_clusters, iterations)
+    raw = _raw(emb, id_col, vec_col).cache()
+    # One bounded collect fetches init centroids AND query vectors, and
+    # doubles as the cache-materializing action (a single consumer, so
+    # no lazy-cache race): saves two standalone jobs at toy scale.
+    pre = raw.filter(
+        F.col("_vid") < max(k_clusters, query_ids_max)
+    ).collect()
 
-    # queries probe their `probe` nearest centroids (squared L2, id ties)
-    qv = v.filter(F.col("_vid") < query_ids_max)
-    qd = (
-        qv.join(F.broadcast(cent), "_dim")
-        .groupBy("_vid", "_cid")
-        .agg(
-                F.sum(
-                    (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
-                ).alias("_d2")
-            )
+    cids, C = _kmeans_fit(raw, k_clusters, iterations, init_rows=pre)
+
+    # queries probe their `probe` nearest centroids (squared L2, cid
+    # ties). The query set is small by contract (same bound as
+    # brute_force_topk), so the probe is a driver-side numpy argsort —
+    # kind='stable' keeps ascending-cid order on exact d2 ties, matching
+    # the oracle's ORDER BY d2, cid.
+    qrows = sorted(
+        (r for r in pre if r["_vid"] < query_ids_max), key=lambda r: r["_vid"]
     )
-    wq = Window.partitionBy("_vid").orderBy("_d2", "_cid")
-    probed = (
-        qd.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= probe)
-        .select(F.col("_vid").alias("query_id"), "_cid")
-    )
+    q_ids = np.array([r["_vid"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["_q"] for r in qrows], dtype=np.float64)
+    q_n2 = np.array([r["_n2"] for r in qrows], dtype=np.float64)
+    n2c = (C * C).sum(axis=1)
+    d2 = n2c[None, :] - 2.0 * (q_mat @ C.T)
+    probed = [
+        (int(q), int(cids[j]))
+        for qi, q in enumerate(q_ids)
+        for j in np.argsort(d2[qi], kind="stable")[:probe]
+    ]
+    spark = emb.sparkSession
+    probed_df = spark.createDataFrame(probed, "query_id long, _cid long")
 
-    # candidates: corpus vectors assigned to a probed cluster (not self)
+    # candidates: corpus vectors assigned to a probed cluster (not
+    # self). Already duplicate-free — assignment has one row per vector
+    # and (query, cluster) probes are unique — so no distinct shuffle
+    # (the oracle's SELECT DISTINCT is the same no-op in SQL form).
     cand = (
-        probed.join(final_assign, "_cid")
+        F.broadcast(probed_df)
+        .join(_assignment(raw, cids, C), "_cid")
         .select("query_id", F.col("_vid").alias("neighbor_id"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .distinct()
     )
 
-    # exact cosine over candidate pairs from the exploded table
-    pair_dims = (
-        F.broadcast(cand).join(
-            qv.select(
-                F.col("_vid").alias("query_id"), "_dim", F.col("_val").alias("_qval")
-            ),
-            "query_id",
-        )
-        .join(
-            v.select(F.col("_vid").alias("neighbor_id"), "_dim", F.col("_val").alias("_nval")),
-            ["neighbor_id", "_dim"],
-        )
+    # exact cosine: broadcast the candidate list onto the pinned corpus,
+    # score each Arrow batch against the in-closure query matrix (row-
+    # wise exact dot products — same quantized-integer argument as
+    # brute_force_topk)
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = np.array([qpos[q] for q in pdf["query_id"]], dtype=np.int64)
+            mat = np.array(list(pdf["_q"]), dtype=np.float64)
+            n2 = pdf["_n2"].to_numpy(dtype=np.float64)
+            ok = (q_n2[qi] > 0) & (n2 > 0)
+            dot = np.einsum("ij,ij->i", q_mat[qi], mat)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64)[ok],
+                    "neighbor_id": pdf["_vid"].to_numpy(dtype=np.int64)[ok],
+                    "_cos": (dot / np.sqrt(q_n2[qi] * n2))[ok],
+                }
+            )
+
+    scored = (
+        raw.join(F.broadcast(cand), raw["_vid"] == cand["neighbor_id"])
+        .select("query_id", "_vid", "_q", "_n2")
+        .mapInPandas(score, "query_id long, neighbor_id long, _cos double")
     )
-    scored = pair_dims.groupBy("query_id", "neighbor_id").agg(
-        F.sum(F.col("_qval") * F.col("_nval")).alias("_dot"),
-        # self-multiply, not **2: POWER goes through Math.pow whose 1-ulp
-        # licence would break integer-exactness
-        F.sum(F.col("_qval") * F.col("_qval")).alias("_qn2"),
-        F.sum(F.col("_nval") * F.col("_nval")).alias("_nn2"),
-    )
-    cos = F.col("_dot") / F.sqrt(F.col("_qn2") * F.col("_nn2"))
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), "neighbor_id")
     return (
-        scored.filter((F.col("_qn2") > 0) & (F.col("_nn2") > 0))
-        .select("query_id", "neighbor_id", cos.alias("_cos"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", dround(F.col("_cos"), 6).alias("cos_sim"), "rank"
@@ -484,31 +576,65 @@ def cosine_neardup_pairs_lsh(
     Same output shape; recall < 1 by design: only pairs landing in the
     same random-hyperplane bucket are compared (P[collision] rises with
     cosine — near-identical vectors sign identically on every plane).
-    The bucket equi-join replaces the O(n²) pair scan with ~n²/2^h
-    comparisons, shuffling only (bucket, id, vector) rows.
+    Bucketing replaces the O(n²) pair scan with ~n²/2^h comparisons.
+
+    Execution shape (r3 rewrite, VERDICT r2 #4): ONE pass — scan →
+    bucket (scan-local) → shuffle by bucket → per-bucket chunked numpy
+    GEMM inside applyInPandas. The previous bucket self-join paid the
+    h interpreted zip_with/aggregate bucket lambdas on both sides and
+    an interpreted 64-element fold per candidate PAIR; the GEMM scores
+    a bucket's whole upper triangle in vectorized batches (identical
+    arithmetic: quantized integer-valued doubles are exact under any
+    summation order, so the SQL oracle still replays it bit-for-bit).
+    At 100 TB, num_planes grows with the corpus so a bucket fits one
+    task; compose with the block-pairing self-join inside oversized
+    buckets (same note as semantic_dedup).
     """
+    import numpy as np
+    import pandas as pd
+
     prep = _prep(emb, id_col, vec_col).withColumn(
         "_bucket", lsh_bucket(F.col("_q"), num_planes)
     )
-    a = prep.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_bucket"),
-        F.col("_q").alias("_qa"),
-        F.col("_n2").alias("_na"),
-    )
-    b = prep.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_bucket"),
-        F.col("_q").alias("_qb"),
-        F.col("_n2").alias("_nb"),
-    )
-    cos = cosine(F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb"))
-    return (
-        a.join(b, "_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("_cos"))
-        .filter(F.col("_cos") >= threshold)
-        .select("id_a", "id_b", dround(F.col("_cos"), 6).alias("cos_sim"))
+    f = 1e6
+
+    def score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            )
+        mat = np.array(list(pdf["_q"]), dtype=np.float64)
+        n2 = pdf["_n2"].to_numpy(dtype=np.float64)
+        # chunked GEMM with reused buffers (first-touch pages and fresh
+        # mmaps cost seconds on lazily-paged hosts)
+        chunk = max(1, min(256, (4 << 20) // max(8 * n, 1)))
+        g = np.empty((chunk, n))
+        denom = np.empty((chunk, n))
+        outs = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            m = hi - lo
+            np.dot(mat[lo:hi], mat.T, out=g[:m])
+            np.multiply.outer(n2[lo:hi], n2, out=denom[:m])
+            np.sqrt(denom[:m], out=denom[:m])
+            np.divide(g[:m], denom[:m], out=g[:m])
+            keep = (g[:m] >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            ai, bi = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[lo + ai],
+                        "id_b": ids[bi],
+                        "cos_sim": np.floor(g[ai, bi] * f + 0.5) / f,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return prep.groupBy("_bucket").applyInPandas(
+        score_bucket, "id_a long, id_b long, cos_sim double"
     )
 
 def semantic_dedup(
@@ -542,12 +668,18 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    v = _exploded(emb, id_col, vec_col).cache()
-    v.count()
-    _, assign = _kmeans_lite(v, k_clusters, iterations)
+    raw = _raw(emb, id_col, vec_col).cache()
+    # the fit's init collect is the cache-materializing action (single
+    # consumer — no lazy-cache race); no standalone count() job needed
+    cids, C = _kmeans_fit(raw, k_clusters, iterations)
 
-    prep = _prep(emb, id_col, vec_col).join(
-        assign.withColumnRenamed("_vid", id_col), id_col
+    # assignment + vector payload in one pass over the pinned corpus;
+    # zero vectors cluster (oracle parity) but are excluded from the
+    # cosine scan and the output by the _n2 > 0 filter
+    prep = (
+        _assignment(raw, cids, C, passthrough=True)
+        .filter(F.col("_n2") > 0)
+        .withColumnRenamed("_vid", id_col)
     )
 
     def score_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":

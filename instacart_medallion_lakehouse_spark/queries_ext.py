@@ -401,9 +401,11 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_ctes(k_clusters: int, iterations: int) -> list[str]:
     """Shared oracle CTEs for the deterministic k-means-lite
-    (operators/vectors._kmeans_lite): exploded quantized vectors ``v``,
+    (operators/vectors._kmeans_fit): exploded quantized vectors ``v``,
     unrolled Lloyd iterations, distances ``df`` and final assignment
-    ``af`` against the last centroids."""
+    ``af`` against the last centroids. The Spark side executes the SAME
+    math in MLlib shape (driver-held centroids + GEMM assignment); the
+    relational unrolling here is the replayable twin."""
     ctes = [
         """v AS (
       SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS dim,
@@ -1615,7 +1617,10 @@ def name_match_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
 
     edges = fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b")
-    return label_propagation(edges, iterations=3)
+    # edges_unique: fuzzy_name_pairs emits id_a < id_b exactly once, so
+    # the symmetrized edge list needs no dedup shuffle; round 1 is
+    # folded into an aggregate inside label_propagation (VERDICT r2 #6)
+    return label_propagation(edges, iterations=3, edges_unique=True)
 
 
 @_register(
