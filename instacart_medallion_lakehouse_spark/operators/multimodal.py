@@ -5,20 +5,27 @@ A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns beside typed metadata, and runs decode / resize /
 feature-extract / frame-sample as vectorized Python over Arrow batches —
 the ONE place Python-per-batch is the right tool (codecs aren't SQL).
-This module makes that plumbing real:
+This module makes that plumbing real, including REAL container-header
+decoding:
 
 - ``with_media`` fabricates a deterministic media column from the
-  documents table (payload = utf-8 bytes of the text, media_type from
-  the doc id) so the pipeline is exercisable without binary fixtures.
+  documents table whose payloads carry genuine format headers — a PNG
+  signature + IHDR chunk, a JPEG SOI + SOF0 segment, or a RIFF/WAVE
+  fmt chunk — with dimensions/channels/sample-rate derived from the
+  doc id, followed by the utf-8 document bytes as the "pixel data".
 - ``extract_media_features`` is the production shape: ``mapInPandas``
   with an explicit output schema, batch-at-a-time pandas, zero
-  driver-side collection. Its stub "decode" computes deterministic
-  features (byte length, md5 checksum, fake dimensions) so results are
-  DuckDB-oracle-checkable end to end.
-- ``decode_image`` / ``resize_image`` / ``sample_frames`` are the real
-  codec entry points, stubbed with NotImplementedError because no
-  image/audio libraries exist in this environment. The Spark-side
-  contract (schemas, batching, partitioning) is identical for the real
+  driver-side collection. Its decode step PARSES the binary headers
+  with ``struct`` (big-endian IHDR fields, JPEG marker-segment walk,
+  little-endian WAVE fmt fields) — the decoded width/height/channels/
+  sample_rate come from the payload bytes, and the SQL oracle
+  recomputes the same values arithmetically from doc_id, so a parser
+  bug is a cross-engine mismatch.
+- ``decode_image`` / ``resize_image`` / ``sample_frames`` are the
+  deep-codec entry points (pixel decode, resampling, frame
+  extraction), stubbed with NotImplementedError because no image/audio
+  libraries exist in this environment. The Spark-side contract
+  (schemas, batching, partitioning) is identical for the real
   implementations — swap the stub body, keep the plumbing.
 
 Scale notes: mapInPandas streams Arrow record batches through one
@@ -31,11 +38,13 @@ Arrow transfer minimal.
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -51,50 +60,172 @@ MEDIA_FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("media_type", StringType()),
+        StructField("format", StringType()),
         StructField("n_bytes", LongType()),
         StructField("checksum", StringType()),
-        StructField("fake_width", IntegerType()),
-        StructField("fake_height", IntegerType()),
-        StructField("fake_n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
     ]
 )
+
+# PNG color type -> samples per pixel (PNG spec, IHDR colour types)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _be_hex(col: Column, nbytes: int) -> Column:
+    """Zero-padded big-endian hex of a non-negative integer column."""
+    return F.lpad(F.hex(col), 2 * nbytes, "0")
+
+
+def _le_hex(col: Column, nbytes: int) -> Column:
+    """Little-endian hex (byte-swapped) — RIFF/WAVE fields are LE."""
+    h = F.lpad(F.hex(col), 2 * nbytes, "0")
+    return F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    )
 
 
 def with_media(docs: DataFrame) -> DataFrame:
     """Attach a deterministic binary payload + media_type metadata.
 
-    payload = utf-8 bytes of ``text``; media_type cycles by doc_id.
-    This is the canonical layout for multimodal tables: (id, typed
-    metadata..., binary payload).
+    media_type cycles by doc_id (0=image, 1=audio, 2=video). Image and
+    audio payloads get REAL format headers built byte-for-byte from hex
+    expressions (JVM-side, scan-local): images alternate PNG (IHDR with
+    doc-id-derived width/height and a cycling grey/RGB/RGBA colour
+    type; CRC zeroed — dimension parsers don't checksum) and JPEG (SOI
+    + SOF0 with height-before-width per the JFIF spec, 3 components);
+    audio is a 44-byte canonical WAVE header (PCM, doc-id-derived
+    channel count and sample rate, little-endian fields). Video stays a
+    bare payload (no container — frame metadata needs ffmpeg, see
+    sample_frames). The document's utf-8 bytes follow the header as
+    body bytes, so payloads are content-sized, not toy constants.
     """
+    body = F.encode("text", "UTF-8")
+    blen = F.octet_length(body)
+    d = F.col("doc_id")
+
+    png_w = F.lit(1) + d % 640
+    png_h = F.lit(1) + d % 480
+    # doc_id % 6 == 0 for PNG rows, so doc_id % 18 cycles {0, 6, 12}:
+    # colour type cycles greyscale (0) / truecolour (2) / RGBA (6)
+    png_ct = F.element_at(
+        F.array(F.lit(0), F.lit(2), F.lit(6)),
+        (F.floor((d % 18) / 6) + 1).cast("int"),
+    )
+    png_hdr = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),  # signature + IHDR len/tag
+            _be_hex(png_w, 4),
+            _be_hex(png_h, 4),
+            F.lit("08"),  # bit depth
+            _be_hex(png_ct, 1),
+            F.lit("00000000000000"),  # compression, filter, interlace, CRC(0)
+        )
+    )
+
+    jpg_w = F.lit(1) + d % 512
+    jpg_h = F.lit(1) + d % 384
+    jpg_hdr = F.unhex(
+        F.concat(
+            F.lit("FFD8FFC0001108"),  # SOI, SOF0, len 17, precision 8
+            _be_hex(jpg_h, 2),  # SOF0 stores height first
+            _be_hex(jpg_w, 2),
+            F.lit("03011100021101031101"),  # 3 components
+        )
+    )
+
+    wav_ch = F.lit(1) + d % 2
+    wav_rate = (F.lit(8000) * (F.lit(1) + d % 4)).cast("bigint")
+    wav_hdr = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # RIFF
+            _le_hex(F.lit(36) + blen, 4),
+            F.lit("57415645666D7420"),  # WAVE, "fmt "
+            F.lit("100000000100"),  # fmt chunk size 16 (LE), PCM format 1 (LE)
+            _le_hex(wav_ch, 2),
+            _le_hex(wav_rate, 4),
+            _le_hex(wav_rate * wav_ch * 2, 4),  # byte rate (16-bit samples)
+            _le_hex(wav_ch * 2, 2),  # block align
+            F.lit("1000"),  # bits per sample
+            F.lit("64617461"),  # data
+            _le_hex(blen, 4),
+        )
+    )
+
+    mt = (d % 3).cast("int")
+    payload = (
+        F.when((mt == 0) & (d % 6 == 0), F.concat(png_hdr, body))
+        .when(mt == 0, F.concat(jpg_hdr, body))
+        .when(mt == 1, F.concat(wav_hdr, body))
+        .otherwise(body)
+    )
     return docs.select(
         "doc_id",
         F.element_at(
-            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]), (mt + 1).cast("int")
         ).alias("media_type"),
-        F.encode("text", "UTF-8").alias("payload"),
+        payload.alias("payload"),
     )
 
 
-def _stub_decode_features(doc_id: int, media_type: str, payload: bytes) -> dict:
-    """STUB decode: deterministic features derived from the raw bytes.
+def parse_media_header(payload: bytes) -> dict:
+    """REAL header decode with stdlib ``struct`` — no codec libraries.
 
-    A real implementation would decode the codec here (PIL / ffmpeg /
-    soundfile); none are installed in this environment, so the features
-    are computable fakes with the same shapes — and, deliberately,
-    SQL-replicable, which lets the whole mapInPandas path be
-    oracle-verified.
+    Recognizes PNG (signature + IHDR big-endian fields), JPEG (marker-
+    segment walk to the first SOF0/1/2 frame header), and RIFF/WAVE
+    (little-endian fmt fields). Anything else is an opaque payload:
+    format 'raw' with the n_bytes%30 pseudo frame count standing in for
+    the ffmpeg-dependent video probe (see sample_frames).
     """
     n = len(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and n >= 26:
+        w, h = struct.unpack(">II", payload[16:24])
+        ct = payload[25]
+        return {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "channels": _PNG_CHANNELS.get(ct),
+            "sample_rate": None,
+            "n_frames": 1,
+        }
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2) and i + 10 <= n:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "channels": payload[i + 9],
+                    "sample_rate": None,
+                    "n_frames": 1,
+                }
+            i += 2 + seglen
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and n >= 28:
+        (ch,) = struct.unpack("<H", payload[22:24])
+        (rate,) = struct.unpack("<I", payload[24:28])
+        return {
+            "format": "wav",
+            "width": None,
+            "height": None,
+            "channels": ch,
+            "sample_rate": rate,
+            "n_frames": None,
+        }
     return {
-        "doc_id": doc_id,
-        "media_type": media_type,
-        "n_bytes": n,
-        "checksum": hashlib.md5(payload).hexdigest(),
-        "fake_width": n % 640,
-        "fake_height": (n * 7) % 480,
-        "fake_n_frames": (n % 30) if media_type == "video" else 1,
+        "format": "raw",
+        "width": None,
+        "height": None,
+        "channels": None,
+        "sample_rate": None,
+        "n_frames": n % 30,
     }
 
 
@@ -105,27 +236,47 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     pandas DataFrames; we emit feature frames with an explicit schema.
     No shuffle, no collect — the plan is scan → PythonMapInArrow →
     project, and it parallelizes per input partition.
+
+    The checksum is md5 over the base64 text of the payload — base64 is
+    the engine-portable bytes→text bridge (the DuckDB oracle's md5 only
+    accepts VARCHAR, and raw header bytes aren't valid utf-8).
     """
+
+    cols = [f.name for f in MEDIA_FEATURE_SCHEMA]
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                _stub_decode_features(d, t, bytes(p))
-                for d, t, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"])
-            ]
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA])
+            rows = []
+            for doc_id, mtype, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                payload = bytes(p)
+                parsed = parse_media_header(payload)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_type": mtype,
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.md5(
+                            base64.b64encode(payload)
+                        ).hexdigest(),
+                        **parsed,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(featurize, MEDIA_FEATURE_SCHEMA)
 
 
-# --- real codec entry points (stubbed: no media libraries in this env) -----
+# --- deep-codec entry points (stubbed: no media libraries in this env) -----
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to HxWxC uint8. Requires PIL/cv2."""
+    """Decode an image payload to HxWxC uint8 pixels. Requires PIL/cv2
+    (header metadata needs no libs — see parse_media_header)."""
     raise NotImplementedError(
-        "image decode requires PIL or cv2, not available in this environment; "
-        "plug the real decoder into _stub_decode_features/featurize"
+        "pixel decode requires PIL or cv2, not available in this environment; "
+        "plug the real decoder into extract_media_features' featurize"
     )
 
 

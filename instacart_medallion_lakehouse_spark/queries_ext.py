@@ -30,24 +30,93 @@ from .streaming.events import (
 @_register(
     "media_features",
     """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 3 AS INT) AS mt,
+             CAST(doc_id % 6 AS INT) AS m6,
+             encode(text) AS body,
+             octet_length(encode(text)) AS blen,
+             1 + doc_id % 640 AS pw,
+             1 + doc_id % 480 AS ph,
+             CASE CAST(floor((doc_id % 18) / 6) AS INT)
+                  WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS pct,
+             1 + doc_id % 512 AS jw,
+             1 + doc_id % 384 AS jh,
+             1 + doc_id % 2 AS wch,
+             8000 * (1 + doc_id % 4) AS wrate
+      FROM documents
+    ),
+    pay AS (
+      SELECT *,
+        CASE
+          WHEN mt = 0 AND m6 = 0 THEN
+            unhex('89504E470D0A1A0A0000000D49484452'
+                  || lpad(hex(pw), 8, '0') || lpad(hex(ph), 8, '0')
+                  || '08' || lpad(hex(pct), 2, '0')
+                  || '00000000000000') || body
+          WHEN mt = 0 THEN
+            unhex('FFD8FFC0001108'
+                  || lpad(hex(jh), 4, '0') || lpad(hex(jw), 4, '0')
+                  || '03011100021101031101') || body
+          WHEN mt = 1 THEN
+            unhex('52494646'
+                  || substr(lpad(hex(36 + blen), 8, '0'), 7, 2)
+                  || substr(lpad(hex(36 + blen), 8, '0'), 5, 2)
+                  || substr(lpad(hex(36 + blen), 8, '0'), 3, 2)
+                  || substr(lpad(hex(36 + blen), 8, '0'), 1, 2)
+                  || '57415645666D7420' || '100000000100'
+                  || substr(lpad(hex(wch), 4, '0'), 3, 2)
+                  || substr(lpad(hex(wch), 4, '0'), 1, 2)
+                  || substr(lpad(hex(wrate), 8, '0'), 7, 2)
+                  || substr(lpad(hex(wrate), 8, '0'), 5, 2)
+                  || substr(lpad(hex(wrate), 8, '0'), 3, 2)
+                  || substr(lpad(hex(wrate), 8, '0'), 1, 2)
+                  || substr(lpad(hex(wrate * wch * 2), 8, '0'), 7, 2)
+                  || substr(lpad(hex(wrate * wch * 2), 8, '0'), 5, 2)
+                  || substr(lpad(hex(wrate * wch * 2), 8, '0'), 3, 2)
+                  || substr(lpad(hex(wrate * wch * 2), 8, '0'), 1, 2)
+                  || substr(lpad(hex(wch * 2), 4, '0'), 3, 2)
+                  || substr(lpad(hex(wch * 2), 4, '0'), 1, 2)
+                  || '1000' || '64617461'
+                  || substr(lpad(hex(blen), 8, '0'), 7, 2)
+                  || substr(lpad(hex(blen), 8, '0'), 5, 2)
+                  || substr(lpad(hex(blen), 8, '0'), 3, 2)
+                  || substr(lpad(hex(blen), 8, '0'), 1, 2)) || body
+          ELSE body
+        END AS payload
+      FROM dims
+    )
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-           octet_length(encode(text)) AS n_bytes,
-           md5(text) AS checksum,
-           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
-           CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 2
-                     THEN octet_length(encode(text)) % 30
-                     ELSE 1 END AS INT) AS fake_n_frames
-    FROM documents
+           CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CASE WHEN mt = 0 AND m6 = 0 THEN 'png'
+                WHEN mt = 0 THEN 'jpeg'
+                WHEN mt = 1 THEN 'wav' ELSE 'raw' END AS format,
+           octet_length(payload) AS n_bytes,
+           md5(base64(payload)) AS checksum,
+           CAST(CASE WHEN mt = 0 AND m6 = 0 THEN pw
+                     WHEN mt = 0 THEN jw END AS INT) AS width,
+           CAST(CASE WHEN mt = 0 AND m6 = 0 THEN ph
+                     WHEN mt = 0 THEN jh END AS INT) AS height,
+           CAST(CASE WHEN mt = 0 AND m6 = 0 THEN
+                       CASE pct WHEN 0 THEN 1 WHEN 2 THEN 3 ELSE 4 END
+                     WHEN mt = 0 THEN 3
+                     WHEN mt = 1 THEN wch END AS INT) AS channels,
+           CAST(CASE WHEN mt = 1 THEN wrate END AS INT) AS sample_rate,
+           CAST(CASE WHEN mt = 2 THEN blen % 30
+                     WHEN mt = 0 THEN 1 END AS INT) AS n_frames
+    FROM pay
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: fabricate (doc_id, media_type,
-    payload binary), extract features via mapInPandas. The oracle
-    recomputes the stub features in SQL — proving the Arrow round-trip
-    is lossless and deterministic."""
+    """Multimodal decode end-to-end: fabricate (doc_id, media_type,
+    payload binary) whose payloads carry REAL PNG/JPEG/WAV headers,
+    then extract features via mapInPandas, where width/height/channels/
+    sample_rate are struct-PARSED from the payload bytes
+    (operators/multimodal.parse_media_header). The oracle rebuilds the
+    identical payload blob in SQL and derives the same features
+    arithmetically from doc_id — a parser bug or a malformed header
+    surfaces as a cross-engine mismatch."""
     docs = _t(spark, sf_dir, "documents")
     return extract_media_features(with_media(docs))
 

@@ -1,11 +1,15 @@
 """Multimodal plumbing tests: the mapInPandas path must round-trip
-binary payloads losslessly, keep its declared schema, and match the
-pure-Python stub computation row for row.
+binary payloads losslessly, keep its declared schema, and decode REAL
+container headers (PNG IHDR / JPEG SOF0 / WAVE fmt) from the payload
+bytes — asserted both against the fabrication arithmetic and against
+an independent re-read of the raw header fields.
 """
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import struct
 
 import pytest
 
@@ -14,7 +18,7 @@ from instacart_medallion_lakehouse_spark.operators import multimodal
 
 @pytest.fixture(scope="module")
 def media(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
     return multimodal.with_media(docs)
 
 
@@ -29,25 +33,46 @@ class TestMediaPlumbing:
         types = {r["media_type"] for r in media.select("media_type").distinct().collect()}
         assert types <= set(multimodal.MEDIA_TYPES)
 
-    def test_features_schema_and_values(self, spark, sf_dir, media):
+    def test_headers_decode_from_payload_bytes(self, media):
         out = multimodal.extract_media_features(media)
         assert out.schema == multimodal.MEDIA_FEATURE_SCHEMA
         feats = {r["doc_id"]: r for r in out.collect()}
-        docs = {
-            r["doc_id"]: r["text"]
-            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).collect()
-        }
-        assert feats.keys() == docs.keys()
-        for doc_id, txt in docs.items():
-            payload = txt.encode("utf-8")
+        payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+        assert feats.keys() == payloads.keys()
+        seen = set()
+        for doc_id, payload in payloads.items():
             r = feats[doc_id]
+            seen.add(r["format"])
             assert r["n_bytes"] == len(payload)
-            assert r["checksum"] == hashlib.md5(payload).hexdigest()
-            assert r["fake_width"] == len(payload) % 640
-            expected_frames = (
-                len(payload) % 30 if r["media_type"] == "video" else 1
+            assert (
+                r["checksum"]
+                == hashlib.md5(base64.b64encode(payload)).hexdigest()
             )
-            assert r["fake_n_frames"] == expected_frames
+            if r["format"] == "png":
+                # the parsed dimensions must equal BOTH the fabrication
+                # arithmetic and an independent read of the IHDR bytes
+                assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+                w, h = struct.unpack(">II", payload[16:24])
+                assert (r["width"], r["height"]) == (w, h)
+                assert r["width"] == 1 + doc_id % 640
+                assert r["height"] == 1 + doc_id % 480
+                assert r["channels"] in (1, 3, 4)
+                assert r["n_frames"] == 1
+            elif r["format"] == "jpeg":
+                assert payload[:2] == b"\xff\xd8"
+                assert r["width"] == 1 + doc_id % 512
+                assert r["height"] == 1 + doc_id % 384
+                assert r["channels"] == 3
+            elif r["format"] == "wav":
+                assert payload[:4] == b"RIFF"
+                assert r["channels"] == struct.unpack("<H", payload[22:24])[0]
+                assert r["sample_rate"] == 8000 * (1 + doc_id % 4)
+                assert r["width"] is None and r["height"] is None
+            else:
+                assert r["format"] == "raw"
+                assert r["n_frames"] == len(payload) % 30
+        # the 60-doc sample must exercise every branch
+        assert seen == {"png", "jpeg", "wav", "raw"}
 
     def test_batch_iterator_sees_multiple_partitions(self, media):
         # repartition and confirm every partition's rows survive the
@@ -55,6 +80,22 @@ class TestMediaPlumbing:
         n_in = media.count()
         out = multimodal.extract_media_features(media.repartition(7))
         assert out.count() == n_in
+
+
+class TestHeaderParser:
+    def test_jpeg_walk_skips_leading_segments(self):
+        # APP0 segment before SOF0 — the walk must skip it by length
+        app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JFIF"
+        sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+            ">HH", 99, 123
+        ) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        parsed = multimodal.parse_media_header(b"\xff\xd8" + app0 + sof0)
+        assert (parsed["width"], parsed["height"]) == (123, 99)
+        assert parsed["format"] == "jpeg" and parsed["channels"] == 3
+
+    def test_truncated_payload_falls_back_to_raw(self):
+        assert multimodal.parse_media_header(b"\x89PNG")["format"] == "raw"
+        assert multimodal.parse_media_header(b"")["format"] == "raw"
 
 
 class TestCodecStubs:
