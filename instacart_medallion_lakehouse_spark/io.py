@@ -118,7 +118,13 @@ def write_table(
                 * scale
                 / F.lit(span)
             ).cast("long")
-            return F.greatest(F.lit(0), F.least(F.lit(scale), raw))
+            # NULL handling must be explicit: least/greatest SKIP null
+            # args, so a NULL row would otherwise ride the arithmetic to
+            # bucket 65535 and blow out the max-range file stats. Pin
+            # NULLs to bucket 0 — they co-locate with min-value rows and
+            # file skipping for the top of the range stays tight.
+            clamped = F.greatest(F.lit(0), F.least(F.lit(scale), raw))
+            return F.coalesce(clamped, F.lit(0))
 
         zkey = zorder_key(bucket(ca, lo_a, span_a), bucket(cb, lo_b, span_b))
         stamped = df.withColumn("_zkey", zkey)

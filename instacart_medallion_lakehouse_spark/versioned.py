@@ -118,6 +118,9 @@ def write_versioned(
         "data": os.path.relpath(data, root),
         "committed_at": time.time(),
         "schema": df.schema.jsonValue(),
+        # recorded so maintenance jobs (compaction, upsert) preserve the
+        # disk layout instead of silently flattening it on rewrite
+        "partition_by": list(partition_by) if partition_by else [],
     }
     final = _manifest_path(root, version)
     tmp = final + f".tmp.{os.getpid()}"
@@ -156,7 +159,16 @@ def read_versioned(
         )
     with open(_manifest_path(root, version)) as f:
         manifest = json.load(f)
-    return spark.read.parquet(os.path.join(root, manifest["data"]))
+    reader = spark.read
+    if "schema" in manifest:
+        # pin the committed schema: a partitioned snapshot's partition
+        # columns otherwise come back via Hive-style directory-name
+        # inference, which can drift the type (e.g. a '01' string
+        # partition value reads back as int) between write and read
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    return reader.parquet(os.path.join(root, manifest["data"]))
 
 
 def vacuum(
@@ -244,9 +256,13 @@ def compact_versioned(
             if name.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(dirpath, name))
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(data)
-    # coalesce, not repartition: compaction must not pay a shuffle
-    return write_versioned(df.coalesce(n_files), root)
+    df = read_versioned(spark, root, versions[-1])
+    # coalesce, not repartition: compaction must not pay a shuffle.
+    # Thread the recorded partition layout through the rewrite — without
+    # it, compacting a disk-partitioned snapshot would silently drop the
+    # layout and every post-compaction 'latest' read loses pruning.
+    partition_by = manifest.get("partition_by") or None
+    return write_versioned(df.coalesce(n_files), root, partition_by=partition_by)
 
 
 def upsert_versioned(
@@ -278,6 +294,26 @@ def upsert_versioned(
             f"upsert schema mismatch: table has {sorted(current.columns)}, "
             f"updates have {sorted(updates.columns)}"
         )
+    # Delta MERGE raises when multiple source rows match one target row;
+    # without this check duplicate update keys would both survive the
+    # unionByName and silently plant duplicate-key rows in the snapshot.
+    # One tiny aggregate over the (small-by-contract) updates side.
+    dup = (
+        updates.groupBy(*key)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        dup_key = {k: dup[0][k] for k in key}
+        raise ValueError(
+            f"upsert updates contain duplicate rows for key {dup_key}; "
+            "MERGE requires at most one source row per target key"
+        )
     kept = current.join(F.broadcast(updates.select(*key)), on=key, how="left_anti")
     merged = kept.unionByName(updates)
-    return write_versioned(merged, root)
+    # preserve the latest snapshot's recorded disk layout across the merge
+    with open(_manifest_path(root, list_versions(root)[-1])) as f:
+        partition_by = json.load(f).get("partition_by") or None
+    return write_versioned(merged, root, partition_by=partition_by)

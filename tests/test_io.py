@@ -266,3 +266,27 @@ class TestZOrderKeyMath:
         ).first()
         assert stats["n"] == 65536
         assert stats["lo"] == 0 and stats["hi"] == 65535
+
+
+class TestZOrderNulls:
+    def test_null_rows_land_in_bucket_zero_not_max(self, spark, tmp_path):
+        # least/greatest skip NULL args, so without an explicit coalesce
+        # a NULL key would ride to bucket 65535 and co-locate with
+        # max-value rows, blowing out the top file's min/max stats
+        df = spark.createDataFrame(
+            [(None, 50), (1, 1), (1000, 1000)] + [(i, i) for i in range(2, 900)],
+            "a int, b int",
+        )
+        out = str(tmp_path / "zn")
+        io.write_table(df, out, zorder_by=("a", "b"), zorder_files=4)
+        back = spark.read.parquet(out).withColumn("_f", F.input_file_name())
+        assert back.count() == df.count()
+        null_file = back.filter(F.col("a").isNull()).select("_f").first()["_f"]
+        stats = (
+            back.filter(F.col("_f") == null_file)
+            .agg(F.max("a").alias("hi_a"))
+            .first()
+        )
+        # the NULL row shares a file with LOW a values (bucket 0 side),
+        # not with the max-value row
+        assert stats["hi_a"] < 1000

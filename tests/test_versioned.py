@@ -220,3 +220,82 @@ class TestSchemaEvolution:
         with open(V._manifest_path(root, 2)) as f:
             fields = {x["name"] for x in _json.load(f)["schema"]["fields"]}
         assert "r_tier" in fields
+
+
+class TestPartitionLayoutPreserved:
+    def test_compaction_keeps_partition_dirs(self, spark, sf_dir, tmp_path):
+        import glob
+
+        from instacart_medallion_lakehouse_spark.versioned import (
+            compact_versioned,
+        )
+
+        root = str(tmp_path / "tbl")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        V.write_versioned(
+            orders.repartition(8), root, partition_by=["o_orderstatus"]
+        )
+        assert glob.glob(f"{root}/_data/v00000001/o_orderstatus=*")
+        v = compact_versioned(spark, root, target_file_bytes=1 << 30)
+        # the compacted snapshot keeps the Hive partition layout -> every
+        # post-compaction read of 'latest' still prunes on o_orderstatus
+        parts = glob.glob(f"{root}/_data/v{v:08d}/o_orderstatus=*")
+        assert parts, "compaction dropped the disk-partition layout"
+        got = V.read_versioned(spark, root)
+        assert got.count() == orders.count()
+        assert set(got.columns) == set(orders.columns)
+
+    def test_read_pins_committed_schema_for_partition_cols(
+        self, spark, tmp_path
+    ):
+        # a string partition value that LOOKS numeric must come back as a
+        # string: directory-name inference would drift it to int
+        root = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [("01", 1.0), ("02", 2.0)], "bucket string, val double"
+        )
+        V.write_versioned(df, root, partition_by=["bucket"])
+        got = V.read_versioned(spark, root)
+        assert dict(got.dtypes)["bucket"] == "string"
+        assert {r.bucket for r in got.collect()} == {"01", "02"}
+
+    def test_upsert_preserves_partition_layout(self, spark, tmp_path):
+        import glob
+
+        from instacart_medallion_lakehouse_spark.versioned import (
+            upsert_versioned,
+        )
+
+        root = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "a", "P1"), (2, "b", "P2")], "id long, v string, part string"
+        )
+        V.write_versioned(df, root, partition_by=["part"])
+        updates = spark.createDataFrame(
+            [(2, "B", "P2"), (3, "c", "P1")], "id long, v string, part string"
+        )
+        v = upsert_versioned(spark, root, updates, key=["id"])
+        assert glob.glob(f"{root}/_data/v{v:08d}/part=*")
+        latest = {r.id: r.v for r in V.read_versioned(spark, root).collect()}
+        assert latest == {1: "a", 2: "B", 3: "c"}
+
+
+class TestUpsertDuplicateKeys:
+    def test_duplicate_update_keys_rejected(self, spark, sf_dir, tmp_path):
+        import pytest as _pytest
+
+        from instacart_medallion_lakehouse_spark.versioned import (
+            upsert_versioned,
+        )
+
+        root = str(tmp_path / "tbl")
+        V.write_versioned(spark.read.parquet(f"{sf_dir}/region.parquet"), root)
+        cols = spark.read.parquet(f"{sf_dir}/region.parquet").columns
+        row = tuple([7] + ["x"] * (len(cols) - 1))
+        dup = spark.createDataFrame([row, row], ", ".join(
+            f"{c} long" if c == "r_regionkey" else f"{c} string" for c in cols
+        ))
+        with _pytest.raises(ValueError, match="duplicate"):
+            upsert_versioned(spark, root, dup, key=["r_regionkey"])
+        # table unchanged: the rejected merge committed nothing
+        assert V.list_versions(root) == [1]
