@@ -15,12 +15,16 @@ run-to-convergence) so the DuckDB oracle can replay the identical
 computation as unrolled CTEs; convergence for a given dataset is
 asserted separately in tests (one extra round changes nothing).
 
-Scale notes: each round is one join + one aggregate on the edge list —
-the textbook BSP step. Rounds shuffle O(|E|); caching each round's
-labels keeps lineage flat. Diameters in near-dup graphs are small
-(duplicates cluster around a few originals), so k stays single-digit;
-for adversarial chains switch to the large-star/small-star contraction
-(same join shape, fewer rounds), which this fixed-k form approximates.
+Scale notes: the edge list is materialized once WITH SELF-LOOPS, which
+turns every round into exactly one equi-join + one aggregate (min over
+N(v) ∪ {v}) — no separate own-label branch, so labels are referenced
+once per round and the whole k-round pipeline is a linear plan (no
+exponential lazy-recompute, minimal shuffle count: join co-partitioned
+on the node id, aggregate on src). Rounds shuffle O(|E|). Diameters in
+near-dup graphs are small (duplicates cluster around a few originals),
+so k stays single-digit; for adversarial chains switch to the
+large-star/small-star contraction (same join shape, fewer rounds),
+which this fixed-k form approximates.
 """
 
 from __future__ import annotations
@@ -36,69 +40,77 @@ def label_propagation(
     dst_col: str = "id_b",
     cache_every: int = 2,
     edges_unique: bool = False,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """(node, component) for every vertex in ``edges`` after
     ``iterations`` rounds of min-label propagation. component = the
     minimum vertex id within ``iterations`` hops (= the component's
     minimum once converged).
 
-    ``cache_every`` controls the materialization cadence: each round
-    references the previous labels twice (own-label branch + neighbor
-    branch), so an unmaterialized chain recomputes with factor
-    2^rounds — but each materialization is a full Spark job whose
-    fixed overhead dominates at small graph sizes. Materializing
-    every second round bounds recompute at 4x of a trivially small
-    plan while halving the job count. ``cache_every=0`` runs every
-    round lazily in ONE job — right when ``iterations`` is a small
-    bound (the 2^k recompute is 2^k scans of the CACHED edge list,
-    cheaper than k/2 extra job launches); keep the cadence for deep
-    or unbounded propagation.
+    The symmetrized edge list carries self-loops, so each round is ONE
+    join + ONE aggregate: label_{i+1}(v) = min over u in N(v) ∪ {v} of
+    label_i(u). Round 1 needs no join at all — on identity labels it is
+    just min(dst) over the self-looped edge list.
+
+    ``cache_every`` controls the materialization cadence. With
+    self-loops the round pipeline is linear (labels feed one consumer
+    per round), so laziness never multiplies work; materializing every
+    few rounds only bounds lineage depth / task-serialization size for
+    DEEP propagation. ``cache_every=0`` (right for small fixed k) runs
+    every round in the consumer's single job.
 
     ``edges_unique=True`` declares that the input pairs are already
     duplicate-free with src < dst (every dedup operator here emits
-    exactly that), which makes the symmetrized edge list distinct by
-    construction — the dedup shuffle is skipped. min() is idempotent,
-    so even a wrong claim only costs duplicate join rows, never a
-    wrong label."""
-    a = F.col(src_col).alias("src")
-    b = F.col(dst_col).alias("dst")
-    sym = edges.select(a, b).union(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    exactly that), which makes the symmetrized edge list distinct
+    enough by construction — the dedup shuffle is skipped. min() is
+    idempotent, so even a wrong claim only costs duplicate join rows,
+    never a wrong label (self-loop duplicates from shared endpoints are
+    harmless for the same reason).
+
+    ``broadcast_labels=True`` hints the per-round label table to
+    broadcast, removing the join's shuffle of the edge list. Only for
+    BOUNDED vertex sets (e.g. a key-range-filtered entity-resolution
+    block): at full scale the label table is one row per vertex and
+    must shuffle co-partitioned instead.
+    """
+    # Symmetrize + self-loops with ONE pass over the (possibly
+    # expensive) edge plan: a union of per-orientation selects would
+    # evaluate the edge join once per branch before the cache
+    # materializes, doubling the heaviest step. explode emits all four
+    # orientations from a single scan.
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+            F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
+            F.struct(F.col(src_col).alias("src"), F.col(src_col).alias("dst")),
+            F.struct(F.col(dst_col).alias("src"), F.col(dst_col).alias("dst")),
+        )
     )
+    sym = edges.select(both.alias("_e")).select("_e.src", "_e.dst")
     if not edges_unique:
         sym = sym.distinct()
     sym = sym.cache()
     sym.count()  # pinned: reused every round
 
     # Round 1 folded into initialization: on identity labels the update
-    # min(l0(v), min over N(v) of l0(u)) is just least(v, min(N(v))) —
-    # one aggregate over the edge list, no join. (Every node of sym
-    # appears as a src because sym is symmetrized.)
+    # is min(dst) over N(v) ∪ {v} — one aggregate, no join.
     labels = (
         sym.groupBy("src")
-        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .agg(F.min("dst").alias("label"))
         .select(F.col("src").alias("node"), "label")
     )
     for i in range(1, iterations):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("_nl"))
-        )
+        rhs = F.broadcast(labels) if broadcast_labels else labels
         labels = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
-                ).alias("label"),
-            )
+            sym.join(rhs, sym["dst"] == rhs["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
         )
         if cache_every and (i + 1) % cache_every == 0 and i != iterations - 1:
             labels = labels.cache()
-            labels.count()  # flatten lineage, bound the recompute cascade
+            labels.count()  # bound lineage depth for deep propagation
     # the LAST round is deliberately left lazy: the caller consumes the
     # result exactly once, so forcing a final materialization job would
-    # only add fixed overhead (the trailing unmaterialized chain is at
-    # most cache_every-1 rounds over cached inputs — bounded recompute)
+    # only add fixed overhead
     return labels.select("node", F.col("label").alias("component"))

@@ -1626,8 +1626,12 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id_b"), F.col("c_name").alias("_nb"), "_len"
     )
     dist = F.levenshtein(F.col("_na"), F.col("_nb"))
+    # explicit broadcast: the blocked side is small by construction
+    # (bounded key range), and hinting it keeps the plan broadcast even
+    # on a COLD run where AQE has no runtime stats yet (measured 7.0s
+    # cold shuffle-join vs 1.5s cold broadcast at sf0.1)
     return (
-        a.join(b, ["_len"])
+        a.join(F.broadcast(b), ["_len"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(dist <= 1)
         .select("id_a", "id_b", dist.alias("dist"))
@@ -1688,8 +1692,14 @@ def name_match_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b")
     # edges_unique: fuzzy_name_pairs emits id_a < id_b exactly once, so
     # the symmetrized edge list needs no dedup shuffle; round 1 is
-    # folded into an aggregate inside label_propagation (VERDICT r2 #6)
-    return label_propagation(edges, iterations=3, edges_unique=True)
+    # folded into an aggregate inside label_propagation (VERDICT r2 #6).
+    # cache_every=0: with a 3-round diameter bound the post-sym rounds
+    # are tiny aggregates over the CACHED edge list — running them lazily
+    # in the consumer's single job beats paying this host's ~0.4s fixed
+    # job launch for an intermediate materialization (2 jobs total).
+    return label_propagation(
+        edges, iterations=3, edges_unique=True, cache_every=0
+    )
 
 
 @_register(
