@@ -814,3 +814,4 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (imported last for their @_register side effects; they use _register/_t)
 from . import queries_text  # noqa: E402,F401
 from . import queries_ext  # noqa: E402,F401
+from . import queries_train  # noqa: E402,F401

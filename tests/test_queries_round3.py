@@ -121,3 +121,95 @@ class TestTfidfRoundingMargin:
                 assert abs(r.tfidf * 1e4 - round(r.tfidf * 1e4)) < 1e-6 or math.isnan(
                     r.tfidf
                 ) is False
+
+
+class TestTrainingAssembly:
+    """Invariants for the round-3 training-data assembly queries
+    (queries_train.py). Cross-engine equality is covered by the oracle
+    gate; these pin the semantic properties the oracle can't express."""
+
+    def test_sequence_packing_conserves_tokens(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_train as qt
+        from instacart_medallion_lakehouse_spark.functions.text import tokens
+
+        packs = qt.sequence_packing(spark, sf_dir).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        total_tokens = docs.select(
+            F.sum(F.size(tokens(F.col("text")))).alias("t")
+        ).first()["t"]
+        assert sum(p.pack_tokens for p in packs) == total_tokens
+        assert sum(p.n_docs for p in packs) == docs.count()
+        # pack ids are contiguous from 0 within every shard
+        by_shard: dict[int, list[int]] = {}
+        for p in packs:
+            by_shard.setdefault(p.shard, []).append(p.pack_id)
+        for shard, ids in by_shard.items():
+            assert sorted(ids) == list(range(len(ids))), shard
+        # a pack holds >= 1 doc and its start boundary honors the budget:
+        # every pack except a straddler's tail starts below the next cut
+        assert all(p.n_docs >= 1 for p in packs)
+
+    def test_stratified_sample_rates(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_train as qt
+
+        rows = {r.o_orderstatus: r for r in
+                qt.stratified_sample(spark, sf_dir).collect()}
+        assert set(rows) == {"O", "F", "P"}
+        for r in rows.values():
+            assert 0 <= r.n_sampled <= r.n_total
+            assert 0.0 <= r.achieved_rate <= 1.0
+        # deterministic: a second run selects the identical sample
+        again = {r.o_orderstatus: r for r in
+                 qt.stratified_sample(spark, sf_dir).collect()}
+        for k in rows:
+            assert rows[k].n_sampled == again[k].n_sampled
+
+    def test_corpus_mixture_token_accounting(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_train as qt
+
+        rows = qt.corpus_mixture(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.kept_docs <= r.n_docs
+            assert 0 <= r.kept_tokens <= r.total_tokens
+
+    def test_dedup_clusters_cover_corpus_and_respect_pairs(
+        self, spark, sf_dir
+    ):
+        from instacart_medallion_lakehouse_spark import queries_train as qt
+        from instacart_medallion_lakehouse_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assignment = {r.doc_id: r.cluster for r in
+                      qt.dedup_clusters(spark, sf_dir).collect()}
+        assert len(assignment) == docs.count()
+        pairs = dedup.minhash_lsh_pairs(
+            docs, n=3, num_hashes=16, band_rows=2, threshold=0.5
+        ).select("id_a", "id_b").collect()
+        for p in pairs:
+            assert assignment[p.id_a] == assignment[p.id_b]
+        # cluster label = the minimum member; unpaired docs label themselves
+        members: dict[int, list[int]] = {}
+        for doc, c in assignment.items():
+            members.setdefault(c, []).append(doc)
+        for c, ms in members.items():
+            assert c == min(ms)
+
+    def test_grouping_sets_grains_consistent(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_train as qt
+
+        rows = qt.grouping_sets_revenue(spark, sf_dir).collect()
+        detail = [r for r in rows if r.grain == 0]
+        flag_sub = [r for r in rows if r.grain == 1]
+        grand = [r for r in rows if r.grain == 3]
+        assert len(grand) == 1 and grand[0].returnflag == "ALL"
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        assert grand[0].n_items == li.count()
+        assert sum(r.n_items for r in detail) == li.count()
+        assert sum(r.n_items for r in flag_sub) == li.count()
+        # each flag subtotal matches the sum of its detail rows (counts
+        # exactly; revenue to rounding slack)
+        for s in flag_sub:
+            ds = [r for r in detail if r.returnflag == s.returnflag]
+            assert s.n_items == sum(r.n_items for r in ds)
+            assert abs(s.revenue - sum(r.revenue for r in ds)) < 0.05
