@@ -815,3 +815,4 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_text  # noqa: E402,F401
 from . import queries_ext  # noqa: E402,F401
 from . import queries_train  # noqa: E402,F401
+from . import queries_analytics  # noqa: E402,F401

@@ -1,0 +1,370 @@
+"""Query registry, part 5 (round 3): event analytics + ops diagnostics.
+
+Product-analytics operators over the events stream (sequential funnel,
+interval-containment joins, rolling anomaly detection) and the skew
+diagnostics an operator of a 1000-executor cluster actually runs before
+tuning a join. Same lockstep oracle invariants as queries.py.
+
+Determinism techniques used here (building on queries.py's notes):
+- every windowed sum is a dround'd aggregate of dround'd day totals, so
+  downstream arithmetic ((x-mean)/std, sqrt) runs on IDENTICAL doubles
+  in both engines — IEEE +,-,*,/,sqrt are exactly rounded, so identical
+  inputs give bit-identical outputs; only multi-operand summation order
+  and transcendentals can diverge, and both are rounded away first.
+- ordered windows always carry a unique tie-break column (event_id) —
+  ties on ts alone would make lag()/row_number() engine-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import dround
+from .queries import _register, _t
+
+# ---------------------------------------------------------------------------
+# Sequential conversion funnel
+# ---------------------------------------------------------------------------
+
+
+_FUNNEL_SEC = 86400  # each step must follow the previous within 24h
+
+
+@_register(
+    "funnel_steps",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' AND ts >= t_view
+                       AND date_diff('second', t_view, ts) <= {_FUNNEL_SEC}
+                 THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                       AND date_diff('second', t_click, ts) <= {_FUNNEL_SEC}
+                 THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+             max(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_view,
+           count(t_click) AS n_view_click,
+           count(t_purchase) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel: users who viewed, then clicked within
+    24h at-or-after their first view, then purchased within 24h of that
+    click. Order matters — a purchase BEFORE the first view does not
+    convert — which is what separates a funnel from three independent
+    counts; the step deadline is what separates a funnel from
+    eventually-did-everything.
+
+    Expressed as three stacked min-over-partition windows (each step's
+    threshold feeds the next step's CASE) on the SAME user partitioning:
+    one shuffle, one window operator pass per step, no self-joins of the
+    event log and no per-user collect. At 100 TB the event log shuffles
+    once on user_id and every step is partition-local."""
+    w = Window.partitionBy("user_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    def within(earlier, later):
+        return (F.unix_timestamp(later) - F.unix_timestamp(earlier)) <= (
+            _FUNNEL_SEC
+        )
+
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view"))
+                & within(F.col("t_view"), F.col("ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click"))
+                & within(F.col("t_click"), F.col("ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-containment join: errors attributed to sessions
+# ---------------------------------------------------------------------------
+
+_GAP_MIN = 30
+
+
+@_register(
+    "errors_in_sessions",
+    f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type <> 'error'
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts)
+                          > {_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_seq,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq
+    ),
+    err AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id,
+           CAST(s.session_seq AS BIGINT) AS session_seq,
+           s.n_events,
+           count(e.ts) AS n_errors
+    FROM sessions s
+    LEFT JOIN err e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.session_start AND e.ts <= s.session_end
+    GROUP BY s.user_id, s.session_seq, s.n_events
+    """,
+)
+def errors_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: sessionize the non-error event stream
+    (30-min gaps-and-islands), then attribute each error event to the
+    session interval that contains it. The join is an EQUI-join on
+    user_id with the containment check as a residual predicate — both
+    sides co-partition on the user, so at 100 TB nothing degenerates
+    into a broadcast-nested-loop over the full event log (the failure
+    mode of writing the range condition without the equality key).
+    Errors between sessions attribute nowhere, by design."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+        F.lag("ts", 1).over(w)
+    )
+    flagged = base.withColumn(
+        "is_new",
+        F.when(gap_sec.isNull() | (gap_sec > _GAP_MIN * 60), 1).otherwise(0),
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("is_new").over(running)
+    )
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    joined = sessions.join(
+        err,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("e_ts") >= F.col("session_start"))
+        & (F.col("e_ts") <= F.col("session_end")),
+        "left",
+    )
+    return joined.groupBy("user_id", "session_seq", "n_events").agg(
+        F.count("e_ts").alias("n_errors")
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "n_errors",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_ANOM_DAYS = 28
+
+
+@_register(
+    "revenue_anomalies",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS day_revenue
+      FROM orders GROUP BY 1
+    ),
+    framed AS (
+      SELECT day, day_revenue,
+             round(sum(day_revenue) OVER w, 2) AS r_sum,
+             round(sum(day_revenue * day_revenue) OVER w, 2) AS r_sumsq,
+             count(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   RANGE BETWEEN INTERVAL {_ANOM_DAYS} DAY PRECEDING
+                            AND INTERVAL 1 DAY PRECEDING)
+    )
+    SELECT day, day_revenue,
+           round(r_sum / n, 2) AS mean_rev,
+           round((day_revenue - r_sum / n)
+                 / sqrt((r_sumsq - r_sum * r_sum / n) / (n - 1)), 3) AS z,
+           CASE WHEN abs(round((day_revenue - r_sum / n)
+                   / sqrt((r_sumsq - r_sum * r_sum / n) / (n - 1)), 3)) > 2.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM framed
+    WHERE n >= 7 AND (r_sumsq - r_sum * r_sum / n) / (n - 1) > 0
+    """,
+)
+def revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each day's revenue against
+    the TRAILING {28}-day window (current day excluded — including it
+    would let the outlier dilute its own baseline). Mean and variance
+    come from windowed sum/sumsq that are ROUNDED FIRST in both
+    engines, so the z arithmetic (including sqrt, exactly rounded per
+    IEEE) is bit-identical cross-engine — no stddev_samp, whose
+    summation order is engine-dependent.
+
+    Scale shape: the window runs over the DAILY aggregate (bounded:
+    one row per day), not the order log — the heavy lifting is the
+    one groupBy(day); a global date-ordered window over a few thousand
+    rows is driver-trivial at any corpus size. Warm-up days (fewer
+    than 7 observations) and zero-variance frames are excluded."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dround(F.sum("o_totalprice"), 2).alias("day_revenue"))
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-_ANOM_DAYS * 86400, -86400)
+    )
+    framed = daily.select(
+        "day",
+        "day_revenue",
+        dround(F.sum("day_revenue").over(w), 2).alias("r_sum"),
+        dround(
+            F.sum(F.col("day_revenue") * F.col("day_revenue")).over(w), 2
+        ).alias("r_sumsq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    var = (F.col("r_sumsq") - F.col("r_sum") * F.col("r_sum") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = dround(
+        (F.col("day_revenue") - F.col("r_sum") / F.col("n")) / F.sqrt(var), 3
+    )
+    return (
+        framed.filter((F.col("n") >= 7) & (var > 0))
+        .select(
+            "day",
+            "day_revenue",
+            dround(F.col("r_sum") / F.col("n"), 2).alias("mean_rev"),
+            z.alias("z"),
+            F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT count(*) AS n_keys, sum(cnt) AS total, max(cnt) AS max_cnt
+      FROM counts
+    ),
+    ranked AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+      FROM counts
+    )
+    SELECT r.rnk, r.key, r.cnt,
+           round(r.cnt * 1.0 / s.total, 6) AS share,
+           round(s.max_cnt * s.n_keys * 1.0 / s.total, 3) AS skew_factor
+    FROM ranked r CROSS JOIN stats s
+    WHERE r.rnk <= 5
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the top-5 heaviest l_suppkey values
+    with their row share, plus the table-wide skew factor
+    (max key count / mean key count) — >~5 is the signal to reach for
+    salting (operators/skew.salted_join) or AQE skew-join before
+    running the real join. One aggregate over the fact table, a tiny
+    top-k window over the per-key counts, and a broadcast of the
+    1-row stats — the diagnostic costs one shuffle, which is the
+    cheapest insurance a 100 TB join can buy."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "key"))
+    ).filter(F.col("rnk") <= 5)
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        "rnk",
+        "key",
+        "cnt",
+        dround(F.col("cnt") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        dround(
+            F.col("max_cnt") * F.col("n_keys") * F.lit(1.0) / F.col("total"), 3
+        ).alias("skew_factor"),
+    )

@@ -213,3 +213,84 @@ class TestTrainingAssembly:
             ds = [r for r in detail if r.returnflag == s.returnflag]
             assert s.n_items == sum(r.n_items for r in ds)
             assert abs(s.revenue - sum(r.revenue for r in ds)) < 0.05
+
+
+class TestEventAnalytics:
+    """Semantic invariants for queries_analytics.py (cross-engine
+    equality is the oracle gate's job)."""
+
+    def test_funnel_is_monotone(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        row = qa.funnel_steps(spark, sf_dir).first()
+        assert row.n_users >= row.n_view >= row.n_view_click >= row.n_full_funnel
+        assert row.n_full_funnel >= 0
+
+    def test_funnel_respects_order_and_deadline(self, spark, sf_dir):
+        # hand-built log: user 1 converts fully; user 2 purchases BEFORE
+        # viewing (no conversion); user 3 clicks after the 24h deadline
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            funnel_steps,
+        )
+        import instacart_medallion_lakehouse_spark.queries as q
+
+        rows = [
+            (1, "2024-01-01 10:00:00", "view", 1),
+            (1, "2024-01-01 10:30:00", "click", 2),
+            (1, "2024-01-01 11:00:00", "purchase", 3),
+            (2, "2024-01-01 09:00:00", "purchase", 4),
+            (2, "2024-01-01 10:00:00", "view", 5),
+            (3, "2024-01-01 10:00:00", "view", 6),
+            (3, "2024-01-03 10:00:00", "click", 7),
+        ]
+        df = spark.createDataFrame(
+            [(u, t, e, i) for u, t, e, i in rows],
+            "user_id long, ts_s string, event_type string, event_id long",
+        ).selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "event_id"
+        )
+        import unittest.mock as mock
+
+        with mock.patch.object(qa, "_t", lambda s, d, n: df):
+            out = funnel_steps(spark, "ignored").first()
+        assert out.n_users == 3
+        assert out.n_view == 3
+        assert out.n_view_click == 1  # only user 1 clicked in time
+        assert out.n_full_funnel == 1
+
+    def test_errors_in_sessions_counts(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        out = qa.errors_in_sessions(spark, sf_dir).collect()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        non_err = ev.filter("event_type <> 'error'").count()
+        n_err = ev.filter("event_type = 'error'").count()
+        assert sum(r.n_events for r in out) == non_err
+        # attributed errors never exceed the error population
+        assert sum(r.n_errors for r in out) <= n_err
+        assert all(r.n_errors >= 0 for r in out)
+
+    def test_revenue_anomalies_window_semantics(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        out = qa.revenue_anomalies(spark, sf_dir).collect()
+        assert out, "no qualifying days"
+        for r in out[:50]:
+            flag = 1 if abs(r.z) > 2.0 else 0
+            assert r.is_anomaly == flag
+        assert any(r.is_anomaly == 1 for r in out) or all(
+            abs(r.z) <= 2.0 for r in out
+        )
+
+    def test_key_skew_profile_shape(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        rows = qa.key_skew_profile(spark, sf_dir).collect()
+        assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == [
+            1, 2, 3, 4, 5,
+        ]
+        cnts = [r.cnt for r in sorted(rows, key=lambda r: r.rnk)]
+        assert cnts == sorted(cnts, reverse=True)
+        assert all(0 < r.share < 1 for r in rows)
+        assert all(r.skew_factor >= 1.0 for r in rows)
