@@ -164,6 +164,12 @@ def drop_near_duplicates(
     difference only matters for chains A~B~C where A≁C, where dropping
     both B and C is the conservative, standard choice.)
     """
+    # NOTE: ``docs`` feeds BOTH the minhash shingle pipeline and the
+    # left side of the anti-join — when the input is an expensive chain
+    # (curated_docs_v2's score->repetition->decontaminate->exact-dedup),
+    # the CALLER should cache()+count() it first; a cheap projection
+    # input (curated_docs' score pass) is cheaper to recompute than to
+    # materialize, so no unconditional pin here.
     pairs = minhash_lsh_pairs(docs, threshold=threshold, id_col=id_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")

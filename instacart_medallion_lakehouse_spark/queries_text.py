@@ -915,5 +915,11 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = repok.filter(F.col("doc_id") >= 10).join(flagged, "doc_id", "left_anti")
 
     exact = curation.drop_exact_duplicates(clean)
+    # pin the cleaned set: it feeds both the minhash pair generation and
+    # the anti-join inside drop_near_duplicates — unpinned, the whole
+    # score->repetition->decontaminate->exact chain re-executes for the
+    # second consumer (~2.3s of the query's 9s at sf0.1)
+    exact = exact.cache()
+    exact.count()
     curated = curation.drop_near_duplicates(exact, threshold=0.8)
     return curated.select("doc_id", "predicted_lang", "quality_score")
