@@ -368,3 +368,73 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_cnt") * F.col("n_keys") * F.lit(1.0) / F.col("total"), 3
         ).alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile-cutpoint bucket assignment (broadcast range join)
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 10
+
+
+def _decile_sql() -> str:
+    cut_cols = ",\n             ".join(
+        f"round(quantile_cont(o_totalprice, {i / 10}), 2) AS c{i}"
+        for i in range(1, _N_BUCKETS)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN o_totalprice > c{i} THEN 1 ELSE 0 END)"
+        for i in range(1, _N_BUCKETS)
+    )
+    return f"""
+    WITH cuts AS (
+      SELECT {cut_cols}
+      FROM orders
+    )
+    SELECT CAST(1 + {bucket} AS INT) AS decile,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo_price,
+           round(max(o_totalprice), 2) AS hi_price
+    FROM orders CROSS JOIN cuts
+    GROUP BY 1
+    """
+
+
+@_register("decile_buckets", _decile_sql())
+def decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-height bucket assignment via percentile CUTPOINTS + a
+    broadcast range comparison — the 100 TB alternative to
+    customer_quartiles' single-reducer ntile(): the cutpoint aggregate
+    reduces to ONE tiny row (exact type-7 percentiles here;
+    percentile_approx is the drop-in at extreme scale), that row
+    broadcasts, and bucket assignment becomes a codegen'd sum of nine
+    scalar comparisons inside the scan — no global sort, no single
+    partition, no shuffle beyond the final per-bucket rollup.
+
+    Boundary determinism: cutpoints are rounded to cents BEFORE the
+    comparisons in both engines, so a price can never straddle a
+    cutpoint differently across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        *[
+            dround(F.expr(f"percentile(o_totalprice, {i / 10})"), 2).alias(
+                f"c{i}"
+            )
+            for i in range(1, _N_BUCKETS)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, _N_BUCKETS):
+        decile = decile + F.when(
+            F.col("o_totalprice") > F.col(f"c{i}"), 1
+        ).otherwise(0)
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .select(decile.cast("int").alias("decile"), "o_totalprice")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.min("o_totalprice"), 2).alias("lo_price"),
+            dround(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )

@@ -294,3 +294,21 @@ class TestEventAnalytics:
         assert cnts == sorted(cnts, reverse=True)
         assert all(0 < r.share < 1 for r in rows)
         assert all(r.skew_factor >= 1.0 for r in rows)
+
+
+class TestDecileBuckets:
+    def test_equal_height_and_total(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        rows = sorted(qa.decile_buckets(spark, sf_dir).collect(),
+                      key=lambda r: r.decile)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        n = orders.count()
+        assert [r.decile for r in rows] == list(range(1, 11))
+        assert sum(r.n_orders for r in rows) == n
+        # equal-height within one row of n/10 (ties at cutpoints)
+        for r in rows:
+            assert abs(r.n_orders - n / 10) <= max(2, 0.02 * n)
+        # bucket ranges are ordered and non-overlapping
+        for lo_r, hi_r in zip(rows, rows[1:]):
+            assert lo_r.hi_price <= hi_r.lo_price

@@ -299,3 +299,46 @@ class TestUpsertDuplicateKeys:
             upsert_versioned(spark, root, dup, key=["r_regionkey"])
         # table unchanged: the rejected merge committed nothing
         assert V.list_versions(root) == [1]
+
+
+class TestDiffVersions:
+    def test_cdc_classifies_insert_update_delete(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        v1 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, val double",
+        )
+        V.write_versioned(v1, root)
+        v2 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+            "id long, name string, val double",
+        )
+        V.write_versioned(v2, root)
+        diff = {r.id: r for r in
+                V.diff_versions(spark, root, 1, 2, key=["id"]).collect()}
+        assert set(diff) == {2, 3, 4}
+        assert diff[2]._op == "update" and diff[2].name == "B"
+        assert diff[3]._op == "delete" and diff[3].name == "c"
+        assert diff[4]._op == "insert" and diff[4].name == "d"
+
+    def test_identical_versions_produce_empty_diff(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        V.write_versioned(region, root)
+        assert V.diff_versions(
+            spark, root, 1, 2, key=["r_regionkey"]
+        ).count() == 0
+
+    def test_null_values_handled_null_safely(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        v1 = spark.createDataFrame([(1, None)], "id long, name string")
+        V.write_versioned(v1, root)
+        v2 = spark.createDataFrame([(1, "x")], "id long, name string")
+        V.write_versioned(v2, root)
+        diff = V.diff_versions(spark, root, 1, 2, key=["id"]).collect()
+        assert len(diff) == 1 and diff[0]._op == "update"
+        # and null -> null is NOT a change
+        v3 = spark.createDataFrame([(1, "x")], "id long, name string")
+        V.write_versioned(v3, root)
+        assert V.diff_versions(spark, root, 2, 3, key=["id"]).count() == 0
