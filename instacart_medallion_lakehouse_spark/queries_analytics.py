@@ -438,3 +438,40 @@ def decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.max("o_totalprice"), 2).alias("hi_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static broadcast enrichment
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "stream_enriched_totals",
+    """
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, drained to batch: the readStream event flow
+    is enriched against the static customer dimension via a per-batch
+    broadcast hash join (no join state store — only the downstream
+    per-segment aggregate keeps state), then rolled up. Must equal the
+    plain batch join+rollup byte for byte, which is exactly what the
+    oracle checks."""
+    from .streaming.events import (
+        drain_to_batch,
+        enriched_totals_stream,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return drain_to_batch(
+        enriched_totals_stream(stream, dim), output_mode="complete"
+    )

@@ -140,6 +140,31 @@ def session_windows_stream(
     )
 
 
+def enriched_totals_stream(
+    events: DataFrame, dim: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-STATIC broadcast join + aggregation: enrich the event
+    stream with a dimension table, then roll up per (segment, type).
+
+    The static side is planned once per micro-batch as an ordinary
+    broadcast hash join — no state store involvement for the join
+    itself (unlike stream-stream joins, which buffer both sides in
+    state). This is the canonical shape for enriching a 100 TB/day
+    event firehose with slowly-changing reference data: the dim
+    broadcast is refreshed per batch, the stream never shuffles for
+    the join, and only the downstream aggregate keeps state.
+    """
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    return enriched.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon.
 

@@ -129,3 +129,41 @@ class TestStreamStreamJoin:
         got = {(r["click_id"], r["view_id"]) for r in drained.collect()}
         want = {(r["click_id"], r["view_id"]) for r in batch.collect()}
         assert got == want
+
+
+class TestStreamStaticJoin:
+    def test_enriched_totals_equals_batch(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.io import read_events
+        from instacart_medallion_lakehouse_spark.streaming.events import (
+            drain_to_batch,
+            enriched_totals_stream,
+            read_events_stream,
+        )
+
+        stream = read_events_stream(spark, sf_dir)
+        dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+        plan = enriched_totals_stream(stream, dim)
+        assert plan.isStreaming  # the join really is a streaming plan
+        got = {
+            (r.segment, r.event_type): (r.n_events, r.total_value)
+            for r in drain_to_batch(plan, output_mode="complete").collect()
+        }
+        ev = read_events(spark, sf_dir)
+        want = {
+            (r.segment, r.event_type): (r.n_events, r.total_value)
+            for r in ev.join(dim, ev["user_id"] == dim["c_custkey"])
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 0.02
