@@ -288,3 +288,102 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
     """Sample every-nth frame from a video payload. Requires ffmpeg."""
     raise NotImplementedError("frame sampling requires ffmpeg bindings")
+
+
+# --- codec-free planning stages (real arithmetic over parsed headers) ------
+
+THUMBNAIL_PLAN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+    ]
+)
+
+
+def plan_thumbnails(
+    media: DataFrame, max_w: int = 128, max_h: int = 128
+) -> DataFrame:
+    """Aspect-preserving thumbnail plan for every IMAGE payload: parse
+    the real container header (parse_media_header), then compute the
+    fit-inside-(max_w, max_h) target dimensions — never upscale, never
+    emit a zero dimension. This is the sizing stage of a resize
+    pipeline with the pixel resample left to resize_image (the one
+    step that needs PIL); everything up to it — header decode, batch
+    shape, schema, partition-local execution — is the production
+    plumbing, exercised for real.
+    """
+
+    cols = [f.name for f in THUMBNAIL_PLAN_SCHEMA]
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "image":
+                    continue
+                parsed = parse_media_header(bytes(p))
+                w, h = parsed["width"], parsed["height"]
+                if not w or not h:
+                    continue
+                scale = min(max_w / w, max_h / h, 1.0)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "format": parsed["format"],
+                        "width": w,
+                        "height": h,
+                        "target_w": max(1, int(w * scale)),
+                        "target_h": max(1, int(h * scale)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(plan, THUMBNAIL_PLAN_SCHEMA)
+
+
+def plan_frame_samples(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame-sampling plan for every VIDEO payload: one OUTPUT ROW per
+    sampled frame index (0, every_n, 2*every_n, ...) — the
+    one-row-in/many-rows-out batch-explode shape a real frame extractor
+    uses, with the ffmpeg probe stubbed by the deterministic
+    n_bytes %% 30 pseudo frame count (parse_media_header). Swapping in
+    ffmpeg changes only the probe and the per-frame payload; the
+    mapInPandas contract — schema, expansion, no shuffle — is exactly
+    this."""
+
+    cols = [f.name for f in FRAME_SAMPLE_SCHEMA]
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "video":
+                    continue
+                n_frames = parse_media_header(bytes(p))["n_frames"] or 0
+                for idx in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "n_frames": n_frames,
+                            "frame_idx": idx,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(plan, FRAME_SAMPLE_SCHEMA)

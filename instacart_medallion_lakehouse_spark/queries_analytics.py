@@ -475,3 +475,76 @@ def stream_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_batch(
         enriched_totals_stream(stream, dim), output_mode="complete"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal planning stages (codec-free, header-parse-driven)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "media_resize_plan",
+    """
+    WITH img AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             CASE WHEN doc_id % 6 = 0 THEN 1 + doc_id % 640
+                  ELSE 1 + doc_id % 512 END AS w,
+             CASE WHEN doc_id % 6 = 0 THEN 1 + doc_id % 480
+                  ELSE 1 + doc_id % 384 END AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(greatest(1, floor(w * least(CAST(128 AS DOUBLE) / w,
+                                            CAST(128 AS DOUBLE) / h,
+                                            CAST(1 AS DOUBLE)))) AS INT)
+             AS target_w,
+           CAST(greatest(1, floor(h * least(CAST(128 AS DOUBLE) / w,
+                                            CAST(128 AS DOUBLE) / h,
+                                            CAST(1 AS DOUBLE)))) AS INT)
+             AS target_h
+    FROM img
+    """,
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail sizing over REAL parsed image headers: fabricate the
+    media column (with_media), struct-parse each PNG IHDR / JPEG SOF0
+    inside the Arrow batcher, and compute aspect-preserving
+    fit-in-128x128 target dimensions. The oracle re-derives width and
+    height arithmetically from doc_id and replays the identical
+    double-precision scale computation — a header-parse bug or a
+    float-semantics drift is a hash mismatch. Python's int() truncation
+    equals floor here (positive scales), and every division is
+    exact-rounded IEEE on both engines."""
+    from .operators.multimodal import plan_thumbnails, with_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return plan_thumbnails(with_media(docs), max_w=128, max_h=128)
+
+
+@_register(
+    "media_frame_samples",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, n_frames,
+           CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
+    FROM v
+    """,
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: one output row per sampled frame index
+    (every 5th) of each video payload — the one-row-in/many-rows-out
+    batch-explode contract of a real frame extractor, run through
+    mapInPandas with the deterministic pseudo frame probe (payload
+    bytes %% 30; the ffmpeg swap-in changes only the probe). Videos
+    with zero probed frames emit nothing, matching the oracle's empty
+    range()."""
+    from .operators.multimodal import plan_frame_samples, with_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return plan_frame_samples(with_media(docs), every_n=5)

@@ -110,3 +110,44 @@ class TestCodecStubs:
     def test_sample_frames_stubbed(self):
         with pytest.raises(NotImplementedError):
             multimodal.sample_frames(b"")
+
+
+class TestPlanningStages:
+    def test_thumbnail_plan_preserves_aspect_and_never_upscales(
+        self, spark, sf_dir
+    ):
+        from instacart_medallion_lakehouse_spark.operators.multimodal import (
+            plan_thumbnails,
+            with_media,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = plan_thumbnails(with_media(docs), 128, 128).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.target_w <= min(r.width, 128)
+            assert 1 <= r.target_h <= min(r.height, 128)
+            # aspect preserved within integer truncation
+            if r.width > 128 or r.height > 128:
+                scale = min(128 / r.width, 128 / r.height)
+                assert r.target_w == max(1, int(r.width * scale))
+                assert r.target_h == max(1, int(r.height * scale))
+            else:
+                assert (r.target_w, r.target_h) == (r.width, r.height)
+
+    def test_frame_samples_stride_and_bounds(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators.multimodal import (
+            plan_frame_samples,
+            with_media,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = plan_frame_samples(with_media(docs), every_n=5).collect()
+        assert rows
+        by_doc: dict[int, list[int]] = {}
+        for r in rows:
+            assert 0 <= r.frame_idx < r.n_frames
+            assert r.frame_idx % 5 == 0
+            by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        for doc, idxs in by_doc.items():
+            assert sorted(idxs) == list(range(0, max(idxs) + 1, 5))
