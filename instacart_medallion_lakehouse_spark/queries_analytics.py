@@ -548,3 +548,156 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return plan_frame_samples(with_media(docs), every_n=5)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join (leakage-safe as-of features)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pit_features_at_purchase",
+    """
+    WITH feats AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             count(*) AS feat_events,
+             round(sum(value), 2) AS feat_value
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(day + INTERVAL 1 DAY AS TIMESTAMP) AS ts,
+             0 AS side, CAST(-1 AS BIGINT) AS event_id,
+             day AS feat_day, feat_events, feat_value
+      FROM feats
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, event_id,
+             CAST(NULL AS DATE) AS feat_day,
+             CAST(NULL AS BIGINT) AS feat_events,
+             CAST(NULL AS DOUBLE) AS feat_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT *,
+             last_value(feat_day IGNORE NULLS) OVER win AS f_day,
+             last_value(feat_events IGNORE NULLS) OVER win AS f_events,
+             last_value(feat_value IGNORE NULLS) OVER win AS f_value
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts AS purchase_ts,
+           f_day AS feat_day, f_events AS feat_events, f_value AS feat_value
+    FROM w WHERE side = 1
+    """,
+)
+def pit_features_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature retrieval (the feature-store read):
+    each purchase event gets the latest DAILY user features computed
+    from days STRICTLY BEFORE its own day — a feature row becomes
+    effective at its day's end, so same-day activity (including the
+    purchase itself) can never leak into the features that describe it.
+
+    Shape: the union + last_value(IGNORE NULLS) running-window as-of
+    join (operators/joins.as_of_join's formulation) — one shuffle on
+    user_id, one ordered window pass, no per-purchase subquery and no
+    range self-join. The tie rule is explicit: at equal timestamps the
+    feature row sorts first (side 0), so a midnight purchase sees the
+    just-closed day."""
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("feat_events"),
+        dround(F.sum("value"), 2).alias("feat_value"),
+    )
+    f_side = feats.select(
+        "user_id",
+        F.date_add(F.col("day"), 1).cast("timestamp").alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.col("day").alias("feat_day"),
+        "feat_events",
+        "feat_value",
+    )
+    p_side = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("date").alias("feat_day"),
+        F.lit(None).cast("bigint").alias("feat_events"),
+        F.lit(None).cast("double").alias("feat_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = f_side.unionByName(p_side).select(
+        "*",
+        F.last("feat_day", ignorenulls=True).over(w).alias("f_day"),
+        F.last("feat_events", ignorenulls=True).over(w).alias("f_events"),
+        F.last("feat_value", ignorenulls=True).over(w).alias("f_value"),
+    )
+    return joined.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("f_day").alias("feat_day"),
+        F.col("f_events").alias("feat_events"),
+        F.col("f_value").alias("feat_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy rollup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "time_rollup_revenue",
+    """
+    WITH t AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             o_totalprice
+      FROM orders
+    )
+    SELECT coalesce(y, -1) AS year,
+           coalesce(q, -1) AS quarter,
+           CAST(grouping(y) * 2 + grouping(q) AS INT) AS grain,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM t
+    GROUP BY ROLLUP (y, q)
+    """,
+)
+def time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup: revenue at (year, quarter), per-year
+    subtotal, and grand total from ONE shuffle via ROLLUP — the time
+    twin of the geo rollup_revenue, exercising the date-part functions
+    (year/quarter are engine-identical on date inputs). The grain
+    bitmask disambiguates rolled-up nulls; coalesce(-1) keeps the
+    output columns typed INT rather than nullable-with-meaning."""
+    orders = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        "o_totalprice",
+    )
+    return (
+        t.rollup("y", "q")
+        .agg(
+            (F.grouping("y") * 2 + F.grouping("q")).cast("int").alias("grain"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("y"), F.lit(-1)).alias("year"),
+            F.coalesce(F.col("q"), F.lit(-1)).alias("quarter"),
+            "grain",
+            "n_orders",
+            "revenue",
+        )
+    )

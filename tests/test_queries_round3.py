@@ -312,3 +312,63 @@ class TestDecileBuckets:
         # bucket ranges are ordered and non-overlapping
         for lo_r, hi_r in zip(rows, rows[1:]):
             assert lo_r.hi_price <= hi_r.lo_price
+
+
+class TestPitFeatures:
+    def test_features_are_strictly_before_purchase_day(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        rows = qa.pit_features_at_purchase(spark, sf_dir).collect()
+        assert rows
+        n_with = 0
+        for r in rows:
+            if r.feat_day is not None:
+                assert r.feat_day < r.purchase_ts.date()  # no leakage
+                n_with += 1
+        assert n_with > 0
+        # purchases on the stream's first day have no prior features
+        first_day = min(r.purchase_ts.date() for r in rows)
+        for r in rows:
+            if r.purchase_ts.date() == first_day:
+                assert r.feat_day is None
+
+    def test_feature_is_the_latest_prior_day(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+        from instacart_medallion_lakehouse_spark.io import read_events
+
+        rows = qa.pit_features_at_purchase(spark, sf_dir).collect()
+        ev = read_events(spark, sf_dir)
+        days = {
+            (r.user_id, r.day)
+            for r in ev.select(
+                "user_id", F.col("ts").cast("date").alias("day")
+            ).distinct().collect()
+        }
+        by_user: dict[int, list] = {}
+        for u, d in days:
+            by_user.setdefault(u, []).append(d)
+        for r in rows[:200]:
+            prior = [d for d in by_user.get(r.user_id, [])
+                     if d < r.purchase_ts.date()]
+            want = max(prior) if prior else None
+            assert r.feat_day == want, (r.event_id, r.feat_day, want)
+
+
+class TestTimeRollup:
+    def test_grains_are_consistent(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        rows = qa.time_rollup_revenue(spark, sf_dir).collect()
+        orders_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        grand = [r for r in rows if r.grain == 3]
+        years = [r for r in rows if r.grain == 1]
+        detail = [r for r in rows if r.grain == 0]
+        assert len(grand) == 1 and grand[0].n_orders == orders_n
+        assert sum(r.n_orders for r in years) == orders_n
+        assert sum(r.n_orders for r in detail) == orders_n
+        for y in years:
+            dy = [r for r in detail if r.year == y.year]
+            assert y.n_orders == sum(r.n_orders for r in dy)
+            assert all(1 <= r.quarter <= 4 for r in dy)
