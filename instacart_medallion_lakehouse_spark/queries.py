@@ -157,16 +157,21 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "train_val_test_split",
     "repetition_ratio",
     "bigram_topk",
-    # flagship + TPC-H anchor + event-time / streaming / misc analytics
+    # flagship + TPC-H anchor + event-time / streaming
     "region_performance",
     "q1_pricing_summary",
-    "windowed_events",
-    "sessionize",
     "asof_click_view",
     "stream_interval_join",
-    "rollup_revenue",
-    "pivot_status_revenue",
-    "json_extract",
+    # riskiest round-3 additions (new API / float semantics / timestamp
+    # arithmetic / deepest composition) — the five evicted queries
+    # (windowed_events, sessionize, json_extract, rollup_revenue,
+    # pivot_status_revenue) all hold green rows in CORRECTNESS_r02;
+    # remaining round-3 queries rotate into the round-4 window
+    "dedup_clusters",
+    "grouping_sets_revenue",
+    "pit_features_at_purchase",
+    "media_resize_plan",
+    "revenue_anomalies",
 )
 
 
