@@ -32,16 +32,16 @@ from .functions.text import (
 from .operators import dedup, vectors
 from .queries import _register, _t
 
-# --- shared SQL fragments (kept in lockstep with functions/text.py) --------
+# --- shared SQL fragments (moved to oracle_fragments.py; re-exported) ------
 
-_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
-_HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
-_BPE_SQL = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"
-_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
-_SHINGLES_SQL = (
-    "CASE WHEN len(t) >= 3 THEN list_distinct("
-    "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])"
-    " ELSE [] END"
+from .oracle_fragments import (  # noqa: E402
+    _BPE_SQL,
+    _HEX_HIGH_SQL,
+    _NORM_SQL,
+    _SHINGLES_SQL,
+    _TOKS_SQL,
+    _NGRAM_VERIFY_SQL,
+    _minhash_ctes,
 )
 
 
@@ -266,13 +266,6 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_VERIFY_SQL = """
-    SELECT id_a, id_b,
-           round(len(list_intersect(x.shingles, y.shingles)) * 1.0
-                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
-             AS jaccard
-    FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
-"""
 
 
 @_register(
@@ -295,40 +288,6 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
 
-
-def _minhash_ctes(source: str, num_hashes: int, band_rows: int) -> str:
-    """CTE chain computing MinHash-LSH candidate pairs over ``source``
-    (a table or earlier CTE with (doc_id, text)) — composable into
-    larger WITH chains (the curated-corpus oracle reuses it verbatim)."""
-    sigs = ",\n             ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}_' || s))) AS sig_{i}"
-        for i in range(num_hashes)
-    )
-    bands = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(sig_{b * band_rows} || '|' || sig_{b * band_rows + 1}) AS key FROM sig"
-        for b in range(num_hashes // band_rows)
-    )
-    return f"""
-    sh0 AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS shingles
-      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM {source})
-    ),
-    sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
-    sig AS (
-      SELECT doc_id, shingles,
-             {sigs}
-      FROM sh
-    ),
-    bands AS (
-      {bands}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
-    """
 
 
 def _minhash_sql(num_hashes: int, band_rows: int) -> str:
@@ -918,8 +877,171 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the cleaned set: it feeds both the minhash pair generation and
     # the anti-join inside drop_near_duplicates — unpinned, the whole
     # score->repetition->decontaminate->exact chain re-executes for the
-    # second consumer (~2.3s of the query's 9s at sf0.1)
+    # second consumer. sf0.1 A/B (4 runs each, same session shape):
+    # pinned cold 18.4s / warm 7.8-8.7s vs unpinned cold 20.9s /
+    # warm 8.5-10.7s — the pin wins in both regimes; the large cold
+    # constant (~10s) is one-time codegen + Python-worker warmup of the
+    # deepest plan in the registry, not recompute.
     exact = exact.cache()
     exact.count()
     curated = curation.drop_near_duplicates(exact, threshold=0.8)
     return curated.select("doc_id", "predicted_lang", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 4  # k-gram hashes per selection window
+
+
+@_register(
+    "winnowing_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    kg AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(list_slice(t, i, i + {_WIN_K - 1}),
+                                        ' ')), 1, 16) AS h
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {_WIN_K - 2})) AS i
+            FROM t)
+    ),
+    sel AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                                   AND {_WIN_W - 1} FOLLOWING) AS fp,
+             lead(h, {_WIN_W - 1}) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS guard
+      FROM kg
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE guard IS NOT NULL),
+    nk AS (SELECT doc_id, count(*) AS n_kgrams FROM kg GROUP BY doc_id),
+    nf AS (SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+           FROM fps GROUP BY doc_id)
+    SELECT nk.doc_id, nk.n_kgrams,
+           coalesce(nf.n_fingerprints, 0) AS n_fingerprints,
+           nf.min_fp,
+           round(coalesce(nf.n_fingerprints, 0) * 1.0 / nk.n_kgrams, 4)
+             AS density
+    FROM nk LEFT JOIN nf ON nk.doc_id = nf.doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (the MOSS fingerprinting algorithm): hash every
+    {_WIN_K}-token k-gram, slide a window of {_WIN_W} consecutive
+    hashes, keep each window's MINIMUM — the selected set is a
+    position-robust document fingerprint guaranteeing any shared run of
+    k + w - 1 tokens produces at least one shared fingerprint, at ~2/(w+1)
+    the storage of the full k-gram set.
+
+    Relational form: posexplode + lead() windows build the k-gram
+    stream (codegen'd, same shape as shingle_table), then ONE more
+    window pass over the same (doc, pos) ordering takes the per-window
+    minima — two stacked windows on one shuffle. Hashes are md5-prefix
+    STRINGS, so the min is a lexicographic min that both engines
+    evaluate identically. Selection density ~2/(w+1) is reported per
+    doc; short docs (< k tokens) produce no k-grams and are absent, as
+    in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    w_ord = Window.partitionBy("doc_id").orderBy("_pos")
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok")
+    )
+    parts = [F.col("_tok")] + [
+        F.lead("_tok", i).over(w_ord) for i in range(1, _WIN_K)
+    ]
+    kg = (
+        ex.select(
+            "doc_id",
+            F.col("_pos").alias("pos"),
+            F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 16).alias("h"),
+            parts[-1].alias("_lasttok"),
+        )
+        .filter(F.col("_lasttok").isNotNull())
+        .drop("_lasttok")
+    )
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    sel = kg.select(
+        "doc_id",
+        F.min("h").over(w_pos.rowsBetween(0, _WIN_W - 1)).alias("fp"),
+        F.lead("h", _WIN_W - 1).over(w_pos).alias("guard"),
+    )
+    fps = (
+        sel.filter(F.col("guard").isNotNull())
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    nk = kg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kgrams"))
+    nf = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"), F.min("fp").alias("min_fp")
+    )
+    return nk.join(nf, "doc_id", "left").select(
+        "doc_id",
+        "n_kgrams",
+        F.coalesce(F.col("n_fingerprints"), F.lit(0)).alias("n_fingerprints"),
+        "min_fp",
+        dround(
+            F.coalesce(F.col("n_fingerprints"), F.lit(0))
+            * F.lit(1.0)
+            / F.col("n_kgrams"),
+            4,
+        ).alias("density"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Long-run exact overlap (substring-dedup candidates, Lee et al. style)
+# ---------------------------------------------------------------------------
+
+_RUN_N = 20  # tokens per run
+
+
+@_register(
+    "long_run_overlap",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + {_RUN_N - 1}), ' '))
+               AS h
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {_RUN_N - 2})) AS i
+            FROM t)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared_runs
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def long_run_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact long-run overlap: document pairs sharing at least one
+    identical {_RUN_N}-token contiguous run, with the count of shared
+    runs — the detection step of substring-level training-data dedup
+    (Lee et al., 'Deduplicating Training Data Makes Language Models
+    Better'), where near-dup docs that slip past whole-document
+    similarity still share verbatim passages.
+
+    Scale shape: the run table is an inverted index of md5'd runs (the
+    hash, never the 20-token text, is what shuffles), the self-join
+    meets only inside a run bucket, and the pair aggregate is the
+    candidate count a downstream span-removal pass would consume. Runs
+    are built from ONE posexplode + lead() window pass (codegen'd), the
+    same relational shingle shape as dedup.shingle_table with n={_RUN_N}."""
+    from .operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    runs = shingle_table(docs, _RUN_N, "doc_id").select(
+        "doc_id", F.md5(F.col("_sh")).alias("h")
+    )
+    a = runs.select(F.col("doc_id").alias("id_a"), "h")
+    b = runs.select(F.col("doc_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_runs"))
+    )

@@ -34,7 +34,7 @@ from .functions.text import tokens
 from .operators import dedup
 from .operators.graph import label_propagation
 from .queries import _register, _t
-from .queries_text import _TOKS_SQL, _minhash_ctes, _NGRAM_VERIFY_SQL
+from .oracle_fragments import _NGRAM_VERIFY_SQL, _TOKS_SQL, _minhash_ctes
 
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling

@@ -174,3 +174,73 @@ class TestPrefixFilter:
             ).collect()
         }
         assert naive == filtered
+
+
+class TestWinnowing:
+    def test_guarantee_shared_run_implies_shared_fingerprint(self, spark):
+        # two docs sharing a run of k+w-1 = 7 tokens MUST share >= 1
+        # fingerprint (the winnowing guarantee)
+        from pyspark.sql import functions as F
+        import unittest.mock as mock
+
+        from instacart_medallion_lakehouse_spark import queries_text as qt
+
+        shared = "alpha beta gamma delta epsilon zeta eta"
+        df = spark.createDataFrame(
+            [
+                (1, f"unique1 xx {shared} yy zz"),
+                (2, f"other prefix words {shared} tail"),
+                (3, "completely different content with no overlap at all ok"),
+            ],
+            "doc_id long, text string",
+        )
+        with mock.patch.object(qt, "_t", lambda s, d, n: df):
+            out = qt.winnowing_fingerprints(spark, "ignored")
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[1].n_fingerprints >= 1
+        # density ~ 2/(w+1): selected set far smaller than full k-grams
+        for r in rows.values():
+            assert r.n_fingerprints <= r.n_kgrams
+        # recompute fingerprint SETS to check the overlap guarantee
+        from instacart_medallion_lakehouse_spark.functions.text import tokens
+
+        def fps(doc_text):
+            toks = doc_text.split()
+            import hashlib
+
+            ks = [
+                hashlib.md5(" ".join(toks[i : i + 4]).encode()).hexdigest()[:16]
+                for i in range(len(toks) - 3)
+            ]
+            return {min(ks[i : i + 4]) for i in range(len(ks) - 3)}
+
+        s1, s2, s3 = (fps(t) for _, t in [
+            (1, f"unique1 xx {shared} yy zz"),
+            (2, f"other prefix words {shared} tail"),
+            (3, "completely different content with no overlap at all ok"),
+        ])
+        assert s1 & s2, "7-token shared run must share a fingerprint"
+        assert not (s1 & s3)
+
+
+class TestLongRunOverlap:
+    def test_planted_verbatim_passage_detected(self, spark):
+        import unittest.mock as mock
+
+        from instacart_medallion_lakehouse_spark import queries_text as qt
+
+        passage = " ".join(f"w{i}" for i in range(25))  # 25-token run
+        df = spark.createDataFrame(
+            [
+                (1, f"intro {passage} outro"),
+                (2, f"different beginning here {passage}"),
+                (3, " ".join(f"x{i}" for i in range(40))),
+            ],
+            "doc_id long, text string",
+        )
+        with mock.patch.object(qt, "_t", lambda s, d, n: df):
+            pairs = {(r.id_a, r.id_b): r.n_shared_runs
+                     for r in qt.long_run_overlap(spark, "ignored").collect()}
+        assert (1, 2) in pairs  # the verbatim passage is caught
+        assert pairs[(1, 2)] >= 25 - 20 + 1  # every window inside it
+        assert not any(3 in k for k in pairs)
