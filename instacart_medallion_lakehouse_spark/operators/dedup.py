@@ -275,11 +275,41 @@ def minhash_lsh_pairs(
     cost only a verify, never a wrong answer; false negatives are the
     documented LSH recall (tunable via k, r).
     """
+    ex, bands = minhash_bands(docs, n, num_hashes, band_rows, id_col)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, ex, id_col, threshold)
+
+
+def minhash_bands(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, bands): the MinHash signature + LSH band pipeline,
+    shared by minhash_lsh_pairs (which self-joins the bands) and the
+    lsh_bucket_profile diagnostic (which aggregates them). One
+    definition — the candidate generator an operator runs and the
+    profile an operator inspects can never drift apart.
+
+    Both returned tables are cached AND materialized: the shingle
+    table feeds hashing + verification, the band table feeds both
+    self-join sides (or the profile aggregate); a lazily-filled cache
+    would race and recompute the 16-hash signature chain per consumer.
+    """
     assert num_hashes % band_rows == 0
     n_bands = num_hashes // band_rows
-    # cached: the signature pipeline feeds BOTH sides of the band
-    # self-join and the verification pass — without pinning, Spark
-    # re-executes the shingling + hashing chain once per consumer
     ex = shingle_table(docs, n, id_col).cache()
     ex.count()  # materialize before multi-consumer reuse (see ngram note)
     hashed = ex.select(
@@ -304,8 +334,6 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    # pinned: the band table feeds both sides of the LSH self-join — without
-    # it the 16-hash signature aggregation runs once per side
     bands = (
         sig.select(
             F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
@@ -314,19 +342,7 @@ def minhash_lsh_pairs(
         .cache()
     )
     bands.count()  # materialize before the self-join (see ngram note)
-
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-    return _verify_jaccard(cand, ex, id_col, threshold)
+    return ex, bands
 
 
 # ---------------------------------------------------------------------------

@@ -1045,3 +1045,93 @@ def long_run_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_runs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size consistent sampling + LSH bucket diagnostics
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 10
+
+
+@_register(
+    "consistent_sample_k",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_SAMPLE_K}
+    """,
+)
+def consistent_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size consistent sample: exactly min(k, group size) docs
+    per language, chosen by md5-hash order — the eval-set construction
+    primitive. Unlike rate-gated sampling (stratified_sample), the
+    size is exact; unlike random sampling, adding documents later only
+    swaps items whose hash enters the top k, so samples stay ~stable
+    across corpus versions (consistent sampling).
+
+    The per-group row_number is fine when groups are few and the k is
+    tiny; at extreme group cardinality the same semantics come from an
+    aggregate top-k (min-heap partial aggregation) rather than a full
+    per-group sort — the window form is the oracle-checkable baseline."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _SAMPLE_K)
+        .select("doc_id", "lang", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@_register(
+    "lsh_bucket_profile",
+    f"""
+    WITH {_minhash_ctes("documents", 16, 2)},
+    bsz AS (
+      SELECT band, key, count(*) AS sz FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(sz AS BIGINT) AS bucket_size,
+           count(*) AS n_buckets,
+           CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM bsz
+    GROUP BY sz
+    """,
+)
+def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-volume diagnostics: the distribution of MinHash
+    band-bucket sizes and the candidate pairs each size class will
+    generate (sz*(sz-1)/2 per bucket) — the pre-flight check that
+    tells you whether a banding config will explode the self-join
+    (key_skew_profile's twin for the dedup family). A hot bucket here
+    means a too-coarse band (lower band_rows / more hashes) BEFORE the
+    pair join runs, not after it OOMs.
+
+    Built on the SAME signature+band pipeline the pair generator uses
+    (operators/dedup.minhash_bands), so the profile describes exactly
+    the join minhash_lsh_dedup would run."""
+    from .operators.dedup import minhash_bands
+
+    docs = _t(spark, sf_dir, "documents")
+    _ex, bands = minhash_bands(docs, n=3, num_hashes=16, band_rows=2)
+    bsz = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        bsz.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            F.col("sz").cast("bigint").alias("bucket_size"),
+            "n_buckets",
+            (
+                (F.col("sz") * (F.col("sz") - 1) / 2) * F.col("n_buckets")
+            )
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+    )
