@@ -1744,3 +1744,163 @@ def modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the fuzzy-match graph: triangles + PageRank
+# ---------------------------------------------------------------------------
+
+_FUZZY_EDGES_SQL = """
+    c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500
+    ),
+    e AS (
+      SELECT a.c_custkey AS src, b.c_custkey AS dst
+      FROM c a
+      JOIN c b ON length(a.c_name) = length(b.c_name)
+              AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )
+"""
+
+
+@_register(
+    "triangle_count",
+    f"""
+    WITH {_FUZZY_EDGES_SQL}
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the fuzzy-name graph: with every edge
+    stored once in min<max orientation, each triangle {{a<b<c}} is
+    counted exactly once as (a,b)+(b,c)+(a,c) — two equi-joins, no
+    post-hoc dedup and no 6x overcount from symmetric edges. This is
+    the standard distributed formulation; at scale the classic
+    refinement is degree-ordering (orient edges low-degree -> high-
+    degree) so the join fan-out is bounded by sqrt(|E|) per vertex,
+    which the min-id orientation here approximates on near-dup graphs
+    whose ids spread uniformly."""
+    edges = fuzzy_name_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.cache()
+    edges.count()  # three consumers below
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _pagerank_sql(iterations: int, damping: float = 0.85) -> str:
+    """PageRank unrolled as CTEs: symmetric edges, uniform init, k
+    damped iterations with every rank rounded to 8 dp per iteration so
+    both engines iterate on identical doubles (summation inside one
+    iteration is over <= degree values of already-rounded rank/outdeg
+    quotients — rounded again before the next iteration)."""
+    ctes = [
+        _FUZZY_EDGES_SQL.strip(),
+        """sym AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    )""",
+        """deg AS (SELECT src AS node, count(*) AS outdeg FROM sym GROUP BY 1)""",
+        """n AS (SELECT count(*) AS n_nodes FROM deg)""",
+        """r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / n_nodes, 8) AS rank
+              FROM deg CROSS JOIN n)""",
+    ]
+    one_minus_d = 1 - damping
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT d.node,
+             round(CAST({one_minus_d} AS DOUBLE) / max(n.n_nodes)
+                   + {damping} * coalesce(sum(round(r.rank / nb.outdeg, 8)), 0),
+                   8) AS rank
+      FROM deg d
+      CROSS JOIN n
+      LEFT JOIN sym s ON s.dst = d.node
+      LEFT JOIN r{i - 1} r ON r.node = s.src
+      LEFT JOIN deg nb ON nb.node = s.src
+      GROUP BY d.node
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, rank FROM r{iterations}
+    """
+
+
+@_register("pagerank_fuzzy", _pagerank_sql(3))
+def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 damped iterations) over the symmetrized fuzzy-match
+    graph — the importance score that ranks cluster representatives by
+    connectivity rather than minimum id. Fixed iteration count keeps
+    the oracle an unrolled-CTE replay; every rank is rounded to 8 dp
+    per iteration, so both engines iterate on identical doubles and
+    per-node neighbor sums (<= degree addends of identical values)
+    cannot drift.
+
+    Per iteration: one join of the edge list against the current ranks
+    + one aggregate — the same BSP shape as label propagation, O(|E|)
+    shuffle per round, ranks never collected to the driver."""
+    edges = fuzzy_name_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    both = F.explode(
+        F.array(
+            F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+            F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+        )
+    )
+    sym = edges.select(both.alias("_e")).select(
+        F.col("_e.s").alias("src"), F.col("_e.d").alias("dst")
+    )
+    sym = sym.cache()
+    sym.count()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    deg = deg.cache()
+    deg.count()
+    n_nodes = deg.count()
+    damping = 0.85
+    ranks = deg.select(
+        "node", dround(F.lit(1.0) / F.lit(n_nodes), 8).alias("rank")
+    )
+    for _ in range(3):
+        contrib = (
+            sym.join(ranks, sym["src"] == ranks["node"])
+            .join(
+                deg.select(
+                    F.col("node").alias("_nb"), F.col("outdeg").alias("_od")
+                ),
+                F.col("src") == F.col("_nb"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                dround(F.col("rank") / F.col("_od"), 8).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("_in"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                dround(
+                    F.lit((1 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    8,
+                ).alias("rank"),
+            )
+        )
+    return ranks

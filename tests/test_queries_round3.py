@@ -420,3 +420,33 @@ class TestPlanShapes:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         # the whole point: no global sort of the fact table
         assert "rangepartitioning" not in plan
+
+
+class TestGraphAnalytics:
+    def test_triangle_count_on_known_graph(self, spark):
+        import unittest.mock as mock
+
+        from instacart_medallion_lakehouse_spark import queries_ext as qe
+
+        # K4 on names of equal length within levenshtein 1: use 4
+        # customers with names differing in one char -> complete graph
+        # K4 has exactly 4 triangles; plus an isolated pair (no triangle)
+        df = spark.createDataFrame(
+            [
+                (1, "name_a"), (2, "name_b"), (3, "name_c"), (4, "name_d"),
+                (5, "other_x"), (6, "other_y"),
+            ],
+            "c_custkey long, c_name string",
+        )
+        with mock.patch.object(qe, "_t", lambda s, d, n: df):
+            out = qe.triangle_count(spark, "ignored").first()
+        assert out.n_triangles == 4
+
+    def test_pagerank_sums_to_one_and_ranks_connectivity(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_ext as qe
+
+        rows = qe.pagerank_fuzzy(spark, sf_dir).collect()
+        total = sum(r.rank for r in rows)
+        # ranks are a probability distribution (up to 8-dp rounding drift)
+        assert abs(total - 1.0) < 1e-4 * len(rows)
+        assert all(r.rank > 0 for r in rows)
