@@ -40,7 +40,9 @@ def audit(plan: str) -> dict:
         "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
         "single_part": len(re.findall(r"Exchange SinglePartition", plan)),
         "broadcasts": plan.count("BroadcastExchange"),
-        "wscg": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # executedPlan().toString() marks codegen'd operators "*(n) Op";
+        # count distinct span ids n
+        "wscg": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python": len(
             re.findall(
                 r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas|PythonMapInArrow",
@@ -57,6 +59,11 @@ def audit(plan: str) -> dict:
 def main() -> None:
     spark = build_session("plan-report")
     spark.sparkContext.setLogLevel("ERROR")
+    # AQE defers physical finalization (incl. codegen annotation) to
+    # runtime; the audit wants the static plan with *(n) span markers.
+    # Exchange/broadcast counts are unaffected (AQE coalesces partition
+    # counts, it does not remove planned exchanges).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     rows = []
     for name, fn in q.queries().items():
         try:
