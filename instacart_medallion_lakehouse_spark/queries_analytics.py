@@ -415,11 +415,16 @@ def decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons in both engines, so a price can never straddle a
     cutpoint differently across engines."""
     orders = _t(spark, sf_dir, "orders")
+    # ONE array-form percentile aggregate: nine scalar percentile()
+    # calls would each buffer the full column in the agg (9x memory,
+    # 9x sort work); the array form buffers and sorts once and reads
+    # all nine cutpoints out of it
+    fracs = ", ".join(str(i / 10) for i in range(1, _N_BUCKETS))
     cuts = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({fracs}))").alias("_cs")
+    ).select(
         *[
-            dround(F.expr(f"percentile(o_totalprice, {i / 10})"), 2).alias(
-                f"c{i}"
-            )
+            dround(F.col("_cs")[i - 1], 2).alias(f"c{i}")
             for i in range(1, _N_BUCKETS)
         ]
     )
