@@ -777,10 +777,21 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.scalar import dround
 
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        dround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        dround(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-        dround(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    # one array-form percentile per group: three scalar calls would
+    # buffer the group's values three times over (see decile_buckets)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias(
+                "_ps"
+            )
+        )
+        .select(
+            "o_orderstatus",
+            dround(F.col("_ps")[0], 2).alias("p50"),
+            dround(F.col("_ps")[1], 2).alias("p90"),
+            dround(F.col("_ps")[2], 2).alias("p99"),
+        )
     )
 
 
@@ -1551,10 +1562,19 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile uses a different sketch (rows-only by design); closeness
     to the exact twin is asserted in tests/test_queries_round2.py."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        dround(F.expr("percentile_approx(o_totalprice, 0.5, 10000)"), 2).alias("p50"),
-        dround(F.expr("percentile_approx(o_totalprice, 0.9, 10000)"), 2).alias("p90"),
-        dround(F.expr("percentile_approx(o_totalprice, 0.99, 10000)"), 2).alias("p99"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile_approx(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("_ps")
+        )
+        .select(
+            "o_orderstatus",
+            dround(F.col("_ps")[0], 2).alias("p50"),
+            dround(F.col("_ps")[1], 2).alias("p90"),
+            dround(F.col("_ps")[2], 2).alias("p99"),
+        )
     )
 
 
