@@ -706,3 +706,190 @@ def time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01', f.first_day)
+                        / 7) AS INT) AS cohort_week,
+             CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE))
+                        / 7) AS INT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           count(*) AS n_active
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as active in each subsequent week offset — THE
+    product-analytics retention table. Two aggregates over one user_id
+    partitioning: first-activity via min(ts) per user, then distinct
+    (user, cohort, offset) membership rolled up; the per-user first day
+    joins back co-partitioned, so the event log shuffles once.
+
+    Weeks anchor on the corpus epoch (2024-01-01) for the cohort axis
+    and on each user's own first day for the offset axis — integer day
+    arithmetic on DATEs, identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    epoch = F.lit("2024-01-01").cast("date")
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("first_day"), epoch) / 7)
+            .cast("int")
+            .alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("first_day")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "unpivot_part_metrics",
+    """
+    WITH u AS (
+      SELECT p_partkey, 'p_size' AS metric,
+             CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    )
+    SELECT metric,
+           count(*) AS n_parts,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) * 1.0
+                 / count(value) / 100.0, 4) AS avg_value
+    FROM u
+    GROUP BY metric
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the part table's numeric metric columns turned
+    into (key, metric, value) rows via the native DataFrame.unpivot —
+    ONE expression per row expansion inside the scan (the Expand
+    operator), not a UNION of N self-reads that would scan the table
+    once per metric — then profiled per metric. The long layout is what
+    generic profilers and metric stores consume. Averages use the
+    fixed-point cent-sum form so summation order cannot drift the
+    hash."""
+    from .operators.aggs import avg_fixedpoint
+
+    part = _t(spark, sf_dir, "part")
+    long = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dround(F.min("value"), 2).alias("min_value"),
+        dround(F.max("value"), 2).alias("max_value"),
+        avg_fixedpoint(F.col("value"), 100, 4).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector normalization profile
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "embedding_norms",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label,
+             len(e) AS n_dims,
+             list_dot_product(e, e) AS sq,
+             list_max(list_transform(e, x -> abs(x))) AS max_abs
+      FROM q
+    )
+    SELECT CAST(label AS INT) AS label,
+           count(*) AS n_vecs,
+           round(avg(round(sqrt(sq), 4)), 4) AS avg_norm,
+           round(max(round(sqrt(sq), 4)), 4) AS max_norm,
+           CAST(max(max_abs) AS BIGINT) AS max_abs_component,
+           CAST(min(n_dims) AS INT) AS n_dims
+    FROM n
+    GROUP BY label
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus — the sanity
+    pass before any cosine machinery (un-normalized or zero vectors
+    break cosine assumptions silently). Vectors are quantized to
+    integer-valued doubles FIRST (the same x1000 lattice every vector
+    operator here uses), so dot products are exact in any order; sqrt
+    is exactly rounded per IEEE, and each norm is rounded before the
+    avg/max so both engines aggregate identical doubles.
+
+    The per-vector math is aggregate/transform higher-order functions —
+    interpreted, not codegen'd, which is acceptable for a profile query
+    (one pass, 64 elements/row); the hot GEMM paths live in
+    operators/vectors.py as Arrow-batched numpy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)),
+    )
+    q = emb.select("vec_id", "label", e.alias("e"))
+    sq = F.aggregate(
+        F.zip_with("e", "e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = q.select(
+        "label",
+        F.size("e").alias("n_dims"),
+        sq.alias("sq"),
+        F.array_max(F.transform("e", lambda x: F.abs(x))).alias("max_abs"),
+    )
+    norm4 = dround(F.sqrt(F.col("sq")), 4)
+    return n.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        dround(F.avg(norm4), 4).alias("avg_norm"),
+        dround(F.max(norm4), 4).alias("max_norm"),
+        F.max("max_abs").cast("bigint").alias("max_abs_component"),
+        F.min("n_dims").cast("int").alias("n_dims"),
+    )

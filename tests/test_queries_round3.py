@@ -450,3 +450,39 @@ class TestGraphAnalytics:
         # ranks are a probability distribution (up to 8-dp rounding drift)
         assert abs(total - 1.0) < 1e-4 * len(rows)
         assert all(r.rank > 0 for r in rows)
+
+
+class TestAnalyticsBatch2:
+    def test_cohort_retention_matrix_properties(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        rows = qa.cohort_retention(spark, sf_dir).collect()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_users = ev.select("user_id").distinct().count()
+        week0 = [r for r in rows if r.week_offset == 0]
+        # every user is active in their own first week
+        assert sum(r.n_active for r in week0) == n_users
+        assert all(r.n_active <= n_users for r in rows)
+        assert all(r.week_offset >= 0 for r in rows)
+
+    def test_unpivot_long_layout(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        rows = {r.metric: r for r in
+                qa.unpivot_part_metrics(spark, sf_dir).collect()}
+        n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+        assert set(rows) == {"p_size", "p_retailprice"}
+        for r in rows.values():
+            assert r.n_parts == n_parts
+            assert r.min_value <= r.avg_value <= r.max_value
+
+    def test_embedding_norms_on_quantized_lattice(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        rows = qa.embedding_norms(spark, sf_dir).collect()
+        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert sum(r.n_vecs for r in rows) == n_vecs
+        for r in rows:
+            assert r.n_dims == 64
+            assert 0 < r.avg_norm <= r.max_norm
+            assert r.max_abs_component >= 0
