@@ -893,3 +893,47 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_abs").cast("bigint").alias("max_abs_component"),
         F.min("n_dims").cast("int").alias("n_dims"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Left-semi join (EXISTS semantics)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "urgent_customers_by_segment",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY 1
+    """,
+)
+def urgent_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semantics as a LEFT SEMI join: customers with at least
+    one urgent order, rolled up per market segment — the semi join
+    emits each matching customer ONCE regardless of how many urgent
+    orders they placed (an inner join + distinct would pay an extra
+    dedup shuffle for the same answer; the anti twin is ri_orphans).
+    The probe side carries only the join key through the shuffle, and
+    the priority filter pushes into the orders scan."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
