@@ -124,3 +124,51 @@ class TestAsOfJoinProperty:
             cands = [(rts, rid, v) for (rk, rts, v, rid) in rrows if rk == k and rts <= ts]
             want = max(cands, default=None, key=lambda c: (c[0], c[1]))
             assert got[lid] == (want[2] if want else None)
+
+
+class TestWinnowingModelEquivalence:
+    def test_spark_matches_pure_python_model_on_random_docs(self, spark):
+        """Third-opinion check: the Spark winnowing pipeline vs an
+        independent pure-Python implementation of the algorithm over
+        seeded random documents (the DuckDB oracle is the second
+        opinion; three implementations agreeing rules out a shared
+        formulation bug in the SQL twins)."""
+        import hashlib
+        import random
+        import unittest.mock as mock
+
+        from instacart_medallion_lakehouse_spark import queries_text as qt
+
+        rng = random.Random(42)
+        vocab = [f"tok{i}" for i in range(30)]
+        docs = []
+        for doc_id in range(120):
+            n = rng.randint(0, 40)  # includes docs too short for any k-gram
+            docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        with mock.patch.object(qt, "_t", lambda s, d, nm: df):
+            got = {
+                r.doc_id: (r.n_kgrams, r.n_fingerprints, r.min_fp)
+                for r in qt.winnowing_fingerprints(spark, "ignored").collect()
+            }
+
+        K, W = 4, 4
+        want = {}
+        for doc_id, text in docs:
+            toks = text.split() if text.strip() else []
+            kgrams = [
+                hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()[:16]
+                for i in range(len(toks) - K + 1)
+            ]
+            if not kgrams:
+                continue  # absent from output, like the oracle
+            sel = {
+                min(kgrams[i : i + W]) for i in range(len(kgrams) - W + 1)
+            }
+            want[doc_id] = (
+                len(kgrams),
+                len(sel),
+                min(sel) if sel else None,
+            )
+        assert got == want
