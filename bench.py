@@ -80,6 +80,19 @@ def main() -> None:
     duck = _bench_duckdb_baseline()
     if duck:
         detail["duckdb"] = duck
+        # per-query spark/duckdb ratio (<1 = Spark faster) so the 2x
+        # baseline bar is auditable per query from this artifact alone;
+        # only meaningful where a DuckDB twin exists and took >= 50ms
+        # (below that the ratio measures scheduling floors, not plans)
+        dq = duck.get("queries") or {}
+        detail["ratio_total"] = (
+            round(total / duck["total"], 3) if duck.get("total") else None
+        )
+        detail["ratios"] = {
+            name: round(t / dq[name], 2)
+            for name, t in timings.items()
+            if dq.get(name, 0) >= 0.05
+        }
 
     with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
