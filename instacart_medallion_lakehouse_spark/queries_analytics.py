@@ -937,3 +937,69 @@ def urgent_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 state history (consecutive-state compression into intervals)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scd2_user_states",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 build from an event stream: consecutive events of the
+    same type collapse into ONE state row with a validity interval
+    [valid_from, valid_to) — valid_to NULL marks the current state.
+    This is the standard dimension-history construction (change-point
+    detection via lag, interval close via lead), and the output is the
+    table as-of joins and point-in-time reads consume.
+
+    Two stacked windows over the SAME (user, ts, event_id) ordering:
+    one shuffle, one sort, change detection and interval close both
+    partition-local. The event_id tie-break keeps equal-timestamp
+    ordering engine-identical (the ordered-window rule this module's
+    header states)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+    )

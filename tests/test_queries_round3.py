@@ -486,3 +486,24 @@ class TestAnalyticsBatch2:
             assert r.n_dims == 64
             assert 0 < r.avg_norm <= r.max_norm
             assert r.max_abs_component >= 0
+
+
+class TestScd2UserStates:
+    def test_intervals_partition_time_and_compress_runs(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_analytics as qa
+
+        rows = qa.scd2_user_states(spark, sf_dir).collect()
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_users = ev.select("user_id").distinct().count()
+        assert len(by_user) == n_users
+        for user, ivs in by_user.items():
+            ivs.sort(key=lambda r: r.valid_from)
+            # exactly one open (current) interval per user, at the end
+            currents = [r for r in ivs if r.is_current == 1]
+            assert len(currents) == 1 and currents[0] is ivs[-1]
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.valid_to == b.valid_from  # contiguous, no gaps
+                assert a.state != b.state  # runs are compressed
