@@ -201,3 +201,60 @@ def assert_row_count_nonzero(count: int, table: str = "") -> None:
 def log_layer_stats(layer: str, table: str, rows: int) -> None:
     """Structured LAYER_COMPLETE line (utils/quality.py:173-178)."""
     logger.info("LAYER_COMPLETE layer=%s table=%s rows=%d", layer, table, rows)
+
+
+def write_with_observed_gates(
+    df: DataFrame,
+    path: str,
+    null_rate_columns: dict[str, float] | None = None,
+    require_nonzero: bool = True,
+    layer: str = "",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` to parquet with the quality gates evaluated as
+    OBSERVATIONS of the write job itself — `df.observe` attaches the
+    gate aggregates to the write's own pass over the data, so the
+    null-rate and non-empty checks cost ZERO extra scans/jobs.
+
+    The separate-job gates above (check_null_rate etc., the reference's
+    utils/quality.py shape) re-scan the table once per gate; at 100 TB
+    that doubles (or worse) the ingest cost. This is the production
+    form: one pass writes AND measures, and the gates are enforced from
+    the observed metrics after the action completes. Failing a gate
+    raises AFTER the write (the data landed but is not promoted —
+    callers pair this with the versioned store so the manifest publish
+    is the gate-conditional commit point).
+
+    Returns the observed metrics dict:
+    ``{"n_rows": int, "nulls_<col>": int, "null_rate_<col>": float}``.
+    """
+    from pyspark.sql import Observation
+
+    null_rate_columns = null_rate_columns or {}
+    obs = Observation(f"gates_{layer or 'table'}")
+    metrics_exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in null_rate_columns:
+        metrics_exprs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(
+                f"nulls_{col}"
+            )
+        )
+    observed = df.observe(obs, *metrics_exprs)
+    observed.write.mode(mode).parquet(path)
+
+    got = dict(obs.get)
+    n_rows = got.get("n_rows", 0)
+    out: dict = {"n_rows": n_rows}
+    if require_nonzero and n_rows == 0:
+        raise DataQualityError(f"[{layer}] observed write produced 0 rows")
+    for col, threshold in null_rate_columns.items():
+        nulls = got.get(f"nulls_{col}") or 0
+        rate = round(nulls / n_rows, 6) if n_rows else 0.0
+        out[f"nulls_{col}"] = nulls
+        out[f"null_rate_{col}"] = rate
+        if rate > threshold:
+            raise DataQualityError(
+                f"[{layer}] observed null rate {rate:.6f} on '{col}' "
+                f"exceeds threshold {threshold}"
+            )
+    return out

@@ -83,3 +83,51 @@ class TestSparkGates:
             quality.check_referential_integrity(li, "l_orderkey", orders, "o_orderkey")
             == 0.0
         )
+
+
+class TestObservedGates:
+    def test_metrics_match_recomputation_and_no_extra_scan(
+        self, spark, sf_dir, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark import quality
+
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = str(tmp_path / "obs")
+        metrics = quality.write_with_observed_gates(
+            df, out, null_rate_columns={"o_custkey": 0.5}, layer="test"
+        )
+        assert metrics["n_rows"] == df.count()
+        want_nulls = df.filter(F.col("o_custkey").isNull()).count()
+        assert metrics["nulls_o_custkey"] == want_nulls
+        # the write itself landed intact
+        assert spark.read.parquet(out).count() == metrics["n_rows"]
+
+    def test_threshold_breach_raises_after_write(self, spark, tmp_path):
+        from instacart_medallion_lakehouse_spark import quality
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "id long, v string"
+        )
+        out = str(tmp_path / "bad")
+        import pytest as _pytest
+
+        with _pytest.raises(quality.DataQualityError, match="null rate"):
+            quality.write_with_observed_gates(
+                df, out, null_rate_columns={"v": 0.5}, layer="test"
+            )
+        # data landed (gate fails AFTER the action; promotion is the
+        # caller's versioned-commit step)
+        assert spark.read.parquet(out).count() == 3
+
+    def test_empty_write_rejected(self, spark, sf_dir, tmp_path):
+        from instacart_medallion_lakehouse_spark import quality
+
+        df = spark.read.parquet(f"{sf_dir}/region.parquet").filter("1=0")
+        import pytest as _pytest
+
+        with _pytest.raises(quality.DataQualityError, match="0 rows"):
+            quality.write_with_observed_gates(
+                df, str(tmp_path / "empty"), layer="test"
+            )
