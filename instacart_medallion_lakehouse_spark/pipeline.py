@@ -96,8 +96,17 @@ def run_bronze(
                 "_bronze_version": F.lit(BRONZE_VERSION),
             }
         )
-        write_table(df, f"{out_dir}/bronze/{name}")
-        n = spark.read.parquet(f"{out_dir}/bronze/{name}").count()
+        # gate count OBSERVED on the write pass itself — no post-write
+        # re-scan job per table (quality.write_with_observed_gates is
+        # the general form; here only the non-empty gate applies)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"bronze_{name}")
+        write_table(
+            df.observe(obs, F.count(F.lit(1)).alias("n_rows")),
+            f"{out_dir}/bronze/{name}",
+        )
+        n = int(obs.get["n_rows"])
         quality.assert_row_count_nonzero(n, f"bronze.{name}")
         quality.log_layer_stats("bronze", name, n)
         result.bronze_counts[name] = n
