@@ -154,9 +154,15 @@ def run_silver(
                 df, keys=keys, order_by=[F.col("_ingested_at"), content_hash]
             )
         cleaned = df.drop("_ingested_at", "_source_file", "_bronze_version")
-        write_table(cleaned, f"{out_dir}/silver/{name}")
+        from pyspark.sql import Observation
+
+        obs = Observation(f"silver_{name}")
+        write_table(
+            cleaned.observe(obs, F.count(F.lit(1)).alias("n_rows")),
+            f"{out_dir}/silver/{name}",
+        )
         silver_df = spark.read.parquet(f"{out_dir}/silver/{name}")
-        n = silver_df.count()
+        n = int(obs.get["n_rows"])  # observed on the write pass, no re-scan
         if keys is not None:
             quality.check_duplicate_rate(
                 silver_df, keys, thresholds.duplicate_rate, "silver"
@@ -208,6 +214,10 @@ def run_gold(
     }
     out: dict[str, DataFrame] = {}
     for name, (df, part_by) in gold.items():
+        from pyspark.sql import Observation
+
+        obs = Observation(f"gold_{name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         if versioned_gold:
             from .versioned import read_versioned, write_versioned
 
@@ -216,7 +226,7 @@ def run_gold(
         else:
             write_table(df, f"{out_dir}/gold/{name}", partition_by=part_by)
             written = spark.read.parquet(f"{out_dir}/gold/{name}")
-        n = written.count()
+        n = int(obs.get["n_rows"])  # observed on the write pass, no re-scan
         quality.assert_row_count_nonzero(n, f"gold.{name}")
         quality.log_layer_stats("gold", name, n)
         result.gold_counts[name] = n
