@@ -284,3 +284,45 @@ def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
     out["events"] = read_events(spark, sf_dir)
     return out
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines scan that QUARANTINES malformed records instead of
+    failing the job: returns (good_rows, bad_rows) where bad_rows
+    carries the raw offending line in ``_corrupt_record``.
+
+    FAILFAST (read_jsonl) is right for schema-enforced bronze where a
+    malformed record means an upstream bug; at 100 TB of third-party
+    data a single bad line must not kill a multi-hour ingest — the
+    production pattern is PERMISSIVE parse + split + quarantine sink,
+    with a gate on the quarantine RATE rather than its existence.
+
+    Spark requires the corrupt-record column to be part of the parse
+    schema; it is appended here and stripped from the good branch, so
+    callers keep their declared schema exactly. The split is two
+    filters over ONE cached parse (a lazy double-read would re-parse
+    the file once per branch).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StringType
+
+    parse_schema = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    parsed = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(parse_schema)
+        .json(path)
+        .cache()
+    )
+    parsed.count()  # materialize: both branches read the one parse
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    return good, bad

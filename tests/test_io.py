@@ -290,3 +290,46 @@ class TestZOrderNulls:
         # the NULL row shares a file with LOW a values (bucket 0 side),
         # not with the max-value row
         assert stats["hi_a"] < 1000
+
+
+class TestJsonlQuarantine:
+    def test_bad_lines_split_out_good_schema_kept(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from instacart_medallion_lakehouse_spark.io import read_jsonl_quarantine
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text(
+            '{"id": 1, "name": "a"}\n'
+            "this is not json\n"
+            '{"id": 2, "name": "b"}\n'
+            '{"id": "notanint", "name": "c"}\n'
+        )
+        schema = StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        )
+        good, bad = read_jsonl_quarantine(spark, str(p), schema)
+        assert good.columns == ["id", "name"]  # declared schema exactly
+        assert {r.id for r in good.collect()} == {1, 2}
+        bad_lines = [r._corrupt_record for r in bad.collect()]
+        assert len(bad_lines) == 2
+        assert any("not json" in b for b in bad_lines)
+        assert any("notanint" in b for b in bad_lines)
+
+    def test_clean_file_has_empty_quarantine(self, spark, sf_dir, tmp_path):
+        from instacart_medallion_lakehouse_spark.io import (
+            read_jsonl_quarantine,
+            write_jsonl,
+        )
+
+        src = spark.read.parquet(f"{sf_dir}/region.parquet")
+        out = str(tmp_path / "clean")
+        write_jsonl(src, out)
+        good, bad = read_jsonl_quarantine(spark, out, src.schema)
+        assert bad.count() == 0
+        assert good.count() == src.count()
