@@ -1924,3 +1924,82 @@ def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 / Q14 (the remaining queries the test schema's columns support)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + aggregate,
+    THE predicate-pushdown benchmark — every predicate (date range,
+    discount band, quantity cap) reaches the parquet scan as a pushed
+    filter and the scan reads exactly four columns. No joins, no
+    windows: the whole query is one codegen'd scan-aggregate with a
+    singleton final reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.filter(f).agg(
+        dround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of a month's revenue
+    from promo-typed parts — conditional aggregation over a fact-dim
+    join with the date filter pushed into the fact scan and the dim
+    broadcast. One shuffle (the final singleton reduce); the CASE
+    rides the join output inside codegen."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            dround(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_pct"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
