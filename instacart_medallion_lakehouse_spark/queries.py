@@ -157,11 +157,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "train_val_test_split",
     "repetition_ratio",
     "bigram_topk",
-    # flagship + TPC-H anchor + event-time / streaming
-    "region_performance",
-    "q1_pricing_summary",
-    "asof_click_view",
-    "stream_interval_join",
+    # round-3 TPC-H additions with float-division / float-threshold
+    # semantics — the four evicted entries (region_performance,
+    # q1_pricing_summary, asof_click_view, stream_interval_join) hold
+    # green rows in CORRECTNESS_r02 and were not touched this round
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_prospect_balances",
     # riskiest round-3 additions (new API / float semantics / timestamp
     # arithmetic / deepest composition) — the five evicted queries
     # (windowed_events, sessionize, json_extract, rollup_revenue,

@@ -1927,7 +1927,10 @@ def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TPC-H Q6 / Q14 (the remaining queries the test schema's columns support)
+# TPC-H Q6 / Q14 (pure-filter and join-share shapes; Q8/Q13/Q15/Q17/Q22
+# follow below — Q2/Q9/Q11/Q16/Q20 need partsupp and Q4/Q12/Q19/Q21 need
+# l_commitdate / l_receiptdate / l_shipmode, none of which exist in the
+# test schema)
 # ---------------------------------------------------------------------------
 
 
@@ -2002,4 +2005,319 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 / Q15 (verbatim shapes) and Q13 / Q17 / Q22 (adapted to the
+# slim schema: no o_comment / p_container / c_phone columns, so the
+# comment-, container- and phone-prefix predicates become brand /
+# nation-key predicates with identical plan shapes).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the 8-table join — the widest
+    plan in the registry. 100 TB strategy: the part filter (1/6 of
+    parts) and supplier dim broadcast into the lineitem scan, so the
+    only shuffles are the two fact-sized ones (lineitem->orders on
+    orderkey, +orders->customer on custkey). The region predicate is
+    applied to the broadcast nation-x-region dim BEFORE the customer
+    join, so AMERICA-only customers survive the shuffle. The supplier
+    nation (n2) rides the broadcast supplier row — no extra join of
+    fact rows."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(n2, F.col("s_nationkey") == F.col("_n2key"))
+        .select("s_suppkey", "nation")
+    )
+    # nation-x-region, filtered to the region of interest, for customers
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_n1key"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1key"))
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fact = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    target = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+        0.0
+    )
+    return (
+        fact.groupBy("o_year")
+        .agg(dround(F.sum(target) / F.sum("volume"), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    max. The revenue CTE aggregates lineitem down to one row per
+    supplier (map-side partial agg, one shuffle); the scalar max is a
+    1-row aggregate of THAT small table, attached by broadcast cross
+    join — never a second scan of lineitem, never a global sort.
+    Revenue is rounded to cents BEFORE the max comparison so the
+    equality is exact cross-engine (floats compared raw would make
+    'ties' engine-dependent)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    best = revenue.crossJoin(F.broadcast(top)).filter(
+        F.col("total_revenue") == F.col("_max_rev")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(
+            F.broadcast(best), sup["s_suppkey"] == best["supplier_no"]
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution; the
+    reference schema has no o_comment, so the comment exclusion is
+    dropped — the double-aggregate left-join plan is intact). Scale
+    plan: orders pre-aggregates to one count per custkey BEFORE the
+    join (map-side combine shrinks the fact to <=|customer| rows), the
+    left join preserves zero-order customers via COALESCE(cnt, 0), and
+    the outer distribution agg runs on |customer| rows. Shuffles: one
+    for the pre-agg, one for the join, one tiny one for the final
+    distribution — vs shuffling raw orders rows into the join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    ord_counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    per_cust = (
+        c.join(ord_counts, c["c_custkey"] == F.col("o_custkey"), "left")
+        .select(
+            F.coalesce(F.col("_cnt"), F.lit(0)).alias("c_count")
+        )
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pf AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+    ), lb AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+    ), th AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS thresh
+      FROM lb GROUP BY l_partkey
+    )
+    SELECT round(sum(lb.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lb JOIN th ON lb.l_partkey = th.l_partkey
+    WHERE lb.l_quantity < th.thresh
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue; p_container does not
+    exist in the schema so the brand predicate alone selects the part
+    family). The correlated subquery (per-part 20%-of-average quantity
+    threshold) decorrelates into: filter part (broadcast) -> join into
+    lineitem -> per-part avg over ONLY the surviving rows (partkey
+    determines brand, so filter-then-avg equals avg-then-filter) ->
+    self-join threshold back on partkey. The threshold table is
+    |parts-in-brand| rows — broadcast, so the fact shuffles once (the
+    avg), not twice. l_quantity holds integer values in doubles: the
+    per-group sums are exact, making avg (and the 0.2x threshold
+    comparison) bit-identical cross-engine."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lb = li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    th = lb.groupBy(F.col("l_partkey").alias("_tpart")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thresh")
+    )
+    return (
+        lb.join(F.broadcast(th), lb["l_partkey"] == F.col("_tpart"))
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q22_prospect_balances",
+    """
+    WITH avg_bal AS (
+      SELECT round(avg(c_acctbal), 4) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS cntry,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey, avg_bal
+    WHERE c.c_nationkey IN (0, 3, 7, 11, 14, 19, 23)
+      AND c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q22_prospect_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity; the schema has no
+    c_phone, so the country-code prefix list becomes a nation-key
+    list; and this generator gives every customer at least one order,
+    so the anti join targets orders SINCE 2000 — dormant customers —
+    to keep the result non-degenerate). Above-average-balance
+    customers in selected countries with no recent orders: scalar avg
+    attached via 1-row broadcast cross join
+    (in-plan, no collect), NOT EXISTS as a left-anti join against
+    orders keys, nation names broadcast. The anti join is the only
+    fact-sized shuffle; the average is rounded to 4 dp on both engines
+    so last-ulp float-sum drift cannot flip a boundary row."""
+    sel = [0, 3, 7, 11, 14, 19, 23]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(sel))
+    avg_bal = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(dround(F.avg("c_acctbal"), 4).alias("_ab"))
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nkey"), F.col("n_name").alias("cntry")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(o_keys, c["c_custkey"] == o_keys["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("_nkey"))
+        .groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
     )

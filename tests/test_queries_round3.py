@@ -507,3 +507,117 @@ class TestScd2UserStates:
             for a, b in zip(ivs, ivs[1:]):
                 assert a.valid_to == b.valid_from  # contiguous, no gaps
                 assert a.state != b.state  # runs are compressed
+
+
+class TestTpchRound3B:
+    """Semantic guards for the round-3b TPC-H additions (Q8/Q13/Q15/
+    Q17/Q22) beyond the cross-engine oracle: invariants the oracle
+    cannot see because both engines could share the same mistake."""
+
+    def test_q13_partitions_every_customer(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_ext import (
+            q13_customer_distribution,
+        )
+
+        dist = q13_customer_distribution(spark, sf_dir).collect()
+        n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+        n_ord = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        assert sum(r["custdist"] for r in dist) == n_cust
+        assert sum(r["c_count"] * r["custdist"] for r in dist) == n_ord
+
+    def test_q15_returns_the_true_max(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.functions.scalar import dround
+        from instacart_medallion_lakehouse_spark.queries_ext import (
+            q15_top_supplier,
+        )
+
+        rows = q15_top_supplier(spark, sf_dir).collect()
+        assert len(rows) >= 1
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        best = (
+            li.groupBy("l_suppkey")
+            .agg(
+                dround(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("rev")
+            )
+            .agg(F.max("rev"))
+            .first()[0]
+        )
+        for r in rows:
+            assert r["total_revenue"] == best
+
+    def test_q22_result_customers_are_dormant(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.queries_ext import (
+            q22_prospect_balances,
+        )
+
+        out = q22_prospect_balances(spark, sf_dir)
+        # every reported row aggregates only customers with no order on
+        # or after 2000-01-01; re-derive the dormant set and cross-check
+        # the total headcount
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        recent = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey")
+        )
+        avg_bal = (
+            cust.filter(F.col("c_acctbal") > 0.0)
+            .agg(F.avg("c_acctbal"))
+            .first()[0]
+        )
+        dormant = (
+            cust.filter(F.col("c_nationkey").isin([0, 3, 7, 11, 14, 19, 23]))
+            .filter(F.col("c_acctbal") > round(avg_bal, 4))
+            .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+            .count()
+        )
+        got = out.agg(F.sum("numcust")).first()[0] or 0
+        assert got == dormant
+
+    def test_q8_share_is_a_proportion_per_year(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_ext import (
+            q8_market_share,
+        )
+
+        rows = q8_market_share(spark, sf_dir).collect()
+        assert [r["o_year"] for r in rows] == sorted(
+            {r["o_year"] for r in rows}
+        )
+        for r in rows:
+            assert r["o_year"] in (1996, 1997)
+            assert 0.0 <= r["mkt_share"] <= 1.0
+
+    def test_q17_threshold_filters_strictly(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_ext import (
+            q17_small_quantity_revenue,
+        )
+
+        row = q17_small_quantity_revenue(spark, sf_dir).first()
+        # the small-quantity subset is a strict subset of the brand's
+        # lineitems: revenue/7 must be positive but below the brand total
+        from pyspark.sql import functions as F
+
+        part = (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_brand") == "Brand#13")
+            .select("p_partkey")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        brand_total = (
+            li.join(part, li["l_partkey"] == part["p_partkey"])
+            .agg(F.sum("l_extendedprice"))
+            .first()[0]
+        )
+        if row["n_items"] > 0:
+            assert 0 < row["avg_yearly"] < brand_total
+            assert row["n_items"] > 0
