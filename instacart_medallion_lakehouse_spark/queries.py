@@ -150,10 +150,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_topk",
     "ann_lsh_topk",
     "embedding_neardup",
-    # curation pipelines (deepest plans in the repo)
-    "curated_docs",
+    # curation pipelines (deepest plans in the repo); pii_scrub and
+    # dsir_weights are new this round with the two risky cross-engine
+    # surfaces (RE2-vs-Java regex, libm-vs-JVM ln) — they take the
+    # slots of curated_docs / benchmark_contamination, both r2-green
+    # and untouched (curated_docs_v2 still covers the composition)
+    "pii_scrub",
+    "dsir_weights",
     "curated_docs_v2",
-    "benchmark_contamination",
     "train_val_test_split",
     "repetition_ratio",
     "bigram_topk",
@@ -824,3 +828,4 @@ from . import queries_text  # noqa: E402,F401
 from . import queries_ext  # noqa: E402,F401
 from . import queries_train  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
+from . import queries_llm  # noqa: E402,F401

@@ -1,0 +1,425 @@
+"""Query registry, part 5: LLM-corpus curation round 3b.
+
+Four operators a production training-data pipeline runs between raw
+ingest and tokenization, each with a DuckDB oracle twin built from the
+same constants (regexes, hash salts, smoothing terms) as the Spark
+expressions:
+
+- ``pii_scrub``        — regex PII detection + redaction (emails,
+                         phone numbers, IPv4), counts + scrubbed hash.
+- ``dsir_weights``     — hashed-unigram DSIR importance log-weights
+                         (Data Selection via Importance Resampling,
+                         Xie et al. 2023): log-likelihood ratio of a
+                         target-language unigram model vs the corpus
+                         model, per document, over 4096 md5 buckets.
+- ``quality_resample`` — deterministic acceptance sampling: keep a doc
+                         iff an md5-derived uniform < its quality
+                         score; no RNG state, reproducible shard-by-
+                         shard at any cluster size.
+- ``incremental_exact_dedup`` — dedup a NEW batch against an existing
+                         corpus fingerprint index (and within itself)
+                         without ever rescanning the old corpus text.
+
+Imported for its registration side effects at the bottom of queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import dround
+from .functions.text import STOPWORDS, fingerprint, stopword_hits, tokens
+from .oracle_fragments import _NORM_SQL, _TOKS_SQL
+from .queries import _register, _t
+
+# PII patterns — RE2-compatible (DuckDB) AND java.util.regex-compatible
+# (Spark): no backreferences, no lookaround, \b and \d mean the same
+# thing in both engines.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The synthetic corpus contains no PII, so the query plants a
+# deterministic footer on a doc_id-keyed subset FIRST (both engines run
+# the identical injection — same trick stream_dedup uses with injected
+# duplicates) and then detects/redacts it. The detector is exercised on
+# every row; the planted rows prove non-zero recall, the clean rows
+# prove zero false positives on word-salad text.
+_SEED_SQL = """
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' call 555-867-5309 today' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.17 up' ELSE '' END AS text
+      FROM documents
+"""
+
+
+@_register(
+    "pii_scrub",
+    f"""
+    WITH seeded AS ({_SEED_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT)
+             AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+    FROM seeded
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the pass every LLM corpus makes
+    before anything else. Emails, phone numbers and IPv4 addresses are
+    counted (regexp_count) and replaced with typed placeholders
+    (regexp_replace, all occurrences); the output carries the md5 of
+    the scrubbed text so the oracle verifies the REDACTION result, not
+    just the counts. Pure JVM regex on the scan — zero shuffles, zero
+    UDFs; at 100 TB this rides the ingest pass for free. Redaction
+    order (email -> phone -> IP) is part of the contract: patterns are
+    disjoint on well-formed text but order still pins tie behavior."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309 today")
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".17 up"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IPV4_RE,
+        "<IP>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_IPV4_RE)).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# DSIR constants — shared verbatim by both engines.
+_DSIR_TARGET_LANG = "en"
+_DSIR_BUCKET_CHARS = 3  # 16^3 = 4096 hashed-unigram buckets
+
+_DSIR_TOK_SQL = (
+    "unnest(string_split_regex(lower(text), '[^a-z0-9]+'))"
+)
+
+
+@_register(
+    "dsir_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, substr(md5(t), 1, {_DSIR_BUCKET_CHARS}) AS b
+      FROM (SELECT doc_id, lang, {_DSIR_TOK_SQL} AS t FROM documents)
+      WHERE t <> ''
+    ),
+    src AS (SELECT b, count(*) AS n_s FROM tok GROUP BY b),
+    tgt AS (SELECT b, count(*) AS n_t FROM tok
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    tot AS (SELECT
+              (SELECT count(*) FROM tok
+               WHERE lang = '{_DSIR_TARGET_LANG}') AS nt,
+              (SELECT count(*) FROM tok) AS ns,
+              (SELECT count(DISTINCT b) FROM tok) AS v),
+    w AS (
+      SELECT src.b,
+             round(ln(((COALESCE(tgt.n_t, 0) + 1) * 1.0 / (tot.nt + tot.v))
+                      / ((src.n_s + 1) * 1.0 / (tot.ns + tot.v))), 6) AS lw
+      FROM src LEFT JOIN tgt USING (b) CROSS JOIN tot
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(w.lw), 4) AS dsir_logweight
+    FROM tok JOIN w ON tok.b = w.b
+    GROUP BY tok.doc_id
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram DSIR importance log-weights (Xie et al. 2023,
+    'Data Selection via Importance Resampling'): score each document by
+    sum over tokens of ln(p_target(tok) / p_corpus(tok)), add-1
+    smoothed, where both unigram models live over 4096 md5 buckets —
+    the paper's hashing trick, which is what makes this scale: the
+    weight table is BOUNDED (<= 4096 rows, any corpus size), so it
+    broadcasts, and the per-token join adds no shuffle. The only
+    fact-size shuffle is the per-doc sum. ln() is rounded to 6 dp per
+    bucket before the per-doc sum (then 4 dp) — same cross-engine libm
+    discipline as tfidf_top_terms."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.substring(F.md5("t"), 1, _DSIR_BUCKET_CHARS).alias("b"),
+        )
+    )
+    src = tok.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
+    tgt = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    tot = tok.agg(
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("nt"),
+        F.count(F.lit(1)).alias("ns"),
+        F.countDistinct("b").alias("v"),
+    )
+    w = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            dround(
+                F.log(
+                    ((F.coalesce(F.col("n_t"), F.lit(0)) + 1)
+                     * F.lit(1.0) / (F.col("nt") + F.col("v")))
+                    / ((F.col("n_s") + 1)
+                       * F.lit(1.0) / (F.col("ns") + F.col("v")))
+                ),
+                6,
+            ).alias("lw"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dround(F.sum("lw"), 4).alias("dsir_logweight"),
+        )
+    )
+
+
+# quality_resample: identical quality formula as quality_score (kept in
+# lockstep — see queries_text.quality_score), with an md5-derived
+# uniform per doc. The score is a multiple of 0.25 and u = k/65536 is
+# exactly representable, so the acceptance comparison can never sit on
+# a float boundary.
+_QSCORE_SQL = f"""
+      SELECT doc_id, lang,
+             (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN list_sum(list_transform(t, x -> length(x))) * 1.0
+                       / len(t) >= 3
+                 AND list_sum(list_transform(t, x -> length(x))) * 1.0
+                       / len(t) <= 12 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(list_filter(t, x -> x IN ({{stops}})))
+                       * 1.0 / len(t) >= 0.03 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(list_distinct(t)) * 1.0 / len(t) >= 0.3
+                 THEN 0.25 ELSE 0.0 END) AS score,
+             ('0x' || substr(md5('qr_' || CAST(doc_id AS VARCHAR)), 1, 4))
+               ::INT / 65536.0 AS u
+      FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+"""
+
+
+@_register(
+    "quality_resample",
+    f"""
+    WITH scored AS (
+      {_QSCORE_SQL.format(stops=", ".join(f"'{w}'" for w in STOPWORDS["en"]))}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u < score THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           round(sum(CASE WHEN u < score THEN score ELSE 0 END)
+                 / nullif(sum(CASE WHEN u < score THEN 1 ELSE 0 END), 0), 4)
+             AS avg_accepted_score
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted resampling: accept a document iff
+    an md5-derived uniform u in [0,1) is below its quality score —
+    importance resampling with NO RNG state, so any cluster size, task
+    retry, or partial re-run reproduces the same sample (the property
+    rand(seed) loses the moment partitioning changes). u is the first
+    16 bits of md5('qr_' || doc_id) over 65536; the salt isolates this
+    sampler from the train/val/test splitter's hash stream. Scan-local
+    accept decision; one shuffle for the per-lang report."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_tokens = F.size(t)
+    avg_tok = (
+        F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+        * F.lit(1.0)
+        / n_tokens
+    )
+    stop_ratio = stopword_hits(t, STOPWORDS["en"]) * F.lit(1.0) / n_tokens
+    distinct_ratio = F.size(F.array_distinct(t)) * F.lit(1.0) / n_tokens
+    score = (
+        F.when(n_tokens.between(10, 1000), 0.25).otherwise(0.0)
+        + F.when((avg_tok >= 3) & (avg_tok <= 12), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.03, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.3, 0.25).otherwise(0.0)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qr_"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(65536.0)
+    )
+    scored = docs.select(
+        "lang", score.alias("score"), u.alias("u")
+    )
+    acc = F.when(F.col("u") < F.col("score"), 1).otherwise(0)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(acc).alias("n_accepted"),
+            dround(
+                F.sum(F.when(F.col("u") < F.col("score"), F.col("score"))
+                      .otherwise(0.0))
+                / F.nullif(F.sum(acc), F.lit(0)),
+                4,
+            ).alias("avg_accepted_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "incremental_exact_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM_SQL}) AS fingerprint,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_index
+      FROM documents
+    ),
+    idx AS (SELECT DISTINCT fingerprint FROM fp WHERE in_index),
+    batch AS (
+      SELECT doc_id, source, fingerprint,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS first_id
+      FROM fp WHERE NOT in_index
+    ),
+    flags AS (
+      SELECT b.source,
+             CASE WHEN i.fingerprint IS NOT NULL THEN 'dropped_index'
+                  WHEN b.doc_id <> b.first_id THEN 'dropped_within'
+                  ELSE 'kept' END AS outcome
+      FROM batch b LEFT JOIN idx i ON b.fingerprint = i.fingerprint
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN outcome = 'kept' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN outcome = 'dropped_index' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_index,
+           CAST(sum(CASE WHEN outcome = 'dropped_within' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_within
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the shape a corpus that GROWS needs:
+    dedup each new batch against the accumulated fingerprint index
+    WITHOUT rescanning old text. The corpus is split by the md5 doc_id
+    hash (the train/val/test splitter's idiom) into an 'existing index'
+    (~80%) and a 'new batch'; a batch row is dropped if its content
+    fingerprint is already in the index (left join flag) or if an
+    earlier batch row shares it (min-over-fingerprint window). At
+    100 TB the index is fingerprints only — 32 bytes/doc, no text —
+    and the batch-side shuffle is one window + one join, both on the
+    high-cardinality fingerprint. Emits the per-source attrition
+    report; the kept-rows variant is the same plan minus the rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+        ).alias("in_index"),
+    )
+    idx = (
+        fp.filter(F.col("in_index"))
+        .select(F.col("fingerprint").alias("_idx_fp"))
+        .distinct()
+    )
+    batch = fp.filter(~F.col("in_index")).withColumn(
+        "first_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    flags = batch.join(
+        idx, batch["fingerprint"] == idx["_idx_fp"], "left"
+    ).select(
+        "source",
+        F.when(F.col("_idx_fp").isNotNull(), "dropped_index")
+        .when(F.col("doc_id") != F.col("first_id"), "dropped_within")
+        .otherwise("kept")
+        .alias("outcome"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("outcome") == "kept", 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(
+                F.when(F.col("outcome") == "dropped_index", 1).otherwise(0)
+            ).alias("n_dropped_index"),
+            F.sum(
+                F.when(F.col("outcome") == "dropped_within", 1).otherwise(0)
+            ).alias("n_dropped_within"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,164 @@
+"""Semantic guards for the round-3b LLM-curation queries (pii_scrub,
+dsir_weights, quality_resample, incremental_exact_dedup) — invariants
+the cross-engine oracle cannot see because both engines could share the
+same mistake.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from instacart_medallion_lakehouse_spark.queries_llm import (
+    dsir_weights,
+    incremental_exact_dedup,
+    pii_scrub,
+    quality_resample,
+)
+from instacart_medallion_lakehouse_spark.queries_text import quality_score
+
+
+class TestPiiScrub:
+    def test_detector_recall_and_precision(self, spark, sf_dir):
+        """Planted PII is found exactly where it was planted; the
+        word-salad corpus itself produces zero false positives."""
+        rows = pii_scrub(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["n_emails"] == (1 if r["doc_id"] % 3 == 0 else 0)
+            assert r["n_phones"] == (1 if r["doc_id"] % 5 == 0 else 0)
+            assert r["n_ips"] == (1 if r["doc_id"] % 7 == 0 else 0)
+
+    def test_redaction_removes_every_match(self, spark, sf_dir):
+        """Scrubbed text re-scanned with the same patterns yields zero
+        hits — redaction is total, not partial."""
+        from instacart_medallion_lakehouse_spark.queries_llm import (
+            _EMAIL_RE,
+            _IPV4_RE,
+            _PHONE_RE,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        seeded = docs.select(
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"),
+                    ),
+                ).otherwise(""),
+            ).alias("text")
+        )
+        scrubbed = seeded.select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+                    _PHONE_RE,
+                    "<PHONE>",
+                ),
+                _IPV4_RE,
+                "<IP>",
+            ).alias("s")
+        )
+        residue = scrubbed.filter(
+            (F.regexp_count(F.col("s"), F.lit(_EMAIL_RE)) > 0)
+            | (F.regexp_count(F.col("s"), F.lit(_PHONE_RE)) > 0)
+            | (F.regexp_count(F.col("s"), F.lit(_IPV4_RE)) > 0)
+        ).count()
+        assert residue == 0
+
+
+class TestDsirWeights:
+    def test_target_language_scores_higher(self, spark, sf_dir):
+        """The entire point of DSIR: documents from the target
+        distribution (lang='en') must average a higher importance
+        log-weight than the rest of the corpus."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        w = dsir_weights(spark, sf_dir).join(docs, "doc_id")
+        by = {
+            r["is_en"]: r["mean_w"]
+            for r in w.groupBy((F.col("lang") == "en").alias("is_en"))
+            .agg(F.avg("dsir_logweight").alias("mean_w"))
+            .collect()
+        }
+        assert by[True] > by[False]
+
+    def test_every_document_is_scored(self, spark, sf_dir):
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert dsir_weights(spark, sf_dir).count() == n_docs
+
+
+class TestQualityResample:
+    def test_acceptance_matches_python_md5_replay(self, spark, sf_dir):
+        """The sampler is deterministic by construction: replay the
+        md5-uniform in pure Python against the (already oracle-green)
+        quality_score output and demand the exact same accepted
+        counts."""
+        scores = {
+            r["doc_id"]: r["quality_score"]
+            for r in quality_score(spark, sf_dir)
+            .select("doc_id", "quality_score")
+            .collect()
+        }
+        langs = {
+            r["doc_id"]: r["lang"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang")
+            .collect()
+        }
+        expected: dict[str, int] = {}
+        for doc_id, score in scores.items():
+            h = hashlib.md5(f"qr_{doc_id}".encode()).hexdigest()
+            u = int(h[:4], 16) / 65536.0
+            if u < score:
+                lang = langs[doc_id]
+                expected[lang] = expected.get(lang, 0) + 1
+        got = {
+            r["lang"]: r["n_accepted"]
+            for r in quality_resample(spark, sf_dir).collect()
+        }
+        for lang, n in got.items():
+            assert n == expected.get(lang, 0), lang
+
+
+class TestIncrementalExactDedup:
+    def test_outcomes_partition_the_batch(self, spark, sf_dir):
+        rows = incremental_exact_dedup(spark, sf_dir).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_batch_true = docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= "cd"
+        ).count()
+        assert sum(r["n_batch"] for r in rows) == n_batch_true
+        for r in rows:
+            assert (
+                r["n_kept"] + r["n_dropped_index"] + r["n_dropped_within"]
+                == r["n_batch"]
+            )
+
+    def test_kept_fingerprints_disjoint_from_index(self, spark, sf_dir):
+        """Re-derive kept rows and assert none of their fingerprints
+        exist in the index — the contract of incremental dedup."""
+        from instacart_medallion_lakehouse_spark.functions.text import (
+            fingerprint,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fp = docs.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+                < "cd"
+            ).alias("in_index"),
+        )
+        idx = fp.filter("in_index").select("fp").distinct()
+        batch = fp.filter("NOT in_index")
+        kept = batch.join(idx, "fp", "left_anti")
+        overlap = kept.join(idx, "fp", "inner").count()
+        assert overlap == 0
