@@ -2321,3 +2321,50 @@ def q22_prospect_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+@_register(
+    "bloom_pruned_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (DIY runtime filter): revenue by
+    priority for BUILDING-segment customers, with the orders fact
+    pre-filtered by a 2^16-bit Bloom bitmap of the segment's custkeys
+    BEFORE the join. The oracle twin is the PLAIN join — Bloom false
+    positives are removed by the real join, so the composed plan must
+    produce identical results; what changes is shuffle volume: only
+    ~1/5 of orders (+ ~1% fp) enter the exchange. The scenario this
+    scales to is a dim key set too big to broadcast raw (100M keys =
+    800MB) where the 2MB bitmap still broadcasts — see
+    operators/bloom.py. Build is one bounded shuffle (<= num_bits/64
+    bit_or groups); probe is scan-local codegen."""
+    from .operators.bloom import bloom_prune, build_bloom
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    keys = cust.select(F.col("c_custkey").alias("o_custkey"))
+    bf = build_bloom(keys, "o_custkey", num_bits=1 << 16, num_hashes=3)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    pruned = bloom_prune(orders, "o_custkey", bf, num_bits=1 << 16, num_hashes=3)
+    return (
+        pruned.join(keys, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

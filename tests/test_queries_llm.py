@@ -162,3 +162,62 @@ class TestIncrementalExactDedup:
         kept = batch.join(idx, "fp", "left_anti")
         overlap = kept.join(idx, "fp", "inner").count()
         assert overlap == 0
+
+
+class TestBloomPrunedJoin:
+    def test_pruned_equals_plain_join(self, spark, sf_dir):
+        """The composed bloom-prune + join result must be identical to
+        the un-pruned join (false positives removed, no false
+        negatives possible)."""
+        from instacart_medallion_lakehouse_spark.queries_ext import (
+            bloom_pruned_join,
+        )
+
+        got = {
+            r["o_orderpriority"]: (r["n_orders"], r["revenue"])
+            for r in bloom_pruned_join(spark, sf_dir).collect()
+        }
+        cust = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey"))
+        )
+        plain = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .join(cust, "o_custkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert {r["o_orderpriority"]: r["n"] for r in plain} == {
+            k: v[0] for k, v in got.items()
+        }
+
+    def test_prune_rate_and_no_false_negatives(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators.bloom import (
+            bloom_prune,
+            build_bloom,
+        )
+
+        cust = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey"))
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_custkey"
+        )
+        bf = build_bloom(cust, "o_custkey", num_bits=1 << 16, num_hashes=3)
+        pruned = bloom_prune(orders, "o_custkey", bf, num_bits=1 << 16,
+                             num_hashes=3)
+        n_all = orders.count()
+        n_pruned = pruned.count()
+        n_true = orders.join(cust, "o_custkey", "left_semi").count()
+        assert n_true <= n_pruned < n_all  # no false negatives, real pruning
+        # every truly-matching row survives
+        lost = (
+            orders.join(cust, "o_custkey", "left_semi")
+            .exceptAll(pruned.join(cust, "o_custkey", "left_semi"))
+            .count()
+        )
+        assert lost == 0
