@@ -194,6 +194,43 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_media_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media-file ingest via Spark's ``binaryFile`` source.
+
+    The production shape for image/audio/video corpora: millions of
+    loose files on object storage, read as (path, modificationTime,
+    length, content) with Spark handling listing parallelism, file
+    splitting into tasks, and predicate pushdown on the metadata
+    columns (a ``length < N`` filter prunes at listing time, before any
+    byte is fetched). ``glob`` forwards to pathGlobFilter, pruning
+    non-media files during listing.
+
+    Output matches operators/multimodal.with_media's contract —
+    (doc_id, media_type, payload) — by parsing the file-name convention
+    ``{doc_id}_{media_type}.bin`` so the downstream feature/thumbnail/
+    frame-sample operators run unchanged on disk-sourced media. At
+    100 TB, set spark.sql.files.maxPartitionBytes to bound task input
+    and keep small files batched many-per-task (binaryFile packs by
+    size automatically).
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "true"
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    name = F.regexp_extract(F.col("path"), r"([^/]+)$", 1)
+    return raw.select(
+        F.regexp_extract(name, r"^(\d+)_", 1).cast("long").alias("doc_id"),
+        F.regexp_extract(name, r"^\d+_([a-z]+)\.", 1).alias("media_type"),
+        F.col("content").alias("payload"),
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — columnar like parquet, same pushdown/pruning story."""
     return spark.read.orc(path)

@@ -151,3 +151,45 @@ class TestPlanningStages:
             by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
         for doc, idxs in by_doc.items():
             assert sorted(idxs) == list(range(0, max(idxs) + 1, 5))
+
+
+class TestBinaryFileIngest:
+    def test_disk_roundtrip_matches_inline_media(self, spark, sf_dir, tmp_path):
+        """Write media payloads to loose files, re-ingest via the
+        binaryFile source, and demand feature-extraction parity with
+        the inline path — the whole point of the filename contract."""
+        from instacart_medallion_lakehouse_spark.io import read_media_dir
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+        inline = multimodal.with_media(docs)
+        media_dir = tmp_path / "media"
+        media_dir.mkdir()
+        for r in inline.collect():
+            p = media_dir / f"{r['doc_id']}_{r['media_type']}.bin"
+            p.write_bytes(bytes(r["payload"]))
+
+        from_disk = read_media_dir(spark, str(media_dir), glob="*.bin")
+        a = {
+            r["doc_id"]: (r["media_type"], bytes(r["payload"]))
+            for r in inline.collect()
+        }
+        b = {
+            r["doc_id"]: (r["media_type"], bytes(r["payload"]))
+            for r in from_disk.collect()
+        }
+        assert a == b
+
+        feats = multimodal.extract_media_features(from_disk)
+        assert feats.schema == multimodal.MEDIA_FEATURE_SCHEMA
+        assert feats.count() == 20
+
+    def test_glob_prunes_at_listing(self, spark, tmp_path):
+        from instacart_medallion_lakehouse_spark.io import read_media_dir
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        (d / "1_image.bin").write_bytes(b"\x89PNG")
+        (d / "ignore.txt").write_bytes(b"nope")
+        out = read_media_dir(spark, str(d), glob="*.bin")
+        assert out.count() == 1
+        assert out.first()["doc_id"] == 1
