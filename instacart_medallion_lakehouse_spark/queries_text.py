@@ -428,6 +428,53 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_sq8_topk",
+    f"""
+    WITH {_PREP_SQL},
+    c8 AS (
+      SELECT vec_id,
+             [CAST(floor(e[i] / sqrt(n2) * 127 + 0.5) AS BIGINT)
+              for i in range(1, len(e)+1)] AS c
+      FROM n
+    ),
+    approx AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.c, b.c) AS s
+      FROM c8 a JOIN c8 b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    cand AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS crank
+      FROM approx
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qa.e, qb.e) / sqrt(qa.n2 * qb.n2) AS c
+      FROM cand
+      JOIN n qa ON qa.vec_id = cand.query_id
+      JOIN n qb ON qb.vec_id = cand.neighbor_id
+      WHERE cand.crank <= 20
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rank
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN top-5 with exact re-rank of the top-20
+    integer-dot candidates — the 4x-less-bandwidth scale path; see
+    operators/vectors.sq8_topk."""
+    return vectors.sq8_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids_max=10, k=5, refine=4
+    )
+
+
+@_register(
     "embedding_neardup",
     f"""
     WITH {_PREP_SQL}

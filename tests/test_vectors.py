@@ -135,3 +135,39 @@ class TestSemanticDedup:
         for rs in by_cluster.values():
             head = min(rs, key=lambda r: r.vec_id)
             assert head.is_kept
+
+
+class TestSq8TopK:
+    def test_recall_vs_exact(self, spark, sf_dir):
+        """int8 + exact-re-rank must recover (nearly) the exact top-5:
+        quantization error on unit vectors is <= 1/254 per component,
+        and the 4x over-fetch re-rank absorbs boundary flips. On this
+        corpus recall@5 should be essentially perfect; demand >= 0.9
+        to leave room for genuine boundary ties."""
+        from instacart_medallion_lakehouse_spark.operators import vectors
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in vectors.brute_force_topk(emb, 10, 5).collect()
+        }
+        sq8 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in vectors.sq8_topk(emb, 10, 5, refine=4).collect()
+        }
+        assert len(sq8 & exact) / len(exact) >= 0.9
+
+    def test_codes_are_int8_range(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.operators import vectors
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        prep = vectors._prep(emb, "vec_id", "embedding")
+        codes = prep.select(
+            vectors.sq8_codes(F.col("_q"), F.col("_n2")).alias("c")
+        )
+        bad = codes.filter(
+            F.exists(F.col("c"), lambda x: (x > 127) | (x < -127))
+        ).count()
+        assert bad == 0
