@@ -423,3 +423,107 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Chunking constants — shared by both engines.
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@_register(
+    "doc_chunks",
+    f"""
+    WITH tokd AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest([s for s in range(1, len(t)+1,
+                                                 {_CHUNK_STRIDE})]) AS s
+      FROM tokd
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(t, s, s + {_CHUNK_SIZE} - 1)) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(list_slice(t, s, s + {_CHUNK_SIZE} - 1), ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window text chunking — the RAG / context-window prep
+    step: 50-token chunks every 40 tokens (10-token overlap), one
+    output row per chunk with its token count and content hash. Pure
+    relational 1-row-in/N-rows-out: tokenize (scan-local), explode the
+    stride-spaced start positions, slice per start — no UDF, no UDTF,
+    no shuffle at all (the expansion happens inside the scan stage).
+    At 100 TB the output is bounded by ~tokens/stride rows per doc and
+    the hash keeps rows narrow; downstream embedding jobs join on
+    (doc_id, chunk_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    tokd = docs.select("doc_id", t.alias("t"))
+    starts = tokd.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), _CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@_register(
+    "label_centroids",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(floor(x * 1000 + 0.5) AS BIGINT) for x in embedding] AS e
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, unnest(e) AS v,
+             unnest([i for i in range(1, len(e)+1)]) AS dim
+      FROM q
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(sum(v) * 1.0 / count(*) / 1000.0, 6) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM comp
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the class-prototype statistic behind SemDedup pruning, cluster
+    drift monitoring, and nearest-centroid classification. posexplode
+    turns n vectors x d dims into n*d (label, dim, component) rows;
+    the per-(label, dim) mean is a single hash aggregate with map-side
+    partial sums, so the shuffle carries |labels| * d groups, not n*d
+    rows. Components are x1000-quantized BIGINTs: the sums are exact
+    integers (order-independent), and the final divide + round is
+    correctly rounded on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    comp = emb.select(
+        "label", F.posexplode(q).alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).cast("int").alias("dim"), "v")
+    return (
+        comp.groupBy("label", "dim")
+        .agg(
+            dround(
+                F.sum("v") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000.0),
+                6,
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

