@@ -527,3 +527,103 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# Hashed-bigram LM constants.
+_LM_BUCKET_CHARS = 4  # 16^4 = 65536 buckets for both unigram and bigram
+
+
+@_register(
+    "lm_perplexity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+               generate_subscripts(arr, 1) AS pos,
+               unnest(arr) AS term
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+              FROM documents)
+      ) WHERE term <> ''
+    ),
+    big AS (
+      SELECT doc_id,
+             substr(md5(t1), 1, {_LM_BUCKET_CHARS}) AS ub,
+             substr(md5(t1 || ' ' || t2), 1, {_LM_BUCKET_CHARS}) AS bb
+      FROM (
+        SELECT doc_id, term AS t1,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM tok
+      ) WHERE t2 IS NOT NULL
+    ),
+    c2 AS (SELECT bb, count(*) AS n2 FROM big GROUP BY bb),
+    c1 AS (SELECT ub, count(*) AS n1 FROM big GROUP BY ub),
+    v AS (SELECT count(DISTINCT bb) AS vb FROM big)
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(round(-ln((c2.n2 + 1) * 1.0 / (c1.n1 + v.vb)), 6))
+                 / count(*), 4) AS avg_nll
+    FROM big
+    JOIN c2 ON big.bb = c2.bb
+    JOIN c1 ON big.ub = c1.ub
+    CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document mean
+    negative log-likelihood under an add-1-smoothed bigram model
+    trained on the corpus itself — repetitive/templated text scores
+    low (predictable), lexically incoherent text scores high. Both the
+    bigram and first-token models live over 65536 md5 buckets (the
+    DSIR hashing trick), so the two count tables are BOUNDED and
+    broadcast regardless of corpus size; the only fact-sized shuffles
+    are the lead() window per doc and the final per-doc mean. Reported
+    as log-perplexity (avg_nll) — exp() would add a second
+    transcendental to the cross-engine surface for zero information.
+    ln() rounds at 6 dp per event before the 4 dp mean, the same libm
+    discipline as tfidf_top_terms/dsir_weights."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("term").alias("t1"),
+            F.lead("term").over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.substring(F.md5("t1"), 1, _LM_BUCKET_CHARS).alias("ub"),
+            F.substring(
+                F.md5(F.concat_ws(" ", "t1", "t2")), 1, _LM_BUCKET_CHARS
+            ).alias("bb"),
+        )
+    )
+    c2 = big.groupBy("bb").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("ub").agg(F.count(F.lit(1)).alias("n1"))
+    v = big.agg(F.countDistinct("bb").alias("vb"))
+    nll = dround(
+        -F.log((F.col("n2") + 1) * F.lit(1.0) / (F.col("n1") + F.col("vb"))),
+        6,
+    )
+    return (
+        big.join(F.broadcast(c2), "bb")
+        .join(F.broadcast(c1), "ub")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll.alias("_nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dround(F.sum("_nll") / F.count(F.lit(1)), 4).alias("avg_nll"),
+        )
+    )

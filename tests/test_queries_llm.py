@@ -279,3 +279,41 @@ class TestLabelCentroids:
         for r in rows:
             assert r["n_vectors"] == label_counts[r["label"]]
             assert -1.001 <= r["centroid"] <= 1.001 or True  # range sanity
+
+
+class TestLmPerplexity:
+    def test_repetitive_text_scores_lower(self, spark, tmp_path):
+        """The signal's purpose, on a planted corpus: a document that
+        repeats one bigram must land a far lower avg_nll than a
+        document of never-repeated bigrams."""
+        from instacart_medallion_lakehouse_spark.queries_llm import (
+            lm_perplexity,
+        )
+
+        rep = " ".join(["spark data"] * 40)
+        uniq = " ".join(f"tok{i}" for i in range(80))
+        docs = spark.createDataFrame(
+            [(0, rep, "en", "s0", len(rep)), (1, uniq, "en", "s0", len(uniq))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r["avg_nll"]
+            for r in lm_perplexity(spark, str(tmp_path)).collect()
+        }
+        assert out[0] > 0 and out[1] > 0
+        assert out[0] < out[1] - 1.0  # decisively more predictable
+
+    def test_every_multitoken_doc_scored(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.functions.text import tokens
+        from instacart_medallion_lakehouse_spark.queries_llm import (
+            lm_perplexity,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_multi = docs.filter(
+            F.size(tokens(F.lower(F.col("text")))) >= 2
+        ).count()
+        assert lm_perplexity(spark, sf_dir).count() == n_multi
