@@ -1003,3 +1003,94 @@ def scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS revenue trend (round 3b)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "revenue_trend_by_nation",
+    """
+    WITH daily AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01',
+                            o.o_orderdate) AS BIGINT) AS x,
+             sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round((count(*) * sum(x * cents) - sum(x) * sum(cents)) * 1.0
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)) / 100.0, 6)
+             AS slope_per_day,
+           round(sum(cents) / 100.0 / count(*), 2) AS mean_daily_revenue
+    FROM daily
+    JOIN nation n ON daily.nk = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend for 1996 — closed-form OLS slope of
+    daily revenue over the day index, computed ENTIRELY in integer
+    arithmetic: revenue is quantized to cents (BIGINT), the day index
+    is an integer, so n·Σxy − ΣxΣy and n·Σx² − (Σx)² are exact in both
+    engines regardless of partial-aggregation order; the ONLY float
+    ops are the final divide + round. This is the pattern for any
+    per-group regression/trend at 100 TB: two stacked hash aggregates
+    (day grain, then nation grain), no window, no model object, no
+    driver round-trip — a million groups fit the same plan. Guards at
+    the edge: every nation has >1 distinct day in a year of data, so
+    the denominator cannot be zero."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    daily = (
+        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("c0"),
+        )
+        .groupBy("nk", "x")
+        .agg(F.sum("c0").alias("cents"))
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sy = F.sum("cents")
+    sxy = F.sum(F.col("x") * F.col("cents"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return (
+        daily.join(F.broadcast(nat), "nk")
+        .groupBy("nation")
+        .agg(
+            n.alias("n_days"),
+            dround(
+                (n * sxy - sx * sy) * F.lit(1.0) / (n * sxx - sx * sx)
+                / F.lit(100.0),
+                6,
+            ).alias("slope_per_day"),
+            dround(F.sum("cents") / F.lit(100.0) / n, 2).alias(
+                "mean_daily_revenue"
+            ),
+        )
+        .orderBy("nation")
+    )

@@ -621,3 +621,47 @@ class TestTpchRound3B:
         if row["n_items"] > 0:
             assert 0 < row["avg_yearly"] < brand_total
             assert row["n_items"] > 0
+
+
+class TestRevenueTrend:
+    def test_slope_matches_numpy_ols(self, spark, sf_dir):
+        """Cross-check the closed-form integer OLS against numpy's
+        lstsq on one nation's daily series."""
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            revenue_trend_by_nation,
+        )
+
+        rows = revenue_trend_by_nation(spark, sf_dir).collect()
+        assert len(rows) > 0
+        target = rows[0]["nation"]
+        from pyspark.sql import functions as F
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+            F.col("n_name") == target
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            )
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+                ).alias("x"),
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).alias("c"),
+            )
+            .groupBy("x")
+            .agg(F.sum("c").alias("cents"))
+            .collect()
+        )
+        x = np.array([r["x"] for r in o], dtype=float)
+        y = np.array([r["cents"] for r in o], dtype=float) / 100.0
+        slope = np.polyfit(x, y, 1)[0]
+        got = rows[0]["slope_per_day"]
+        assert abs(got - slope) < 1e-4
