@@ -1094,3 +1094,56 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@_register(
+    "forward_fill_values",
+    """
+    WITH gapped AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           (v IS NULL) AS was_gap,
+           round(last_value(v IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS filled_value
+    FROM gapped
+    """,
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward) — the gap-repair
+    primitive for sensor/metric streams. The corpus has no NULLs, so
+    the query plants them deterministically (every event_id % 4 = 0)
+    and repairs them with last-non-null over a (user, time) window;
+    leading gaps stay NULL by contract. The window orders by (ts,
+    event_id) — the unique tie-break that keeps IGNORE-NULLS
+    last_value engine-independent when timestamps collide. One shuffle
+    on user_id; state per row is O(1), so the plan is
+    size-independent."""
+    from .io import read_events
+
+    ev = read_events(spark, sf_dir)
+    gapped = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 4 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gapped.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_gap"),
+        dround(F.last("v", ignorenulls=True).over(w), 2).alias(
+            "filled_value"
+        ),
+    )

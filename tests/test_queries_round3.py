@@ -665,3 +665,39 @@ class TestRevenueTrend:
         slope = np.polyfit(x, y, 1)[0]
         got = rows[0]["slope_per_day"]
         assert abs(got - slope) < 1e-4
+
+
+class TestForwardFill:
+    def test_gaps_filled_with_latest_prior_value(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            forward_fill_values,
+        )
+        from instacart_medallion_lakehouse_spark.io import read_events
+
+        out = forward_fill_values(spark, sf_dir)
+        # replay one user's stream in Python
+        from pyspark.sql import functions as F
+
+        uid = out.first()["user_id"]
+        ev = (
+            read_events(spark, sf_dir)
+            .filter(F.col("user_id") == uid)
+            .orderBy("ts", "event_id")
+            .collect()
+        )
+        got = {
+            r["event_id"]: (r["was_gap"], r["filled_value"])
+            for r in out.filter(F.col("user_id") == uid).collect()
+        }
+        last = None
+        for r in ev:
+            is_gap = r["event_id"] % 4 == 0
+            if not is_gap:
+                last = round(r["value"], 2)
+            want = last  # gap rows carry the previous non-null (or None)
+            wg, fv = got[r["event_id"]]
+            assert wg == is_gap
+            if want is None:
+                assert fv is None
+            else:
+                assert abs(fv - want) < 1e-9
