@@ -397,3 +397,64 @@ def stream_to_versioned(
     finally:
         if q.isActive:
             q.stop()
+
+
+def stream_upsert_to_versioned(
+    streaming_df: DataFrame,
+    root: str,
+    key: list[str],
+    order_col: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+) -> None:
+    """CDC-apply sink: MERGE each micro-batch into a versioned snapshot
+    by key, last-writer-wins within the batch.
+
+    The streaming half of the change-data-capture story: upstream
+    emits row-level changes; each micro-batch is first collapsed to
+    one row per key (greatest ``order_col``, with the key itself as
+    the final tie-break so replays are deterministic), then applied
+    with versioned.upsert_versioned — which enforces the Delta-MERGE
+    contract that updates are key-unique. The first batch bootstraps
+    the table. Crash-replay semantics match stream_to_versioned:
+    at-least-once per micro-batch, and re-applying the same collapsed
+    batch is IDEMPOTENT on row content (the merge overwrites the same
+    keys with the same values — the cost is an extra snapshot version,
+    never divergent data).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..versioned import list_versions, upsert_versioned, write_versioned
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*key).orderBy(
+            F.col(order_col).desc(), *[F.col(k).desc() for k in key]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if list_versions(root):
+            upsert_versioned(latest, root, key)
+        else:
+            write_versioned(latest, root)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"CDC upsert drain into {root} did not finish within "
+                f"{timeout_sec}s; applied batches are a prefix of the "
+                "input — re-run with the same checkpoint to resume"
+            )
+    finally:
+        if q.isActive:
+            q.stop()

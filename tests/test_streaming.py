@@ -167,3 +167,71 @@ class TestStreamStaticJoin:
         for k in want:
             assert got[k][0] == want[k][0]
             assert abs(got[k][1] - want[k][1]) < 0.02
+
+
+class TestStreamCdcUpsert:
+    def test_final_snapshot_is_latest_row_per_user(self, spark, sf_dir, tmp_path):
+        """Drain the events stream through the CDC-upsert sink keyed by
+        user_id (last event wins by ts) and demand the final versioned
+        snapshot equal the batch latest-row-per-user computation."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.io import read_events
+        from instacart_medallion_lakehouse_spark.streaming import events as se
+        from instacart_medallion_lakehouse_spark.versioned import (
+            read_versioned,
+        )
+
+        root = str(tmp_path / "cdc_table")
+        ckpt = str(tmp_path / "ckpt")
+        stream = se.read_events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        se.stream_upsert_to_versioned(
+            stream, root, key=["user_id"], order_col="ts", checkpoint=ckpt
+        )
+
+        got = read_versioned(spark, root)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("user_id").desc()
+        )
+        want = (
+            read_events(spark, sf_dir)
+            .select("user_id", "ts", "event_id", "event_type", "value")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        assert got.count() == want.count()
+        # one row per user, and the kept ts is each user's max ts
+        want_ts = {
+            r["user_id"]: r["ts"]
+            for r in want.select("user_id", "ts").collect()
+        }
+        for r in got.select("user_id", "ts").collect():
+            assert r["ts"] == want_ts[r["user_id"]]
+
+    def test_redrain_same_checkpoint_is_noop(self, spark, sf_dir, tmp_path):
+        from instacart_medallion_lakehouse_spark.streaming import events as se
+        from instacart_medallion_lakehouse_spark.versioned import (
+            list_versions,
+        )
+
+        root = str(tmp_path / "cdc_table")
+        ckpt = str(tmp_path / "ckpt")
+        stream = se.read_events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        se.stream_upsert_to_versioned(
+            stream, root, key=["user_id"], order_col="ts", checkpoint=ckpt
+        )
+        v1 = list_versions(root)
+        # same checkpoint: offsets already recorded -> no new snapshots
+        stream2 = se.read_events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        se.stream_upsert_to_versioned(
+            stream2, root, key=["user_id"], order_col="ts", checkpoint=ckpt
+        )
+        assert list_versions(root) == v1
