@@ -98,8 +98,8 @@ def _register(name: str, oracle: str | None):
 
 
 # The external correctness harness cross-checks the FIRST 50 entries of
-# ``queries()`` (dict order) against the DuckDB oracle each round. With 75
-# registered queries, registration order would leave the same 25 unchecked
+# ``queries()`` (dict order) against the DuckDB oracle each round. With 100+
+# registered queries, registration order would leave the same tail unchecked
 # every round. ``_WINDOW_PRIORITY`` pins the window to the queries where a
 # hard cross-engine signal is most valuable THIS round: everything that was
 # outside last round's window (so every oracle-twinned query earns a green
@@ -109,7 +109,8 @@ def _register(name: str, oracle: str | None):
 # slot 50 are the simplest, already-driver-green scans/rollups plus exact
 # duplicates of in-window plans (stream_windowed_events ≡ windowed_events,
 # region_performance_sql ≡ region_performance) and the no-oracle entries —
-# ALL 75 stay gated locally by tools/check_oracle.py regardless of order.
+# the WHOLE registry stays gated locally by tools/check_oracle.py
+# regardless of order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # previously outside the 50-entry window (round-2 additions), oracle-twinned
     "set_ops_users",

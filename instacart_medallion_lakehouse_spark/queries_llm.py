@@ -1,6 +1,6 @@
-"""Query registry, part 5: LLM-corpus curation round 3b.
+"""Query registry, part 6: LLM-corpus curation round 3b.
 
-Four operators a production training-data pipeline runs between raw
+Operators a production training-data pipeline runs between raw
 ingest and tokenization, each with a DuckDB oracle twin built from the
 same constants (regexes, hash salts, smoothing terms) as the Spark
 expressions:
