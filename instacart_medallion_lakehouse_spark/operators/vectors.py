@@ -768,7 +768,8 @@ def sq8_topk(
         F.col("_q"),
         F.col("_n2"),
         sq8_codes(F.col("_q"), F.col("_n2")).alias("_c8"),
-    )
+    ).cache()
+    coded.count()  # materialize before 4-consumer reuse (see dedup note)
     qrows = coded.filter(F.col(id_col) < query_ids_max).collect()
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     q_codes = np.array([r["_c8"] for r in qrows], dtype=np.int64)

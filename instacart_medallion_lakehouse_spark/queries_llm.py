@@ -198,7 +198,8 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.substring(F.md5("t"), 1, _DSIR_BUCKET_CHARS).alias("b"),
         )
-    )
+    ).cache()
+    tok.count()  # materialize before 4-consumer reuse (dedup.py convention)
     src = tok.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
     tgt = (
         tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
@@ -608,7 +609,8 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.concat_ws(" ", "t1", "t2")), 1, _LM_BUCKET_CHARS
             ).alias("bb"),
         )
-    )
+    ).cache()
+    big.count()  # materialize before 4-consumer reuse (dedup.py convention)
     c2 = big.groupBy("bb").agg(F.count(F.lit(1)).alias("n2"))
     c1 = big.groupBy("ub").agg(F.count(F.lit(1)).alias("n1"))
     v = big.agg(F.countDistinct("bb").alias("vb"))
