@@ -255,7 +255,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cluster_sql(iterations: int = 3) -> str:
+def _cluster_ctes(iterations: int = 3) -> str:
     """Min-label propagation over the MinHash-LSH pair graph, unrolled
     as CTEs around the (nested) minhash oracle, then left-joined back
     to the corpus so every doc gets a cluster id (its own id when
@@ -286,12 +286,20 @@ def _cluster_sql(iterations: int = 3) -> str:
     )"""
         )
     joined = ",\n    ".join(ctes)
+    cluster_cte = f"""{joined},
+    clusters AS (
+      SELECT d.doc_id,
+             CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster
+      FROM documents d
+      LEFT JOIN l{iterations} l ON l.node = d.doc_id
+    )"""
+    return cluster_cte
+
+
+def _cluster_sql(iterations: int = 3) -> str:
     return f"""
-    WITH {joined}
-    SELECT d.doc_id,
-           CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster
-    FROM documents d
-    LEFT JOIN l{iterations} l ON l.node = d.doc_id
+    WITH {_cluster_ctes(iterations)}
+    SELECT doc_id, cluster FROM clusters
     """
 
 
@@ -374,4 +382,47 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grain",
         "n_items",
         "revenue",
+    )
+
+
+def _canonical_sql() -> str:
+    from .queries_text import _scored_passed_ctes
+
+    return f"""
+    WITH {_cluster_ctes(3)},
+    {_scored_passed_ctes()}
+    SELECT c.doc_id, c.cluster, s.quality_score,
+           (row_number() OVER (PARTITION BY c.cluster
+                               ORDER BY s.quality_score DESC, c.doc_id) = 1)
+             AS is_canonical
+    FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+    """
+
+
+@_register("cluster_canonicals", _canonical_sql())
+def cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    (dedup_clusters' LSH-pair propagation), keep the HIGHEST-QUALITY
+    member — not the minimum id. min-id survival (curated_docs) is the
+    cheap deterministic default, but a production corpus wants the
+    best-written duplicate; the tie-break (quality DESC, doc_id) keeps
+    it deterministic. One window over the cluster assignment joined
+    with the scan-local quality score — the text itself never joins or
+    shuffles. Reference parity: composes dedup_clusters x
+    quality_score, both individually oracle-green, into the
+    keep-best-per-group shape (reference dedup keeps first by
+    order_id, 02_silver_transform.py)."""
+    from .queries_text import quality_score
+
+    clusters = dedup_clusters(spark, sf_dir)
+    scores = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    joined = clusters.join(scores, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "cluster",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
     )

@@ -701,3 +701,22 @@ class TestForwardFill:
                 assert fv is None
             else:
                 assert abs(fv - want) < 1e-9
+
+
+class TestClusterCanonicals:
+    def test_one_canonical_per_cluster_and_it_is_the_best(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_train import (
+            cluster_canonicals,
+        )
+
+        rows = cluster_canonicals(spark, sf_dir).collect()
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        for cluster, members in by_cluster.items():
+            canon = [r for r in members if r["is_canonical"]]
+            assert len(canon) == 1, cluster
+            best = max(
+                members, key=lambda r: (r["quality_score"], -r["doc_id"])
+            )
+            assert canon[0]["doc_id"] == best["doc_id"]
