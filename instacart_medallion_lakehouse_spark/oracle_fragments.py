@@ -63,3 +63,59 @@ def _minhash_ctes(source: str, num_hashes: int, band_rows: int) -> str:
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
     """
+
+
+# --- quality/language fragments (moved from queries_text so that other
+# registry modules — e.g. queries_train's cluster_canonicals oracle —
+# can compose them without importing queries_text itself, which
+# deadlocks when a caller imports queries_text first; see module
+# docstring) -----------------------------------------------------------
+
+from .functions.text import STOPWORDS  # noqa: E402  (pyspark-only, no cycle)
+
+
+def _hits_sql(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> x IN ({inlist})))"
+
+
+def _lang_case_sql() -> str:
+    hits = {lang: _hits_sql(ws) for lang, ws in STOPWORDS.items()}
+    return f"""
+      CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+           WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['fr']}
+                AND {hits['en']} >= {hits['de']} AND {hits['en']} > 0 THEN 'en'
+           WHEN {hits['es']} >= {hits['fr']} AND {hits['es']} >= {hits['de']}
+                AND {hits['es']} > 0 THEN 'es'
+           WHEN {hits['fr']} >= {hits['de']} AND {hits['fr']} > 0 THEN 'fr'
+           WHEN {hits['de']} > 0 THEN 'de'
+           ELSE 'und' END
+    """
+
+
+def _scored_passed_ctes() -> str:
+    """Shared oracle CTEs: quality scoring + floor filter (the curation
+    pipeline's first two stages), reused by curated_docs and
+    curated_docs_v2."""
+    hits_en = _hits_sql(STOPWORDS["en"])
+    return f"""scored0 AS (
+      SELECT doc_id, text,
+             len(t) AS n_tokens,
+             {hits_en} * 1.0 / len(t) AS stop_ratio,
+             len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio,
+             list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_tok,
+             {_lang_case_sql()} AS predicted_lang,
+             md5({_NORM_SQL}) AS fingerprint
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, text, predicted_lang, fingerprint,
+             round(
+               (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio >= 0.03 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END), 2)
+               AS quality_score
+      FROM scored0
+    ),
+    passed AS (SELECT * FROM scored WHERE quality_score >= 0.5)"""

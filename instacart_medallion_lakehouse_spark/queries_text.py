@@ -41,13 +41,13 @@ from .oracle_fragments import (  # noqa: E402
     _SHINGLES_SQL,
     _TOKS_SQL,
     _NGRAM_VERIFY_SQL,
+    _hits_sql,
+    _lang_case_sql,
     _minhash_ctes,
+    _scored_passed_ctes,
 )
 
 
-def _hits_sql(words: list[str]) -> str:
-    inlist = ", ".join(f"'{w}'" for w in words)
-    return f"len(list_filter(t, x -> x IN ({inlist})))"
 
 
 # ---------------------------------------------------------------------------
@@ -119,18 +119,6 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_case_sql() -> str:
-    hits = {lang: _hits_sql(ws) for lang, ws in STOPWORDS.items()}
-    return f"""
-      CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-           WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['fr']}
-                AND {hits['en']} >= {hits['de']} AND {hits['en']} > 0 THEN 'en'
-           WHEN {hits['es']} >= {hits['fr']} AND {hits['es']} >= {hits['de']}
-                AND {hits['es']} > 0 THEN 'es'
-           WHEN {hits['fr']} >= {hits['de']} AND {hits['fr']} > 0 THEN 'fr'
-           WHEN {hits['de']} > 0 THEN 'de'
-           ELSE 'und' END
-    """
 
 
 @_register(
@@ -475,6 +463,59 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "semantic_contamination",
+    f"""
+    WITH {_PREP_SQL},
+    bench AS (SELECT vec_id, e, n2 FROM n WHERE vec_id < 10),
+    corpus AS (SELECT vec_id, e, n2 FROM n WHERE vec_id >= 10),
+    hits AS (
+      SELECT c.vec_id,
+             max(list_dot_product(b.e, c.e) / sqrt(b.n2 * c.n2)) AS best
+      FROM corpus c JOIN bench b
+        ON list_dot_product(b.e, c.e) / sqrt(b.n2 * c.n2) >= 0.4
+      GROUP BY c.vec_id
+    )
+    SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_corpus,
+           CAST(count(*) AS BIGINT) AS n_contaminated,
+           round(coalesce(max(best), 0.0), 6) AS worst_cosine
+    FROM hits
+    """,
+)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the shingle-overlap check (benchmark_contamination): corpus vectors
+    whose cosine to ANY held-out benchmark vector clears 0.4 are
+    contamination candidates a text-overlap check cannot see
+    (paraphrases). Same scale shape as ANN: the bench set is
+    small-by-contract and broadcasts through the mapInPandas GEMM; the
+    corpus streams, never shuffles; output is one summary row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = vectors._scored_against_queries(emb, 10, "vec_id", "embedding")
+    hits = (
+        scored.filter(
+            (F.col("_cos") >= 0.4) & (F.col("neighbor_id") >= 10)
+        )
+        .groupBy("neighbor_id")
+        .agg(F.max("_cos").alias("best"))
+    )
+    n_corpus = (
+        vectors._prep(emb, "vec_id", "embedding")
+        .filter(F.col("vec_id") >= 10)
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+    )
+    return (
+        hits.agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            dround(F.coalesce(F.max("best"), F.lit(0.0)), 6).alias(
+                "worst_cosine"
+            ),
+        )
+        .crossJoin(F.broadcast(n_corpus))
+        .select("n_corpus", "n_contaminated", "worst_cosine")
+    )
+
+
+@_register(
     "embedding_neardup",
     f"""
     WITH {_PREP_SQL}
@@ -497,32 +538,6 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _scored_passed_ctes() -> str:
-    """Shared oracle CTEs: quality scoring + floor filter (the curation
-    pipeline's first two stages), reused by curated_docs and
-    curated_docs_v2."""
-    hits_en = _hits_sql(STOPWORDS["en"])
-    return f"""scored0 AS (
-      SELECT doc_id, text,
-             len(t) AS n_tokens,
-             {hits_en} * 1.0 / len(t) AS stop_ratio,
-             len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio,
-             list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_tok,
-             {_lang_case_sql()} AS predicted_lang,
-             md5({_NORM_SQL}) AS fingerprint
-      FROM (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
-    ),
-    scored AS (
-      SELECT doc_id, text, predicted_lang, fingerprint,
-             round(
-               (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
-               + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END)
-               + (CASE WHEN stop_ratio >= 0.03 THEN 0.25 ELSE 0.0 END)
-               + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END), 2)
-               AS quality_score
-      FROM scored0
-    ),
-    passed AS (SELECT * FROM scored WHERE quality_score >= 0.5)"""
 
 
 def _curated_sql() -> str:

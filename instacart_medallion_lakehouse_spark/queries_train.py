@@ -386,7 +386,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _canonical_sql() -> str:
-    from .queries_text import _scored_passed_ctes
+    from .oracle_fragments import _scored_passed_ctes
 
     return f"""
     WITH {_cluster_ctes(3)},

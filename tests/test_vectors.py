@@ -171,3 +171,38 @@ class TestSq8TopK:
             F.exists(F.col("c"), lambda x: (x > 127) | (x < -127))
         ).count()
         assert bad == 0
+
+
+class TestSemanticContamination:
+    def test_counts_match_brute_force_replay(self, spark, sf_dir):
+        """Replay contamination with an independent all-pairs cosine
+        (exact, quantized) and demand identical counts."""
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.operators import vectors
+        from instacart_medallion_lakehouse_spark.queries_text import (
+            semantic_contamination,
+        )
+
+        row = semantic_contamination(spark, sf_dir).first()
+        prep = vectors._prep(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            "vec_id",
+            "embedding",
+        )
+        bench = prep.filter("vec_id < 10").select(
+            F.col("_q").alias("_bq"), F.col("_n2").alias("_bn2")
+        )
+        corpus = prep.filter("vec_id >= 10")
+        cos = vectors.cosine(
+            F.col("_bq"), F.col("_q"), F.col("_bn2"), F.col("_n2")
+        )
+        contaminated = (
+            corpus.crossJoin(bench)
+            .filter(cos >= 0.4)
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        assert row["n_contaminated"] == contaminated
+        assert row["n_corpus"] == corpus.count()
