@@ -1147,3 +1147,67 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_value"
         ),
     )
+
+
+@_register(
+    "daily_count_revenue_corr",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(count(*) AS BIGINT) AS x,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS y
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round((count(*) * sum(x * y) - sum(x) * sum(y)) * 1.0
+                 / sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) * 1.0
+                        * (count(*) * sum(y * y) - sum(y) * sum(y))), 6)
+             AS pearson_r
+    FROM daily
+    """,
+)
+def daily_count_revenue_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of daily order count vs daily revenue — the
+    profiling statistic behind 'is volume driving revenue'. Same
+    exact-integer discipline as the OLS trend: counts and cent-
+    quantized sums are BIGINTs, so every term in the correlation
+    formula is exact regardless of aggregation order; the only float
+    ops are the final sqrt + divide + round (correctly rounded IEEE,
+    identical cross-engine). Two stacked hash aggregates; the second
+    is a single-row reduce. Built-in F.corr would be the one-liner but
+    computes running float moments whose summation order varies per
+    partitioning — exactly the nondeterminism this engine rounds
+    away."""
+    o = _t(spark, sf_dir, "orders")
+    # decimal(38,0): the y*y sums overflow int64 at scale; DuckDB
+    # auto-promotes BIGINT sums to HUGEINT, Spark's exact analog is
+    # decimal128 — still integer-exact and order-independent
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    return daily.agg(
+        n.alias("n_days"),
+        dround(
+            (n * sxy - sx * sy)
+            * F.lit(1.0)
+            / F.sqrt(
+                (n * sxx - sx * sx) * F.lit(1.0) * (n * syy - sy * sy)
+            ),
+            6,
+        ).alias("pearson_r"),
+    )

@@ -720,3 +720,31 @@ class TestClusterCanonicals:
                 members, key=lambda r: (r["quality_score"], -r["doc_id"])
             )
             assert canon[0]["doc_id"] == best["doc_id"]
+
+
+class TestDailyCorr:
+    def test_matches_numpy_corrcoef(self, spark, sf_dir):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            daily_count_revenue_corr,
+        )
+
+        row = daily_count_revenue_corr(spark, sf_dir).first()
+        daily = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_orderdate")
+            .agg(
+                F.count("*").alias("x"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+                ).alias("y"),
+            )
+            .collect()
+        )
+        x = np.array([r["x"] for r in daily], dtype=float)
+        y = np.array([r["y"] for r in daily], dtype=float)
+        r = np.corrcoef(x, y)[0, 1]
+        assert row["n_days"] == len(daily)
+        assert abs(row["pearson_r"] - r) < 1e-5
