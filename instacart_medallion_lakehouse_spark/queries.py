@@ -143,13 +143,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",
     "semdedup_docs",
     "media_features",
-    # hash-sensitive dedup / similarity families
+    # hash-sensitive dedup / similarity families. exact_dedup /
+    # minhash_lsh_dedup / simhash_dedup / ann_topk / ann_lsh_topk hold
+    # green CORRECTNESS_r02 rows and their r3 perf touch-ups have been
+    # locally re-gated twice, so four of them yield their slots to
+    # round-3b queries that have never had driver signal:
+    # ann_sq8_topk (int8 quantize + re-rank), lm_perplexity (hashed
+    # bigram LM), cluster_canonicals (deepest new composition),
+    # bloom_pruned_join (bloom bitmap plumbing)
     "exact_dedup",
     "ngram_jaccard_dedup",
-    "minhash_lsh_dedup",
-    "simhash_dedup",
-    "ann_topk",
-    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "lm_perplexity",
+    "cluster_canonicals",
+    "bloom_pruned_join",
     "embedding_neardup",
     # curation pipelines (deepest plans in the repo); pii_scrub and
     # dsir_weights are new this round with the two risky cross-engine
