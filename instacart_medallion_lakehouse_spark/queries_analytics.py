@@ -1211,3 +1211,104 @@ def daily_count_revenue_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+@_register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY src), 6) AS p
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    counts and row-normalized probabilities of event_type -> next
+    event_type per user. lead() with the (ts, event_id) unique
+    tie-break gives deterministic successors; the per-source
+    normalization is a window over the AGGREGATED matrix (|types|^2
+    rows), not the fact — the in-plan share pattern (A6), no second
+    scan, no driver round trip. One fact-sized shuffle (user window),
+    one tiny one (matrix agg)."""
+    from .io import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        dround(F.col("n") * F.lit(1.0) / F.sum("n").over(wsrc), 6).alias(
+            "p"
+        ),
+    ).orderBy("src", "dst")
+
+
+@_register(
+    "revenue_gini",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(2.0 * sum(CAST(i AS HUGEINT) * cents)
+                 / (count(*) * sum(cents))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality statistic behind 'what share of revenue do the top
+    customers hold'. Exact-integer discipline: per-customer cents are
+    BIGINT, rank-weighted sums run in HUGEINT (DuckDB) / decimal128
+    (Spark) so the classic G = 2*sum(i*y)/(n*sum(y)) - (n+1)/n formula
+    is order-independent until the final float divide. The global
+    rank sorts the CUSTOMER-grain aggregate (one range exchange of
+    |customers| narrow rows), never the fact; ties on equal revenue
+    break by custkey so both engines rank identically (Gini itself is
+    tie-order invariant, the determinism is for the replay)."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    wr = Window.orderBy("cents", "o_custkey")
+    ranked = cust.select(
+        F.col("cents").cast("decimal(38,0)").alias("cents"),
+        F.row_number().over(wr).cast("decimal(38,0)").alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        dround(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("cents"))
+            / (n * F.sum("cents"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -748,3 +748,58 @@ class TestDailyCorr:
         r = np.corrcoef(x, y)[0, 1]
         assert row["n_days"] == len(daily)
         assert abs(row["pearson_r"] - r) < 1e-5
+
+
+class TestTransitionMatrix:
+    def test_rows_normalize_and_pairs_counted(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.io import read_events
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            event_transition_matrix,
+        )
+
+        rows = event_transition_matrix(spark, sf_dir).collect()
+        by_src: dict[str, float] = {}
+        total = 0
+        for r in rows:
+            by_src[r["src"]] = by_src.get(r["src"], 0.0) + r["p"]
+            total += r["n"]
+        for src, s in by_src.items():
+            assert abs(s - 1.0) < 1e-4, src
+        ev = read_events(spark, sf_dir)
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        assert total == n_events - n_users  # one fewer pair than events/user
+
+
+class TestRevenueGini:
+    def test_matches_numpy_gini(self, spark, sf_dir):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            revenue_gini,
+        )
+
+        row = revenue_gini(spark, sf_dir).first()
+        cents = np.array(
+            [
+                r["c"]
+                for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .groupBy("o_custkey")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+                    ).alias("c")
+                )
+                .collect()
+            ],
+            dtype=float,
+        )
+        y = np.sort(cents)
+        i = np.arange(1, len(y) + 1)
+        gini = 2.0 * np.sum(i * y) / (len(y) * np.sum(y)) - (len(y) + 1.0) / len(y)
+        assert 0.0 <= row["gini"] < 1.0
+        assert abs(row["gini"] - gini) < 1e-6
+        assert row["n_customers"] == len(y)
