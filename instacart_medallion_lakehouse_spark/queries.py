@@ -167,8 +167,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dsir_weights",
     "curated_docs_v2",
     "train_val_test_split",
-    "repetition_ratio",
-    "bigram_topk",
+    # repetition_ratio / bigram_topk (r2-green, untouched) yield their
+    # slots to the two newest never-signaled queries
+    "event_transition_matrix",
+    "revenue_gini",
     # round-3 TPC-H additions with float-division / float-threshold
     # semantics — the four evicted entries (region_performance,
     # q1_pricing_summary, asof_click_view, stream_interval_join) hold
