@@ -629,3 +629,72 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("_nll") / F.count(F.lit(1)), 4).alias("avg_nll"),
         )
     )
+
+
+@_register(
+    "source_entropy",
+    """
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    shares AS (
+      SELECT lang, n,
+             round((n * 1.0 / sum(n) OVER (PARTITION BY lang))
+                   * round(ln(n * 1.0 / sum(n) OVER (PARTITION BY lang)), 6),
+                   8) AS t
+      FROM counts
+    ),
+    bylang AS (
+      SELECT lang,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             round(-sum(t), 4) AS entropy_nats
+      FROM shares
+      GROUP BY lang
+    )
+    SELECT lang, n_docs, n_sources, entropy_nats,
+           round(entropy_nats / round(ln(CAST(n_sources AS DOUBLE)), 6), 4)
+             AS normalized_entropy
+    FROM bylang WHERE n_sources > 1
+    ORDER BY lang
+    """,
+)
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-language source mix — the diversity
+    statistic behind corpus-mixture design (a lang whose docs all come
+    from one source is a contamination/bias risk that sheer volume
+    hides; normalized entropy near 1 means the mix is even). Two
+    stacked aggregates: (source, lang) counts, then an in-plan window
+    share per lang feeding -sum(p * ln p). ln is rounded at 6 dp per
+    term, each p*ln(p) term at 8 dp before the sum, the sum at 4 dp —
+    the tfidf libm discipline, applied twice because entropy divides
+    two transcendental results (entropy / ln(k))."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    p = F.col("n") * F.lit(1.0) / F.sum("n").over(wl)
+    term = dround(p * dround(F.log(p), 6), 8)
+    bylang = (
+        counts.select("lang", "n", term.alias("_t"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            dround(-F.sum("_t"), 4).alias("entropy_nats"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+    return bylang.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        "entropy_nats",
+        dround(
+            F.col("entropy_nats")
+            / dround(F.log(F.col("n_sources").cast("double")), 6),
+            4,
+        ).alias("normalized_entropy"),
+    ).orderBy("lang")

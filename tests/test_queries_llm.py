@@ -317,3 +317,31 @@ class TestLmPerplexity:
             F.size(tokens(F.lower(F.col("text")))) >= 2
         ).count()
         assert lm_perplexity(spark, sf_dir).count() == n_multi
+
+
+class TestSourceEntropy:
+    def test_matches_scipy_style_entropy(self, spark, sf_dir):
+        import math
+
+        from instacart_medallion_lakehouse_spark.queries_llm import (
+            source_entropy,
+        )
+
+        rows = {r["lang"]: r for r in source_entropy(spark, sf_dir).collect()}
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        counts: dict[str, dict[str, int]] = {}
+        for r in docs.groupBy("source", "lang").count().collect():
+            counts.setdefault(r["lang"], {})[r["source"]] = r["count"]
+        for lang, per_src in counts.items():
+            if len(per_src) <= 1:
+                assert lang not in rows
+                continue
+            tot = sum(per_src.values())
+            h = -sum(
+                (n / tot) * math.log(n / tot) for n in per_src.values()
+            )
+            got = rows[lang]
+            assert abs(got["entropy_nats"] - h) < 1e-3, lang
+            assert 0.0 <= got["normalized_entropy"] <= 1.0001
+            assert got["n_docs"] == tot
+            assert got["n_sources"] == len(per_src)
