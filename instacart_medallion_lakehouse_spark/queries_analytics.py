@@ -1312,3 +1312,80 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@_register(
+    "user_burstiness",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) AS BIGINT) AS gap
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS HUGEINT) AS s1,
+             CAST(sum(gap * gap) AS HUGEINT) AS s2
+      FROM gaps WHERE gap IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           round(s1 * 1.0 / n_gaps, 2) AS mean_gap_s,
+           round(sqrt((n_gaps * s2 - s1 * s1) * 1.0) / s1, 4) AS cv
+    FROM stats WHERE n_gaps >= 5 AND s1 > 0
+    ORDER BY user_id
+    """,
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: coefficient of variation of
+    the gaps between consecutive events (CV ~ 0 = metronome, ~1 =
+    Poisson, >1 = bursty) — the behavioral signal session/anomaly
+    pipelines threshold on. Gaps are exact integer seconds from a
+    lag() window with the (ts, event_id) tie-break; sums and squared
+    sums run in HUGEINT / decimal128 so the variance numerator
+    n*s2 - s1^2 is exact at any parallelism, and
+    CV = sqrt(n*s2 - s1^2) / s1 (the 1/n factors cancel) touches
+    floats only in the final sqrt + divide + round. One fact shuffle
+    (user window) + one user-grain aggregate."""
+    from .io import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("decimal(38,0)").alias("s2"),
+    )
+    return (
+        stats.filter((F.col("n_gaps") >= 5) & (F.col("s1") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            dround(F.col("s1") * F.lit(1.0) / F.col("n_gaps"), 2).alias(
+                "mean_gap_s"
+            ),
+            dround(
+                F.sqrt(
+                    (
+                        F.col("n_gaps") * F.col("s2")
+                        - F.col("s1") * F.col("s1")
+                    )
+                    * F.lit(1.0)
+                )
+                / F.col("s1"),
+                4,
+            ).alias("cv"),
+        )
+        .orderBy("user_id")
+    )

@@ -803,3 +803,31 @@ class TestRevenueGini:
         assert 0.0 <= row["gini"] < 1.0
         assert abs(row["gini"] - gini) < 1e-6
         assert row["n_customers"] == len(y)
+
+
+class TestUserBurstiness:
+    def test_matches_numpy_population_cv(self, spark, sf_dir):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.io import read_events
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            user_burstiness,
+        )
+
+        rows = {r["user_id"]: r for r in user_burstiness(spark, sf_dir).collect()}
+        assert rows
+        uid = next(iter(rows))
+        ev = (
+            read_events(spark, sf_dir)
+            .filter(F.col("user_id") == uid)
+            .orderBy("ts", "event_id")
+            .select(F.unix_timestamp("ts").alias("t"))
+            .collect()
+        )
+        gaps = np.diff(np.array([r["t"] for r in ev], dtype=float))
+        cv = gaps.std() / gaps.mean()  # population std
+        got = rows[uid]
+        assert got["n_gaps"] == len(gaps)
+        assert abs(got["mean_gap_s"] - gaps.mean()) < 0.01
+        assert abs(got["cv"] - cv) < 1e-3
