@@ -224,7 +224,25 @@ def read_media_dir(
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)
     name = F.regexp_extract(F.col("path"), r"([^/]+)$", 1)
-    return raw.select(
+    # Fail loudly on convention violations instead of emitting rows with
+    # null doc_id/media_type that downstream key-joins would silently
+    # drop. The check is an in-plan raise_error guard — lazy, no extra
+    # scan or job; it fires on the first offending file at execution.
+    ok = name.rlike(r"^\d+_[a-z]+\.")
+    guard = F.when(
+        ok, F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "read_media_dir: file violates the "
+                    "'{doc_id}_{media_type}.bin' naming convention: "
+                ),
+                name,
+            )
+        )
+    )
+    return raw.where(guard).select(
         F.regexp_extract(name, r"^(\d+)_", 1).cast("long").alias("doc_id"),
         F.regexp_extract(name, r"^\d+_([a-z]+)\.", 1).alias("media_type"),
         F.col("content").alias("payload"),

@@ -100,6 +100,10 @@ def _scored_against_queries(
 
     def score(batches):
         for pdf in batches:
+            # degenerate batches (empty Arrow batch / zero queries) would
+            # make the np.array 1-D and the GEMM raise — skip them
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["_q"]), dtype=np.float64)
             n2 = pdf["_n2"].to_numpy(dtype=np.float64)
@@ -776,6 +780,10 @@ def sq8_topk(
 
     def approx(batches):
         for pdf in batches:
+            # degenerate batches: an empty Arrow batch, or no queries
+            # (q_codes is then a 0-size 1-D array whose @ would raise)
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             codes = np.array(list(pdf["_c8"]), dtype=np.int64)
             s = q_codes @ codes.T  # exact int64 GEMM

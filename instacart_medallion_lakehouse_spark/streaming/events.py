@@ -406,21 +406,27 @@ def stream_upsert_to_versioned(
     order_col: str,
     checkpoint: str,
     timeout_sec: int = 120,
+    tiebreak_col: str | None = None,
 ) -> None:
     """CDC-apply sink: MERGE each micro-batch into a versioned snapshot
     by key, last-writer-wins within the batch.
 
     The streaming half of the change-data-capture story: upstream
     emits row-level changes; each micro-batch is first collapsed to
-    one row per key (greatest ``order_col``, with the key itself as
-    the final tie-break so replays are deterministic), then applied
-    with versioned.upsert_versioned — which enforces the Delta-MERGE
+    one row per key (greatest ``order_col``), then applied with
+    versioned.upsert_versioned — which enforces the Delta-MERGE
     contract that updates are key-unique. The first batch bootstraps
     the table. Crash-replay semantics match stream_to_versioned:
     at-least-once per micro-batch, and re-applying the same collapsed
     batch is IDEMPOTENT on row content (the merge overwrites the same
     keys with the same values — the cost is an extra snapshot version,
     never divergent data).
+
+    Determinism: two change rows with equal (key, order_col) in one
+    batch are ambiguous; pass ``tiebreak_col`` (a unique column such as
+    an event id) to make the collapse — and therefore crash-replay —
+    fully deterministic. Without it the winner among exact (key,
+    order_col) ties is partition-order-dependent.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -428,16 +434,17 @@ def stream_upsert_to_versioned(
     from ..versioned import list_versions, upsert_versioned, write_versioned
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(*key).orderBy(
-            F.col(order_col).desc(), *[F.col(k).desc() for k in key]
-        )
+        order = [F.col(order_col).desc()]
+        if tiebreak_col is not None:
+            order.append(F.col(tiebreak_col).desc())
+        w = Window.partitionBy(*key).orderBy(*order)
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
         if list_versions(root):
-            upsert_versioned(latest, root, key)
+            upsert_versioned(latest.sparkSession, root, latest, key)
         else:
             write_versioned(latest, root)
 

@@ -193,3 +193,19 @@ class TestBinaryFileIngest:
         out = read_media_dir(spark, str(d), glob="*.bin")
         assert out.count() == 1
         assert out.first()["doc_id"] == 1
+
+    def test_malformed_filename_fails_loudly(self, spark, tmp_path):
+        """A file that matches the glob but violates the
+        '{doc_id}_{media_type}.bin' convention must raise at execution,
+        not become a null-keyed row that downstream joins silently drop."""
+        import pytest
+
+        from instacart_medallion_lakehouse_spark.io import read_media_dir
+
+        d = tmp_path / "bad"
+        d.mkdir()
+        (d / "1_image.bin").write_bytes(b"\x89PNG")
+        (d / "not-a-doc.bin").write_bytes(b"oops")
+        out = read_media_dir(spark, str(d), glob="*.bin")
+        with pytest.raises(Exception, match="naming convention"):
+            out.count()

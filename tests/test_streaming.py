@@ -5,6 +5,8 @@ results; streaming dedup must drop in-horizon duplicates.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+
 from instacart_medallion_lakehouse_spark import queries as q
 from instacart_medallion_lakehouse_spark.streaming import events as se
 
@@ -211,6 +213,77 @@ class TestStreamCdcUpsert:
         }
         for r in got.select("user_id", "ts").collect():
             assert r["ts"] == want_ts[r["user_id"]]
+
+    def test_upsert_branch_merges_into_preexisting_table(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Bootstrap the versioned table FIRST, then drain — every
+        micro-batch must take the upsert (MERGE) branch, not the
+        write_versioned bootstrap. Regression test: the upsert call
+        previously passed arguments in the wrong order and raised
+        TypeError on any pre-existing table."""
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.io import read_events
+        from instacart_medallion_lakehouse_spark.streaming import events as se
+        from instacart_medallion_lakehouse_spark.versioned import (
+            list_versions,
+            read_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "cdc_table")
+        ckpt = str(tmp_path / "ckpt")
+        cols = ["user_id", "ts", "event_id", "event_type", "value"]
+        # seed: one stale row per user (min ts) — the drain must overwrite
+        seed = (
+            read_events(spark, sf_dir)
+            .select(*cols)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").asc(), F.col("event_id").asc()
+                    )
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        write_versioned(seed, root)
+        assert list_versions(root) == [1]
+
+        stream = se.read_events_stream(spark, sf_dir).select(*cols)
+        se.stream_upsert_to_versioned(
+            stream,
+            root,
+            key=["user_id"],
+            order_col="ts",
+            checkpoint=ckpt,
+            tiebreak_col="event_id",
+        )
+        assert len(list_versions(root)) > 1  # MERGE committed new versions
+
+        got = read_versioned(spark, root)
+        want = (
+            read_events(spark, sf_dir)
+            .select(*cols)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        assert got.count() == want.count()
+        want_rows = {r["user_id"]: r for r in want.collect()}
+        for r in got.collect():
+            assert r["ts"] == want_rows[r["user_id"]]["ts"]
+            assert r["event_id"] == want_rows[r["user_id"]]["event_id"]
 
     def test_redrain_same_checkpoint_is_noop(self, spark, sf_dir, tmp_path):
         from instacart_medallion_lakehouse_spark.streaming import events as se
