@@ -49,6 +49,12 @@ def main() -> None:
     # the min over passes is the steady-state cost of the plan.
     timings: dict[str, float] = {}
     for _pass in range(2):
+        # wipe the persisted derived-table store so each pass pays the
+        # shared signature-layer build exactly once (in its first
+        # consumer) — sharing within a pass is the architecture under
+        # test; sharing ACROSS passes would hide the build cost from
+        # the per-query min entirely
+        q.clear_shared_store()
         for name, fn in q.queries().items():
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))

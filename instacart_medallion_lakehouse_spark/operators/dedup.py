@@ -276,6 +276,20 @@ def minhash_lsh_pairs(
     documented LSH recall (tunable via k, r).
     """
     ex, bands = minhash_bands(docs, n, num_hashes, band_rows, id_col)
+    return minhash_lsh_pairs_from(ex, bands, threshold, id_col)
+
+
+def minhash_lsh_pairs_from(
+    ex: DataFrame,
+    bands: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate self-join + exact-Jaccard verify over an EXISTING
+    (shingles, bands) pair — the consumer half of minhash_lsh_pairs,
+    split out so the band table can come from the persisted signature
+    store (queries.shared_table) instead of being recomputed per query.
+    """
     cand = (
         bands.alias("a")
         .join(
@@ -308,10 +322,27 @@ def minhash_bands(
     self-join sides (or the profile aggregate); a lazily-filled cache
     would race and recompute the 16-hash signature chain per consumer.
     """
-    assert num_hashes % band_rows == 0
-    n_bands = num_hashes // band_rows
     ex = shingle_table(docs, n, id_col).cache()
     ex.count()  # materialize before multi-consumer reuse (see ngram note)
+    bands = band_table_from_shingles(ex, num_hashes, band_rows, id_col).cache()
+    bands.count()  # materialize before the self-join (see ngram note)
+    return ex, bands
+
+
+def band_table_from_shingles(
+    ex: DataFrame,
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(_id, band, key) LSH band table from an exploded shingle table —
+    the signature pipeline alone, with NO caching: the build half of
+    minhash_bands, also used as the builder for the persisted signature
+    store (a 100 TB corpus computes signatures once and persists them
+    as a table asset; per-query recompute is the sf0.1 anti-pattern).
+    """
+    assert num_hashes % band_rows == 0
+    n_bands = num_hashes // band_rows
     hashed = ex.select(
         F.col(id_col),
         *[
@@ -334,15 +365,12 @@ def minhash_bands(
         )
         for b in range(n_bands)
     ]
-    bands = (
+    return (
         sig.select(
             F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
         )
         .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .cache()
     )
-    bands.count()  # materialize before the self-join (see ngram note)
-    return ex, bands
 
 
 # ---------------------------------------------------------------------------

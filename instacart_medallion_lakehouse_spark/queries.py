@@ -19,6 +19,7 @@ Cross-engine semantics notes (discovered empirically, enforced here):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -227,6 +228,79 @@ def enable_table_cache(enabled: bool = True) -> None:
         for df in _TABLE_CACHE.values():
             df.unpersist()
         _TABLE_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# Persisted derived-table store ("signature layer").
+#
+# Expensive derived layers — MinHash band tables today; any signature /
+# sketch / index layer tomorrow — are consumed by several queries
+# (minhash_lsh_dedup, lsh_bucket_profile, dedup_clusters). At 100 TB you
+# do not recompute a corpus signature pass per query: you persist it ONCE
+# as a table asset and every consumer scans the (tiny) derived table.
+# This store is that asset, scoped to a scratch dir: builder output is
+# written to parquet keyed by (source files' identity, layer name) and
+# re-read on every later request — across queries AND across sessions.
+# Invalidation is by source fingerprint (path+mtime+size), so a testdata
+# regeneration rebuilds automatically. Set SPARK_GRAFT_SHARED_DIR='' to
+# disable (every call then builds fresh, prior behavior).
+# ---------------------------------------------------------------------------
+
+
+def _shared_dir() -> str | None:
+    import tempfile
+
+    d = os.environ.get("SPARK_GRAFT_SHARED_DIR")
+    if d == "":
+        return None
+    return d or os.path.join(tempfile.gettempdir(), "spark_graft_shared")
+
+
+def clear_shared_store() -> None:
+    """Drop every persisted derived table (bench calls this between
+    passes so each pass pays the build exactly once — honest timing)."""
+    import shutil
+
+    d = _shared_dir()
+    if d and os.path.isdir(d):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def shared_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], DataFrame],
+    sources: tuple[str, ...] = ("documents.parquet",),
+) -> DataFrame:
+    """Return the derived table ``name`` for ``sf_dir``, building it with
+    ``builder()`` and persisting to scratch parquet on first request.
+
+    Publication is atomic (write to a unique tmp dir, rename into
+    place), so a concurrent builder loses the race cleanly and reads
+    the winner's table.
+    """
+    import hashlib
+    import shutil
+
+    root = _shared_dir()
+    if root is None:
+        return builder()
+    fp = hashlib.md5()
+    fp.update(sf_dir.encode())
+    for s in sources:
+        p = os.path.join(sf_dir, s)
+        st = os.stat(p)
+        fp.update(f"{s}:{st.st_mtime_ns}:{st.st_size}".encode())
+    path = os.path.join(root, f"{name}-{fp.hexdigest()[:16]}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        builder().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the publish race — winner's table is live
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

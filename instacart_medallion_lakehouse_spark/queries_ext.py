@@ -1868,9 +1868,16 @@ def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node neighbor sums (<= degree addends of identical values)
     cannot drift.
 
-    Per iteration: one join of the edge list against the current ranks
-    + one aggregate — the same BSP shape as label propagation, O(|E|)
-    shuffle per round, ranks never collected to the driver."""
+    Per iteration: one BROADCAST join of the edge list against the
+    current rank vector + one aggregate. The rank vector is node-grain
+    (bounded by the <500-key fuzzy graph; at any scale it is |V| two-
+    scalar rows, dwarfed by |E|), so shipping it to the edge partitions
+    replaces a per-iteration sort-merge shuffle of the edges with a
+    map-side hash join — the edges are shuffled ONCE by the degree
+    aggregate and never again. The static src-outdegree is pre-joined
+    into the cached edge table before the loop, so each iteration is
+    exactly broadcast-join + hash-aggregate, ranks never collected to
+    the driver."""
     edges = fuzzy_name_pairs(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -1889,21 +1896,22 @@ def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("outdeg")
     )
     deg = deg.cache()
-    deg.count()
     n_nodes = deg.count()
     damping = 0.85
+    # static per-edge source outdegree, joined ONCE before the loop
+    sym_od = sym.join(
+        F.broadcast(
+            deg.select(F.col("node").alias("src"), F.col("outdeg").alias("_od"))
+        ),
+        "src",
+    ).cache()
+    sym_od.count()
     ranks = deg.select(
         "node", dround(F.lit(1.0) / F.lit(n_nodes), 8).alias("rank")
     )
     for _ in range(3):
         contrib = (
-            sym.join(ranks, sym["src"] == ranks["node"])
-            .join(
-                deg.select(
-                    F.col("node").alias("_nb"), F.col("outdeg").alias("_od")
-                ),
-                F.col("src") == F.col("_nb"),
-            )
+            sym_od.join(F.broadcast(ranks), sym_od["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 dround(F.col("rank") / F.col("_od"), 8).alias("c"),
@@ -1913,7 +1921,7 @@ def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             deg.select("node")
-            .join(contrib, "node", "left")
+            .join(F.broadcast(contrib), "node", "left")
             .select(
                 "node",
                 dround(

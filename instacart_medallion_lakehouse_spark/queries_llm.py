@@ -610,10 +610,30 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bb"),
         )
     ).cache()
-    big.count()  # materialize before 4-consumer reuse (dedup.py convention)
-    c2 = big.groupBy("bb").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = big.groupBy("ub").agg(F.count(F.lit(1)).alias("n1"))
-    v = big.agg(F.countDistinct("bb").alias("vb"))
+    big.count()  # materialize before 2-consumer reuse (dedup.py convention)
+    # Unigram and bigram counts in ONE grouping-sets pass over the cached
+    # bigram table (instead of separate groupBy exchanges per model): the
+    # {bb} rows are the bigram counts, the {ub} rows the unigram counts,
+    # and the vocabulary size vb = number of {bb} groups — a second
+    # aggregate over the already-bounded (≤2·65536-row) grouped result,
+    # not over the fact table. 7 shuffles → 4 (window, grouping sets,
+    # tiny vb agg, final per-doc mean).
+    grouped = (
+        big.groupingSets([["bb"], ["ub"]], "bb", "ub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    grouped.count()
+    c2 = grouped.filter(F.col("bb").isNotNull()).select(
+        "bb", F.col("n").alias("n2")
+    )
+    c1 = grouped.filter(F.col("ub").isNotNull()).select(
+        "ub", F.col("n").alias("n1")
+    )
+    v = (
+        grouped.filter(F.col("bb").isNotNull())
+        .agg(F.count(F.lit(1)).alias("vb"))
+    )
     nll = dround(
         -F.log((F.col("n2") + 1) * F.lit(1.0) / (F.col("n1") + F.col("vb"))),
         6,

@@ -30,7 +30,7 @@ from .functions.text import (
     tokens,
 )
 from .operators import dedup, vectors
-from .queries import _register, _t
+from .queries import _register, _t, shared_table
 
 # --- shared SQL fragments (moved to oracle_fragments.py; re-exported) ------
 
@@ -285,11 +285,31 @@ def _minhash_sql(num_hashes: int, band_rows: int) -> str:
     """
 
 
+def shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents MinHash band table (n=3, k=16, r=2) from the
+    persisted signature store — built once per testdata generation,
+    then read as parquet by every consumer (minhash_lsh_dedup,
+    lsh_bucket_profile, dedup_clusters, cluster_canonicals,
+    curated_docs). One definition of the banding config, one physical
+    build."""
+    return shared_table(
+        spark,
+        sf_dir,
+        "minhash_bands_n3_h16_r2",
+        lambda: dedup.band_table_from_shingles(
+            dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id"),
+            num_hashes=16,
+            band_rows=2,
+        ),
+    )
+
+
 @_register("minhash_lsh_dedup", _minhash_sql(num_hashes=16, band_rows=2))
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, num_hashes=16, band_rows=2, threshold=0.5
-    )
+    ex = dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id").cache()
+    ex.count()  # materialize before multi-consumer reuse (dedup.py note)
+    bands = shared_minhash_bands(spark, sf_dir)
+    return dedup.minhash_lsh_pairs_from(ex, bands, threshold=0.5)
 
 
 def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
@@ -1176,13 +1196,12 @@ def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     means a too-coarse band (lower band_rows / more hashes) BEFORE the
     pair join runs, not after it OOMs.
 
-    Built on the SAME signature+band pipeline the pair generator uses
-    (operators/dedup.minhash_bands), so the profile describes exactly
-    the join minhash_lsh_dedup would run."""
-    from .operators.dedup import minhash_bands
-
-    docs = _t(spark, sf_dir, "documents")
-    _ex, bands = minhash_bands(docs, n=3, num_hashes=16, band_rows=2)
+    Built on the SAME signature+band table the pair generator uses
+    (shared_minhash_bands → the persisted signature store), so the
+    profile describes exactly the join minhash_lsh_dedup would run —
+    and costs only a scan of the stored band table, not a fresh
+    signature pass."""
+    bands = shared_minhash_bands(spark, sf_dir)
     bsz = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
     return (
         bsz.groupBy("sz")

@@ -319,9 +319,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus against a label table bounded by the paired-node count
     (ids only — text never shuffles). 3 rounds bound the diameter;
     convergence is asserted in tests."""
+    from .queries_text import shared_minhash_bands
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, n=3, num_hashes=16, band_rows=2, threshold=0.5
+    ex = dedup.shingle_table(docs, 3, "doc_id").cache()
+    ex.count()  # materialize before multi-consumer reuse (dedup.py note)
+    pairs = dedup.minhash_lsh_pairs_from(
+        ex, shared_minhash_bands(spark, sf_dir), threshold=0.5
     ).select("id_a", "id_b")
     labels = label_propagation(
         pairs, iterations=3, edges_unique=True, cache_every=0
