@@ -47,6 +47,63 @@ def lag_with_default(
     return df.withColumn(out_col or f"prev_{col}", F.lag(col, 1, default).over(w))
 
 
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column | str],
+    rank_col: str = "_grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number: two-pass range-partitioned rank
+    instead of a single-partition ``Window.orderBy``.
+
+    A partitionless window funnels the whole input through ONE task —
+    the classic global-sort straggler at scale. This operator gets the
+    identical result distributed:
+
+      1. range-partition by the order keys (ascending partition ids hold
+         ascending key ranges — a sampling pass + one range exchange,
+         exactly what a global sort does anyway);
+      2. per-partition local row_number, partitioned on
+         ``spark_partition_id()`` so no further shuffle;
+      3. per-partition row counts (numPartitions rows — driver-scale)
+         → exclusive prefix sums via a broadcast inequality self-join
+         (O(p²) pairs of the p-row count table; NO single-partition
+         stage anywhere) → broadcast back as offsets;
+         global rank = local rank + partition offset.
+
+    ``order_by`` must be a deterministic TOTAL order (pass a unique
+    tie-break column) — the same contract as every rank in this module.
+    Ascending order only; wrap descending needs as ascending on a
+    negated/complemented key.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    prior = counts.select(
+        F.col("_pid").alias("_ppid"), F.col("_cnt").alias("_pcnt")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior), F.col("_ppid") < F.col("_pid"), "left"
+        )
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_pcnt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",

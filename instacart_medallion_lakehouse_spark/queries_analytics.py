@@ -1287,20 +1287,23 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT, rank-weighted sums run in HUGEINT (DuckDB) / decimal128
     (Spark) so the classic G = 2*sum(i*y)/(n*sum(y)) - (n+1)/n formula
     is order-independent until the final float divide. The global
-    rank sorts the CUSTOMER-grain aggregate (one range exchange of
-    |customers| narrow rows), never the fact; ties on equal revenue
-    break by custkey so both engines rank identically (Gini itself is
-    tie-order invariant, the determinism is for the replay)."""
+    rank sorts the CUSTOMER-grain aggregate, never the fact, and runs
+    as the two-pass range-partitioned global_row_number (no single-
+    reducer window — the straggler a partitionless Window.orderBy
+    becomes at 10⁸ customers); ties on equal revenue break by custkey
+    so both engines rank identically (Gini itself is tie-order
+    invariant, the determinism is for the replay)."""
+    from .operators.windows import global_row_number
+
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
         ).alias("cents")
     )
-    wr = Window.orderBy("cents", "o_custkey")
-    ranked = cust.select(
+    ranked = global_row_number(cust, ["cents", "o_custkey"], "i").select(
         F.col("cents").cast("decimal(38,0)").alias("cents"),
-        F.row_number().over(wr).cast("decimal(38,0)").alias("i"),
+        F.col("i").cast("decimal(38,0)").alias("i"),
     )
     n = F.count(F.lit(1))
     return ranked.agg(

@@ -1078,16 +1078,29 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_custkey tie-break (equal balances otherwise land in buckets
     nondeterministically), then per-quartile stats. avg uses the
     fixed-point summation form so both engines agree to the cent.
-    Scale note: a single un-partitioned ntile serializes on one
-    reducer — at 100 TB switch to approx percentile cutpoints +
-    range-bucket join (price_percentiles shows the sketch form)."""
-    from pyspark.sql import Window
 
+    No single-reducer ntile: the global position comes from the
+    two-pass range-partitioned global_row_number, and the SQL ntile
+    rule (first n mod k buckets hold ceil(n/k) rows, the rest floor)
+    is applied as an expression against the broadcast total — exact
+    ntile semantics, fully distributed."""
     from .operators.aggs import avg_fixedpoint
+    from .operators.windows import global_row_number
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    ranked = cust.withColumn("quartile", F.ntile(4).over(w))
+    ranked = global_row_number(cust, ["c_acctbal", "c_custkey"], "_r")
+    n_total = cust.agg(F.count(F.lit(1)).alias("_n"))
+    qsz = F.floor(F.col("_n") / 4)
+    rem = F.col("_n") % 4
+    big_cut = rem * (qsz + 1)  # rows covered by the (q+1)-sized buckets
+    quartile = F.when(
+        F.col("_r") <= big_cut, F.floor((F.col("_r") - 1) / (qsz + 1)) + 1
+    ).otherwise(rem + F.floor((F.col("_r") - 1 - big_cut) / qsz) + 1)
+    ranked = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("quartile", quartile.cast("int"))
+        .drop("_r", "_n")
+    )
     return (
         ranked.groupBy("quartile")
         .agg(
@@ -1207,21 +1220,27 @@ def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break makes the ordering total, so every rank is engine-
     independent). Both rank ratios are exact rational values —
     (rank-1)/(n-1) and rows<=current/n — computed identically by both
-    engines, then rounded for hash stability. A single un-partitioned
-    window serializes on one reducer; at 100 TB rank against
-    percentile cutpoints instead (price_percentiles shows the sketch
-    path)."""
-    from pyspark.sql import Window
+    engines, then rounded for hash stability.
 
-    w = Window.orderBy("s_acctbal", "s_suppkey")
+    No single-reducer window: because the (s_acctbal, s_suppkey) order
+    is TOTAL (unique key), rank == dense_rank == row_number, so the
+    whole family derives from the two-pass range-partitioned
+    global_row_number plus the broadcast total count — identical
+    values, no serialized sort."""
+    from .operators.windows import global_row_number
+
     sup = _t(spark, sf_dir, "supplier")
-    return sup.select(
+    n_total = sup.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = global_row_number(
+        sup.select("s_suppkey", "s_acctbal"), ["s_acctbal", "s_suppkey"], "_r"
+    ).crossJoin(F.broadcast(n_total))
+    return ranked.select(
         "s_suppkey",
         dround(F.col("s_acctbal"), 2).alias("acctbal"),
-        dround(F.percent_rank().over(w), 6).alias("pr"),
-        dround(F.cume_dist().over(w), 6).alias("cd"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        dround((F.col("_r") - 1) / (F.col("_n") - 1), 6).alias("pr"),
+        dround(F.col("_r") * F.lit(1.0) / F.col("_n"), 6).alias("cd"),
+        F.col("_r").cast("int").alias("rnk"),
+        F.col("_r").cast("int").alias("drnk"),
     )
 
 

@@ -560,40 +560,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _curated_sql() -> str:
-    return f"""
-    WITH {_scored_passed_ctes()},
-    exact AS (
-      SELECT * FROM (
-        SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS _canon
-        FROM passed
-      ) WHERE doc_id = _canon
-    ),
-    {_minhash_ctes("exact", 16, 2)},
-    pairs AS (
-      SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.8
-    ),
-    losers AS (SELECT DISTINCT id_b FROM pairs)
-    SELECT e.doc_id, e.predicted_lang, e.quality_score
-    FROM exact e LEFT JOIN losers l ON e.doc_id = l.id_b
-    WHERE l.id_b IS NULL
-    """
-
-
-@_register("curated_docs", _curated_sql())
-def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-data curation pipeline end to end (curation.py):
-    quality scoring, floor filter, exact dedup, MinHash-LSH near-dedup
-    (threshold 0.8, keep min-id per cluster) — the composition, not just
-    the pieces, verified against the oracle."""
-    from . import curation
-
-    docs = _t(spark, sf_dir, "documents")
-    scored = curation.score_documents(docs)
-    passed = scored.filter(F.col("quality_score") >= 0.5)
-    exact = curation.drop_exact_duplicates(passed)
-    curated = curation.drop_near_duplicates(exact, threshold=0.8)
-    return curated.select("doc_id", "predicted_lang", "quality_score")
+# curated_docs (v1: score → filter → exact dedup → near-dedup) was
+# RETIRED from the registry in round 4: curated_docs_v2 below runs the
+# same stages plus repetition cull + decontamination, so carrying both
+# cost 13 redundant shuffles per bench run for zero extra coverage
+# (VERDICT r3 #5). The v1 stage composition remains the public
+# curation.run_curation API and keeps its pytest coverage there.
 
 
 @_register(
