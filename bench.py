@@ -42,6 +42,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup on a trivial job so the first query isn't taxed
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Streaming-engine warmup: the FIRST streaming query in a session
+    # pays one-time micro-batch engine + state-store classloading that
+    # would otherwise land on whichever stream_* entry runs first —
+    # drain one throwaway stateful rate-source query so every stream_*
+    # timing measures its plan, not engine bring-up (VERDICT r3 #10).
+    from instacart_medallion_lakehouse_spark.streaming.events import (
+        drain_to_batch,
+    )
+
+    _ws = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "10")
+        .load()
+        .groupBy("value")
+        .count()
+    )
+    drain_to_batch(_ws, output_mode="complete", timeout_sec=60)
 
     # Two passes, per-query MIN: pass 1 doubles as warmup (JIT, python
     # worker pool, page cache — this host faults memory lazily and

@@ -113,83 +113,62 @@ def _register(name: str, oracle: str | None):
 # the WHOLE registry stays gated locally by tools/check_oracle.py
 # regardless of order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # previously outside the 50-entry window (round-2 additions), oracle-twinned
-    "set_ops_users",
-    "embedding_stats",
-    "rolling_user_value",
-    "price_percentiles",
-    "profile_orders",
-    "q3_shipping_priority",
-    "stream_dedup",
-    "cube_revenue",
-    "salted_join_rollup",
-    "q5_local_supplier",
-    "customer_quartiles",
-    "tfidf_top_terms",
-    "supplier_balance_ranks",
-    "q18_large_orders",
-    "daily_orders_zerofilled",
-    "trailing_7d_revenue",
-    "q10_returned_items",
-    "q7_volume_shipping",
-    "union_by_name_drift",
-    "price_histogram",
-    "fuzzy_name_pairs",
-    "name_match_components",
-    "modal_priority",
-    # fixed this round — must show green on the driver board
-    "nation_segments",
-    # rewritten this round (per-bucket GEMM / driver-state k-means / header decode)
-    "embedding_neardup_lsh",
-    "ann_ivf_topk",
-    "semdedup_docs",
-    "media_features",
-    # hash-sensitive dedup / similarity families. exact_dedup /
-    # minhash_lsh_dedup / simhash_dedup / ann_topk / ann_lsh_topk hold
-    # green CORRECTNESS_r02 rows and their r3 perf touch-ups have been
-    # locally re-gated twice, so four of them yield their slots to
-    # round-3b queries that have never had driver signal:
-    # ann_sq8_topk (int8 quantize + re-rank), lm_perplexity (hashed
-    # bigram LM), cluster_canonicals (deepest new composition),
-    # bloom_pruned_join (bloom bitmap plumbing)
-    "exact_dedup",
-    "ngram_jaccard_dedup",
-    "ann_sq8_topk",
+    # --- round 4, part 1: the 36 queries that have NEVER held a driver
+    # correctness row (VERDICT r3 #1 — judge-verified green out-of-band
+    # in r3, but the standing external signal must exist). After this
+    # round, lifetime driver coverage is every registered query.
+    "semantic_contamination",
+    "winnowing_fingerprints",
+    "long_run_overlap",
+    "consistent_sample_k",
+    "lsh_bucket_profile",
+    "stream_running_totals",   # rows-only by design
+    "price_percentiles_approx",  # rows-only by design
+    "triangle_count",
+    "pagerank_fuzzy",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q13_customer_distribution",
+    "stratified_sample",
+    "corpus_mixture",
+    "sequence_packing",
+    "funnel_steps",
+    "errors_in_sessions",
+    "key_skew_profile",
+    "decile_buckets",
+    "stream_enriched_totals",
+    "media_frame_samples",
+    "time_rollup_revenue",
+    "cohort_retention",
+    "unpivot_part_metrics",
+    "embedding_norms",
+    "urgent_customers_by_segment",
+    "scd2_user_states",
+    "revenue_trend_by_nation",
+    "forward_fill_values",
+    "daily_count_revenue_corr",
+    "user_burstiness",
+    "quality_resample",
+    "incremental_exact_dedup",
+    "doc_chunks",
+    "label_centroids",
+    "source_entropy",
+    # --- round 4, part 2: queries REWRITTEN this round, whose green
+    # r2/r3 rows describe the old plan — the new plans need fresh
+    # driver signal (grouping-sets LM fusion; persisted signature
+    # store; broadcast-iteration PageRank [above]; two-pass
+    # distributed global ranks)
     "lm_perplexity",
-    "cluster_canonicals",
-    "bloom_pruned_join",
-    "embedding_neardup",
-    # curation pipelines (deepest plans in the repo); pii_scrub and
-    # dsir_weights are new this round with the two risky cross-engine
-    # surfaces (RE2-vs-Java regex, libm-vs-JVM ln) — they take the
-    # slots of curated_docs / benchmark_contamination, both r2-green
-    # and untouched (curated_docs_v2 still covers the composition)
-    "pii_scrub",
-    "dsir_weights",
-    "curated_docs_v2",
-    "train_val_test_split",
-    # repetition_ratio / bigram_topk (r2-green, untouched) yield their
-    # slots to the two newest never-signaled queries
-    "event_transition_matrix",
-    "revenue_gini",
-    # round-3 TPC-H additions with float-division / float-threshold
-    # semantics — the four evicted entries (region_performance,
-    # q1_pricing_summary, asof_click_view, stream_interval_join) hold
-    # green rows in CORRECTNESS_r02 and were not touched this round
-    "q8_market_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_prospect_balances",
-    # riskiest round-3 additions (new API / float semantics / timestamp
-    # arithmetic / deepest composition) — the five evicted queries
-    # (windowed_events, sessionize, json_extract, rollup_revenue,
-    # pivot_status_revenue) all hold green rows in CORRECTNESS_r02;
-    # remaining round-3 queries rotate into the round-4 window
+    "minhash_lsh_dedup",
     "dedup_clusters",
-    "grouping_sets_revenue",
-    "pit_features_at_purchase",
-    "media_resize_plan",
-    "revenue_anomalies",
+    "cluster_canonicals",
+    "revenue_gini",
+    "customer_quartiles",
+    "supplier_balance_ranks",
+    # --- remaining slots: new round-4 queries (registered below /
+    # in the extension modules) fill the window up to 50; every
+    # query pushed past slot 50 holds a green row in its last
+    # windowed round and is re-gated locally by tools/check_oracle.py
 )
 
 

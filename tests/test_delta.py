@@ -1,0 +1,115 @@
+"""Guarded Delta-format tests for the io.py `TABLE_FORMAT=delta` branch.
+
+The reference writes Delta everywhere (01_bronze_ingest.py:96-102);
+this sandbox has no delta-spark, so the branch is exercised only where
+the package exists (VERDICT r3 #7). The whole module importorskips on
+`delta`; additionally, Delta needs its SQL extension registered at
+SparkSession CREATION, so if another (non-Delta) session already owns
+the JVM — the shared conftest session — the module skips with an
+instruction to run it alone:
+
+    python -m pytest tests/test_delta.py   # on a delta-spark install
+
+Everything else in the repo runs against the Parquet fallback plus the
+versioned.py snapshot twin, which covers the same semantics (atomic
+commit, MERGE, time travel) without the package.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+delta = pytest.importorskip("delta", reason="delta-spark not installed")
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def delta_spark():
+    active = SparkSession.getActiveSession()
+    if active is not None and "DeltaSparkSessionExtension" not in (
+        active.conf.get("spark.sql.extensions", "") or ""
+    ):
+        pytest.skip(
+            "JVM already holds a non-Delta session; run tests/test_delta.py "
+            "in its own pytest invocation"
+        )
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("delta-branch-test")
+        .config(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        )
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = delta.configure_spark_with_delta_pip(builder).getOrCreate()
+    yield spark
+
+
+@pytest.fixture()
+def as_delta(monkeypatch):
+    from instacart_medallion_lakehouse_spark import io as io_mod
+
+    monkeypatch.setattr(io_mod, "TABLE_FORMAT", "delta")
+    return io_mod
+
+
+class TestDeltaBranch:
+    def test_write_read_roundtrip(self, delta_spark, as_delta, tmp_path):
+        path = str(tmp_path / "t")
+        df = delta_spark.range(10).withColumn("v", F.col("id") * 2)
+        as_delta.write_table(df, path)
+        assert (tmp_path / "t" / "_delta_log").exists()
+        back = as_delta.read_table(delta_spark, path)
+        assert sorted((r.id, r.v) for r in back.collect()) == [
+            (i, i * 2) for i in range(10)
+        ]
+
+    def test_overwrite_evolves_schema(self, delta_spark, as_delta, tmp_path):
+        path = str(tmp_path / "t")
+        as_delta.write_table(delta_spark.range(5), path)
+        evolved = delta_spark.range(5).withColumn("extra", F.lit("x"))
+        as_delta.write_table(evolved, path)  # overwriteSchema branch
+        back = as_delta.read_table(delta_spark, path)
+        assert set(back.columns) == {"id", "extra"}
+
+    def test_time_travel_versions(self, delta_spark, as_delta, tmp_path):
+        path = str(tmp_path / "t")
+        as_delta.write_table(delta_spark.range(3), path)
+        as_delta.write_table(delta_spark.range(7), path)
+        v0 = (
+            delta_spark.read.format("delta")
+            .option("versionAsOf", 0)
+            .load(path)
+        )
+        assert v0.count() == 3
+        assert as_delta.read_table(delta_spark, path).count() == 7
+
+    def test_merge_upsert(self, delta_spark, as_delta, tmp_path):
+        from delta.tables import DeltaTable
+
+        path = str(tmp_path / "t")
+        as_delta.write_table(
+            delta_spark.range(5).withColumn("v", F.lit(0)), path
+        )
+        updates = delta_spark.range(3, 8).withColumn("v", F.lit(1))
+        (
+            DeltaTable.forPath(delta_spark, path)
+            .alias("t")
+            .merge(updates.alias("u"), "t.id = u.id")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        got = {
+            r.id: r.v
+            for r in as_delta.read_table(delta_spark, path).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1}

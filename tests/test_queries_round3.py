@@ -18,37 +18,92 @@ from pyspark.sql import functions as F
 from instacart_medallion_lakehouse_spark import queries as q
 
 
+# The registry's three deliberate no-oracle entries (approximate /
+# streaming-rate results that hash differently by design): in-window
+# they earn the driver's weaker rows-only record, which is exactly the
+# standing signal round 4 rotates them in for.
+_ROWS_ONLY = {
+    "region_performance_approx",
+    "stream_running_totals",
+    "price_percentiles_approx",
+}
+
+
 class TestDriverWindow:
-    def test_window_is_fully_oracle_twinned(self):
+    def test_window_is_oracle_twinned_except_rows_only(self):
         names = list(q.queries())
         oracle = q.oracle_sql()
         assert len(names) == len(set(names))
         window = names[:50]
-        missing = [n for n in window if n not in oracle]
+        missing = [
+            n for n in window if n not in oracle and n not in _ROWS_ONLY
+        ]
         assert missing == [], f"in-window queries without oracle SQL: {missing}"
 
     def test_priority_list_matches_registry(self):
-        # every priority name resolves; the window is exactly the list
+        # every priority name resolves; the window starts with the list
         names = list(q.queries())
         assert names[: len(q._WINDOW_PRIORITY)] == list(q._WINDOW_PRIORITY)
-        assert len(q._WINDOW_PRIORITY) == 50
+        assert len(q._WINDOW_PRIORITY) <= 50
 
-    def test_round2_additions_now_in_window(self):
+    def test_never_driver_checked_queries_fill_round4_window(self):
+        """Round 4's rotation contract (VERDICT r3 #1): every query with
+        no CORRECTNESS row in rounds 1-3 must sit inside the 50-entry
+        driver window this round."""
+        never_checked = (
+            "semantic_contamination",
+            "winnowing_fingerprints",
+            "long_run_overlap",
+            "consistent_sample_k",
+            "lsh_bucket_profile",
+            "stream_running_totals",
+            "price_percentiles_approx",
+            "triangle_count",
+            "pagerank_fuzzy",
+            "q6_forecast_revenue",
+            "q14_promo_revenue",
+            "q13_customer_distribution",
+            "stratified_sample",
+            "corpus_mixture",
+            "sequence_packing",
+            "funnel_steps",
+            "errors_in_sessions",
+            "key_skew_profile",
+            "decile_buckets",
+            "stream_enriched_totals",
+            "media_frame_samples",
+            "time_rollup_revenue",
+            "cohort_retention",
+            "unpivot_part_metrics",
+            "embedding_norms",
+            "urgent_customers_by_segment",
+            "scd2_user_states",
+            "revenue_trend_by_nation",
+            "forward_fill_values",
+            "daily_count_revenue_corr",
+            "user_burstiness",
+            "quality_resample",
+            "incremental_exact_dedup",
+            "doc_chunks",
+            "label_centroids",
+            "source_entropy",
+        )
+        window = set(list(q.queries())[:50])
+        for name in never_checked:
+            assert name in window, name
+
+    def test_round4_rewrites_in_window(self):
+        """Queries whose plans were rewritten in round 4 need fresh
+        driver signal — their older green rows describe the old plan."""
         window = set(list(q.queries())[:50])
         for name in (
-            "tfidf_top_terms",
-            "cube_revenue",
-            "q5_local_supplier",
-            "q7_volume_shipping",
-            "q10_returned_items",
-            "q18_large_orders",
+            "lm_perplexity",
+            "minhash_lsh_dedup",
+            "dedup_clusters",
+            "cluster_canonicals",
+            "revenue_gini",
             "customer_quartiles",
-            "daily_orders_zerofilled",
-            "trailing_7d_revenue",
-            "fuzzy_name_pairs",
-            "name_match_components",
-            "price_percentiles",
-            "nation_segments",
+            "supplier_balance_ranks",
         ):
             assert name in window, name
 
