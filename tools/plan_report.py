@@ -35,11 +35,27 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _uniq_exchanges(pattern: str, plan: str) -> int:
+    """Count DISTINCT exchanges matching ``pattern``.
+
+    A cached (InMemoryRelation) subtree is printed once per consumer,
+    so counting raw occurrences over-reports every exchange beneath a
+    cache by its consumer count — e.g. lm_perplexity's 4 runtime
+    shuffles printed as 7. Exchange lines carry a stable [plan_id=N];
+    deduplicating on it counts each physical exchange once (falls back
+    to occurrence count for plans without plan_id annotations).
+    """
+    ids = re.findall(pattern + r"[^\n]*\[plan_id=(\d+)\]", plan)
+    return len(set(ids)) if ids else len(re.findall(pattern, plan))
+
+
 def audit(plan: str) -> dict:
     return {
-        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
-        "single_part": len(re.findall(r"Exchange SinglePartition", plan)),
-        "broadcasts": plan.count("BroadcastExchange"),
+        "shuffles": _uniq_exchanges(
+            r"Exchange (?:hash|range)partitioning", plan
+        ),
+        "single_part": _uniq_exchanges(r"Exchange SinglePartition", plan),
+        "broadcasts": _uniq_exchanges(r"BroadcastExchange", plan),
         # executedPlan().toString() marks codegen'd operators "*(n) Op";
         # count distinct span ids n
         "wscg": len(set(re.findall(r"\*\((\d+)\)", plan))),
