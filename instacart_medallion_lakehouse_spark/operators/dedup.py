@@ -329,6 +329,27 @@ def minhash_bands(
     return ex, bands
 
 
+def minhash_signatures(
+    ex: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) MinHash signature table from an exploded
+    shingle table: k seeded md5 columns per shingle row (scan-local),
+    one groupBy-min hash aggregate with map-side partial mins. The
+    explode + groupBy-min form is deliberate — array_min(transform(..))
+    is interpreted, this is whole-stage codegen (see module docstring).
+    """
+    hashed = ex.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{i}_"), F.col("_sh"))).alias(f"h_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
+    )
+
+
 def band_table_from_shingles(
     ex: DataFrame,
     num_hashes: int = 16,
@@ -341,19 +362,21 @@ def band_table_from_shingles(
     store (a 100 TB corpus computes signatures once and persists them
     as a table asset; per-query recompute is the sf0.1 anti-pattern).
     """
+    sig = minhash_signatures(ex, num_hashes, id_col)
+    return bands_from_signatures(sig, num_hashes, band_rows, id_col)
+
+
+def bands_from_signatures(
+    sig: DataFrame,
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(_id, band, key) LSH band table from a signature table — the
+    banding half alone, for callers that also consume the signatures
+    directly (e.g. the estimate-vs-exact diagnostic)."""
     assert num_hashes % band_rows == 0
     n_bands = num_hashes // band_rows
-    hashed = ex.select(
-        F.col(id_col),
-        *[
-            F.md5(F.concat(F.lit(f"{i}_"), F.col("_sh"))).alias(f"h_{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
-    )
-
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -1188,3 +1188,201 @@ def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("candidate_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: boilerplate phrase removal (C4/RefinedWeb-style) + sketch QA
+# ---------------------------------------------------------------------------
+
+_BP_N = 5  # tokens per boilerplate phrase
+_BP_MIN_DOCS = 2  # cross-document frequency floor
+
+_BP_SHINGLES_SQL = (
+    f"CASE WHEN len(t) >= {_BP_N} THEN list_distinct("
+    "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+    f" for i in range(1, len(t) - {_BP_N - 2})]) ELSE [] END"
+)
+
+_BP_CTES = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_BP_SHINGLES_SQL}) AS s FROM t),
+    cnt AS (
+      SELECT s AS phrase, CAST(count(*) AS BIGINT) AS n_docs
+      FROM sh GROUP BY s
+    ),
+    bp AS (SELECT phrase, n_docs FROM cnt WHERE n_docs >= {_BP_MIN_DOCS})
+"""
+
+
+@_register(
+    "boilerplate_phrases",
+    f"""
+    WITH {_BP_CTES}
+    SELECT phrase, n_docs FROM bp
+    ORDER BY n_docs DESC, phrase
+    LIMIT 20
+    """,
+)
+def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate detection: the {_BP_N}-token
+    phrases shared by >= {_BP_MIN_DOCS} distinct documents (license
+    footers, nav chrome, templated disclaimers — the text that inflates
+    n-gram counts and leaks across train/test splits). The per-doc
+    shingle table is DISTINCT, so a plain count IS the document
+    frequency — one explode + one map-side-combinable hash aggregate +
+    TakeOrderedAndProject; the corpus text never joins or shuffles.
+    At 100 TB this is exactly the frequency pass C4 ran over Common
+    Crawl: linear scan, bounded top-k result."""
+    sh = dedup.shingle_table(_t(spark, sf_dir, "documents"), _BP_N, "doc_id")
+    return (
+        sh.groupBy(F.col("_sh").alias("phrase"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), "phrase")
+        .limit(20)
+    )
+
+
+@_register(
+    "doc_boilerplate_ratio",
+    f"""
+    WITH {_BP_CTES}
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(bp.phrase) AS BIGINT) AS n_boilerplate,
+           round(count(bp.phrase) * 1.0 / count(*), 4) AS bp_ratio
+    FROM sh LEFT JOIN bp ON sh.s = bp.phrase
+    GROUP BY sh.doc_id
+    """,
+)
+def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's distinct
+    {_BP_N}-gram phrases that are corpus-level boilerplate — the
+    C4-style line-removal signal adapted to unsegmented text (a doc
+    that is mostly boilerplate is template chrome, not content; cull
+    upstream of dedup so boilerplate doesn't glue unrelated docs into
+    one near-dup cluster). Two passes over the SAME shingle table (one
+    cached explode): corpus document-frequency aggregate, then a
+    broadcast semi-join back — the phrase list is bounded (phrases
+    repeated across docs), the corpus side never re-shuffles."""
+    sh = dedup.shingle_table(
+        _t(spark, sf_dir, "documents"), _BP_N, "doc_id"
+    ).cache()
+    sh.count()  # materialize before 2-consumer reuse (dedup.py note)
+    bp = (
+        sh.groupBy(F.col("_sh").alias("phrase"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+        .select("phrase")
+    )
+    return (
+        sh.join(
+            F.broadcast(bp), sh["_sh"] == bp["phrase"], "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("phrase").alias("n_boilerplate"),
+            dround(
+                F.count("phrase") * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("bp_ratio"),
+        )
+    )
+
+
+def _minhash_estimate_sql() -> str:
+    eq_terms = " + ".join(
+        f"(CASE WHEN x.sig_{i} = y.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+    WITH {_minhash_ctes("documents", 16, 2)},
+    est AS (
+      SELECT c.id_a, c.id_b, ({eq_terms}) / 16.0 AS est
+      FROM cand c
+      JOIN sig x ON c.id_a = x.doc_id
+      JOIN sig y ON c.id_b = y.doc_id
+    ),
+    exact AS (
+      SELECT e.id_a, e.id_b, round(e.est, 4) AS est_jaccard,
+             round(len(list_intersect(x.shingles, y.shingles)) * 1.0
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))),
+                   6) AS jaccard
+      FROM est e
+      JOIN sh x ON e.id_a = x.doc_id
+      JOIN sh y ON e.id_b = y.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard, jaccard,
+           round(abs(est_jaccard - jaccard), 4) AS abs_err
+    FROM exact
+    """
+
+
+@_register("minhash_estimate_error", _minhash_estimate_sql())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality QA for the MinHash family: for every LSH candidate
+    pair, the SIGNATURE-estimated Jaccard (fraction of the 16 minhash
+    components that agree — the E[match] = J estimator) next to the
+    exact shingle Jaccard, plus the absolute error. This is the
+    diagnostic that tells you whether k=16 is enough signature for your
+    similarity threshold BEFORE you trust the sketch at corpus scale —
+    the estimate uses only the (k×8-byte) signatures that LSH already
+    computed, the exact value only the candidate pairs (never all
+    pairs). est is an exact k/16 rational on both engines; the error is
+    computed from the two ROUNDED columns so the subtraction sees
+    identical doubles."""
+    ex = dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id").cache()
+    ex.count()  # materialize: feeds signatures AND the exact verify
+    sig = dedup.minhash_signatures(ex, 16, "doc_id").cache()
+    sig.count()  # feeds the band table AND both estimate join sides
+    bands = dedup.bands_from_signatures(sig, 16, 2, "doc_id")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"_xs{i}") == F.col(f"_ys{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = (
+        cand.join(
+            F.broadcast(
+                sig.select(
+                    F.col("doc_id").alias("id_a"),
+                    *[F.col(f"sig_{i}").alias(f"_xs{i}") for i in range(16)],
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sig.select(
+                    F.col("doc_id").alias("id_b"),
+                    *[F.col(f"sig_{i}").alias(f"_ys{i}") for i in range(16)],
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            dround(agree / F.lit(16.0), 4).alias("est_jaccard"),
+        )
+    )
+    exact = dedup._verify_jaccard(cand, ex, "doc_id", threshold=0.0)
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        dround(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias(
+            "abs_err"
+        ),
+    )

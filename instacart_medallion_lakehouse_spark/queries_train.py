@@ -178,6 +178,74 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_ALPHA = 0.3  # mT5/XLM-R style mixture temperature exponent
+
+
+@_register(
+    "mixture_temperature_weights",
+    f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM c),
+    pw AS (
+      SELECT lang, n_docs,
+             n_docs * 1.0 / n AS p,
+             CAST(floor(pow(n_docs * 1.0 / n, {_TEMP_ALPHA}) * 1000000.0
+                        + 0.5) AS BIGINT) AS w
+      FROM c CROSS JOIN tot
+    ),
+    z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM pw)
+    SELECT lang, n_docs,
+           round(p, 6) AS p_raw,
+           round(w * 1.0 / z, 6) AS p_temp,
+           round((w * 1.0 / z) / p, 4) AS boost
+    FROM pw CROSS JOIN z
+    ORDER BY lang
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (the mT5/XLM-R
+    recipe): q_l ∝ p_l^α with α={_TEMP_ALPHA} flattens the language
+    distribution so low-resource languages are upsampled — the standard
+    knob for multilingual pretraining mixtures. `boost` = q/p is the
+    effective over/under-sampling factor per language.
+
+    Cross-engine float discipline: pow() is the one transcendental, so
+    each p^α is quantized to exact micro-units (floor(·1e6 + .5) as
+    BIGINT) BEFORE the normalizing sum — the partition function z is
+    then an exact integer sum (order-independent), and every published
+    ratio divides two integers both engines agree on. Three tiny
+    aggregates over a |langs|-row table; the only fact-scale work is
+    the lang count scan."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").alias("n"))
+    p = F.col("n_docs") * F.lit(1.0) / F.col("n")
+    pw = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        p.alias("p"),
+        F.floor(F.pow(p, F.lit(_TEMP_ALPHA)) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("w"),
+    )
+    z = pw.agg(F.sum("w").cast("bigint").alias("z"))
+    q = F.col("w") * F.lit(1.0) / F.col("z")
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            dround(F.col("p"), 6).alias("p_raw"),
+            dround(q, 6).alias("p_temp"),
+            dround(q / F.col("p"), 4).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Concat-and-chunk sequence packing
 # ---------------------------------------------------------------------------
