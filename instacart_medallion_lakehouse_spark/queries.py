@@ -165,10 +165,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "revenue_gini",
     "customer_quartiles",
     "supplier_balance_ranks",
-    # --- remaining slots: new round-4 queries (registered below /
-    # in the extension modules) fill the window up to 50; every
-    # query pushed past slot 50 holds a green row in its last
-    # windowed round and is re-gated locally by tools/check_oracle.py
+    # --- round 4, part 3: queries NEW this round — first driver signal
+    "boilerplate_phrases",
+    "doc_boilerplate_ratio",
+    "minhash_estimate_error",
+    "mixture_temperature_weights",
+    # --- remaining slots fill from registration order; every query
+    # pushed past slot 50 holds a green row in its last windowed round
+    # and is re-gated locally by tools/check_oracle.py
 )
 
 
