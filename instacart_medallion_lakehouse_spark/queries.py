@@ -113,6 +113,13 @@ def _register(name: str, oracle: str | None):
 # the WHOLE registry stays gated locally by tools/check_oracle.py
 # regardless of order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
+    # --- round 4, part 0: the signature-layer BUILD runs before every
+    # consumer of the persisted store (minhash_lsh_dedup,
+    # lsh_bucket_profile, dedup_clusters, cluster_canonicals,
+    # minhash_estimate_error), so in ordered multi-query runs — the
+    # bench included — the shared build cost is attributed to this
+    # entry, not to whichever consumer happens first
+    "minhash_signature_table",
     # --- round 4, part 1: the 36 queries that have NEVER held a driver
     # correctness row (VERDICT r3 #1 — judge-verified green out-of-band
     # in r3, but the standing external signal must exist). After this
