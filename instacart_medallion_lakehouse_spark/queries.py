@@ -177,6 +177,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_boilerplate_ratio",
     "minhash_estimate_error",
     "mixture_temperature_weights",
+    "incremental_minhash_dedup",
     # --- remaining slots fill from registration order; every query
     # pushed past slot 50 holds a green row in its last windowed round
     # and is re-gated locally by tools/check_oracle.py

@@ -609,20 +609,21 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.concat_ws(" ", "t1", "t2")), 1, _LM_BUCKET_CHARS
             ).alias("bb"),
         )
-    ).cache()
-    big.count()  # materialize before 2-consumer reuse (dedup.py convention)
-    # Unigram and bigram counts in ONE grouping-sets pass over the cached
-    # bigram table (instead of separate groupBy exchanges per model): the
-    # {bb} rows are the bigram counts, the {ub} rows the unigram counts,
-    # and the vocabulary size vb = number of {bb} groups — a second
-    # aggregate over the already-bounded (≤2·65536-row) grouped result,
-    # not over the fact table. 7 shuffles → 4 (window, grouping sets,
-    # tiny vb agg, final per-doc mean).
-    # NOT cached: the three consumers below produce byte-identical
-    # grouping-sets subplans, so ReuseExchange serves them all from one
-    # physical shuffle — a cache here would add a blocking
-    # materialization action that costs more than it saves (measured at
-    # sf0.1: cached 2.8s vs reused-exchange 2.1s end to end).
+    )
+    # Unigram and bigram counts in ONE grouping-sets pass over the bigram
+    # table (instead of separate groupBy exchanges per model): the {bb}
+    # rows are the bigram counts, the {ub} rows the unigram counts, and
+    # the vocabulary size vb = number of {bb} groups — a second aggregate
+    # over the already-bounded (≤2·65536-row) grouped result, not the
+    # fact table. 7 shuffles → 4 (window, grouping sets, tiny vb agg,
+    # final per-doc mean).
+    #
+    # DELIBERATELY uncached (both `big` and `grouped`): every consumer
+    # branch contains a byte-identical subtree up to the token-window
+    # exchange, so ReuseExchange serves them all from ONE physical
+    # shuffle; .cache()+count() here adds blocking materialization
+    # actions that cost more than they save (sf0.1 A/B, steady state:
+    # both cached 1.9-2.6s, uncached 1.1-1.4s end to end).
     grouped = big.groupingSets([["bb"], ["ub"]], "bb", "ub").agg(
         F.count(F.lit(1)).alias("n")
     )

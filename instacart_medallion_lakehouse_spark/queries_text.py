@@ -1431,3 +1431,77 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+def _incremental_minhash_sql() -> str:
+    return f"""
+    WITH {_minhash_ctes("documents", 16, 2)},
+    split AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_index
+      FROM documents
+    ),
+    icand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN split sa ON a.doc_id = sa.doc_id AND NOT sa.in_index
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+      JOIN split sb ON b.doc_id = sb.doc_id AND sb.in_index
+    )
+    SELECT v.id_a AS batch_id, v.id_b AS index_id, v.jaccard
+    FROM (
+      SELECT icand.id_a, icand.id_b,
+             round(len(list_intersect(x.shingles, y.shingles)) * 1.0
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))),
+                   6) AS jaccard
+      FROM icand
+      JOIN sh x ON icand.id_a = x.doc_id
+      JOIN sh y ON icand.id_b = y.doc_id
+    ) v
+    WHERE v.jaccard >= 0.5
+    """
+
+
+@_register("incremental_minhash_dedup", _incremental_minhash_sql())
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup of a NEW batch against the EXISTING corpus index —
+    the 'dedup tonight's crawl against the last 100 TB' shape, which
+    must never re-pair the old corpus against itself. The corpus is
+    split by an md5 gate on doc_id (index: prefix < 'cd' ≈ 80%; batch:
+    the rest — the same deterministic split incremental_exact_dedup
+    uses); candidates come from a band-bucket join of BATCH bands
+    against INDEX bands only, so the join volume scales with the batch,
+    not the corpus. Signatures are read from the persisted store (at
+    production scale the batch's signatures are computed fresh — a
+    batch-sized scan — and appended to the same asset; the index side
+    is never recomputed and its TEXT is touched only for the candidate
+    verify). Output: (batch_id, index_id, jaccard >= 0.5) verified
+    pairs — a batch doc with any match is a drop, its matches say why."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("_id").cast("string")), 1, 2) < "cd"
+    bands = dedup.bands_from_signatures(
+        shared_minhash_sigs(spark, sf_dir), 16, 2
+    ).cache()
+    bands.count()  # feeds both sides of the band-bucket join
+    batch_bands = bands.filter(~gate)
+    index_bands = bands.filter(gate)
+    cand = (
+        batch_bands.alias("a")
+        .join(
+            index_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ex = dedup.shingle_table(docs, 3, "doc_id").cache()
+    ex.count()  # verify consumes it from two join sides
+    return (
+        dedup._verify_jaccard(cand, ex, "doc_id", threshold=0.5)
+        .select(
+            F.col("id_a").alias("batch_id"),
+            F.col("id_b").alias("index_id"),
+            "jaccard",
+        )
+    )
