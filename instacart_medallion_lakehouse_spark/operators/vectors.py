@@ -841,3 +841,156 @@ def sq8_topk(
             "rank",
         )
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 1,
+    query_ids_max: int = 10,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN: m per-subspace codebooks + ADC scan +
+    exact re-rank — deterministic and oracle-replayable end to end.
+
+    Build: the d dims split into m contiguous subspaces; each subspace
+    gets its own k-means-lite codebook (_kmeans_fit on the slice —
+    init = vectors with id < k_codes, integer-exact Lloyd, empty
+    clusters drop). Every corpus vector is encoded as m small code ids
+    (the argmin centroid per subspace, lowest-cid tie-break).
+
+    Search (ADC — asymmetric distance computation): per query, a
+    (m x k_codes) table of EXACT squared-L2 distances from the query's
+    raw subvectors to every centroid; a neighbor's approx distance is m
+    table lookups summed — integer-exact, so the oracle replays the
+    identical candidate set. Top refine*k by (approx asc, id) are
+    re-ranked by exact cosine.
+
+    100 TB shape: the scan side touches only the code columns
+    (m bytes/vector vs 4d — a 64x read reduction at d=64, the PQ
+    memory play); codebooks are driver model state (m*k_codes*d/m
+    floats), the ADC tables broadcast inside the closure, the corpus
+    never shuffles; re-rank touches |Q|*refine*k rows. Recall < 1 by
+    design; brute_force_topk is the exact twin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    raw = _raw(emb, id_col, vec_col).cache()
+    pre = raw.filter(F.col("_vid") < max(k_codes, query_ids_max)).collect()
+    d = len(pre[0]["_q"])
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+
+    # per-subspace codebooks (driver model state, like _kmeans_fit/IVF)
+    books: list[tuple] = []
+    for s in range(m):
+        sub = raw.select(
+            "_vid", F.slice("_q", s * dsub + 1, dsub).alias("_q")
+        )
+        init = [
+            {"_vid": r["_vid"], "_q": list(r["_q"])[s * dsub : (s + 1) * dsub]}
+            for r in pre
+            if r["_vid"] < k_codes
+        ]
+        cids_s, C_s = _kmeans_fit(sub, k_codes, iterations, init_rows=init)
+        books.append((cids_s, np.ascontiguousarray(C_s)))
+
+    # encode the corpus: one Arrow pass emitting m code ids per vector
+    code_schema = "_vid long, " + ", ".join(f"_c{s} long" for s in range(m))
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["_q"]), dtype=np.float64)
+            out = {"_vid": pdf["_vid"].to_numpy(dtype=np.int64)}
+            for s, (cids_s, C_s) in enumerate(books):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                n2c = (C_s * C_s).sum(axis=1)
+                a = np.argmin(n2c[None, :] - 2.0 * (sub @ C_s.T), axis=1)
+                out[f"_c{s}"] = cids_s[a]
+            yield pd.DataFrame(out)
+
+    codes = raw.select("_vid", "_q").mapInPandas(encode, code_schema)
+
+    # ADC tables: exact squared-L2 from each query subvector to each
+    # centroid — |Q| x m x k_codes integers, driver-side by contract
+    qrows = sorted(
+        (r for r in pre if r["_vid"] < query_ids_max), key=lambda r: r["_vid"]
+    )
+    q_ids = np.array([r["_vid"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["_q"] for r in qrows], dtype=np.float64)
+    q_n2 = np.array([r["_n2"] for r in qrows], dtype=np.float64)
+    dtabs = []  # per subspace: dict cid -> np.array of d2 per query
+    for s, (cids_s, C_s) in enumerate(books):
+        qsub = q_mat[:, s * dsub : (s + 1) * dsub]
+        d2 = ((qsub[:, None, :] - C_s[None, :, :]) ** 2).sum(axis=2)
+        dtabs.append({int(c): d2[:, j] for j, c in enumerate(cids_s)})
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(q_ids):
+                continue
+            vid = pdf["_vid"].to_numpy(dtype=np.int64)
+            ad = np.zeros((len(q_ids), len(vid)), dtype=np.float64)
+            for s in range(m):
+                tab = dtabs[s]
+                cs = pdf[f"_c{s}"].to_numpy(dtype=np.int64)
+                ad += np.stack([tab[int(c)] for c in cs], axis=1)
+            qi, bi = np.nonzero(q_ids[:, None] != vid[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": vid[bi],
+                    "_ad": ad[qi, bi],
+                }
+            )
+
+    approx = codes.mapInPandas(adc, "query_id long, neighbor_id long, _ad double")
+    wc = Window.partitionBy("query_id").orderBy(F.col("_ad"), "neighbor_id")
+    cand = (
+        approx.withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = raw.filter(F.col("_vid") < query_ids_max).select(
+        F.col("_vid").alias("query_id"),
+        F.col("_q").alias("_qv"),
+        F.col("_n2").alias("_qn2"),
+    )
+    rescored = (
+        raw.select(
+            F.col("_vid").alias("neighbor_id"),
+            F.col("_q").alias("_nv"),
+            F.col("_n2").alias("_nn2"),
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .filter((F.col("_qn2") > 0) & (F.col("_nn2") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("_qv"), F.col("_nv"), F.col("_qn2"), F.col("_nn2")
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(F.col("_cos"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )

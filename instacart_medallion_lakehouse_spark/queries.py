@@ -178,6 +178,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "minhash_estimate_error",
     "mixture_temperature_weights",
     "incremental_minhash_dedup",
+    "ann_pq_topk",
     # --- remaining slots fill from registration order; every query
     # pushed past slot 50 holds a green row in its last windowed round
     # and is re-gated locally by tools/check_oracle.py

@@ -2395,3 +2395,148 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _pq_sql(m: int = 4, dsub: int = 16, k_codes: int = 8, iterations: int = 1,
+            query_max: int = 10, k: int = 5, refine: int = 4) -> str:
+    """Oracle for ann_pq_topk: m independent per-subspace k-means-lite
+    codebooks (same unrolled-Lloyd recipe as _kmeans_ctes, restricted
+    to each subspace's dims), PQ code assignment, exact ADC tables for
+    the query set (a restriction of the same distance CTE), integer
+    ADC candidate ranking, and exact-cosine re-rank — every quantity
+    an exact integer or correctly-rounded IEEE op, so the Spark side's
+    driver-held codebooks + Arrow encode/ADC replay bit-identically."""
+    ctes = [
+        """v AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS dim,
+             floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS val
+      FROM embeddings
+    )""",
+        f"""vs AS (
+      SELECT vid, CAST(floor((dim - 1) / {dsub}) AS INT) AS s, dim, val
+      FROM v
+    )""",
+    ]
+    for s in range(m):
+        ctes.append(
+            f"""p{s}c0 AS (
+      SELECT vid AS cid, dim, val AS cval FROM vs
+      WHERE s = {s} AND vid < {k_codes}
+    )"""
+        )
+        prev = f"p{s}c0"
+        for i in range(1, iterations + 1):
+            ctes.append(
+                f"""p{s}d{i} AS (
+      SELECT v.vid, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS d2
+      FROM vs v JOIN {prev} c USING (dim) GROUP BY v.vid, c.cid
+    )"""
+            )
+            ctes.append(
+                f"""p{s}a{i} AS (
+      SELECT vid, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+        FROM p{s}d{i}
+      ) WHERE rn = 1
+    )"""
+            )
+            ctes.append(
+                f"""p{s}c{i} AS (
+      SELECT a.cid, v.dim, floor(sum(v.val) * 1.0 / count(*)) AS cval
+      FROM vs v JOIN p{s}a{i} a ON v.vid = a.vid
+      WHERE v.s = {s}
+      GROUP BY a.cid, v.dim
+    )"""
+            )
+            prev = f"p{s}c{i}"
+        ctes.append(
+            f"""p{s}df AS (
+      SELECT v.vid, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS d2
+      FROM vs v JOIN {prev} c USING (dim) GROUP BY v.vid, c.cid
+    )"""
+        )
+        ctes.append(
+            f"""p{s}code AS (
+      SELECT vid, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+        FROM p{s}df
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""p{s}dtab AS (
+      SELECT vid AS query_id, cid, d2 FROM p{s}df WHERE vid < {query_max}
+    )"""
+        )
+    code_joins = "\n      ".join(
+        f"JOIN p{s}code c{s} ON c{s}.vid = c0.vid\n      "
+        f"JOIN p{s}dtab t{s} ON t{s}.cid = c{s}.cid"
+        + ("" if s == 0 else f" AND t{s}.query_id = t0.query_id")
+        for s in range(1, m)
+    )
+    ad_sum = " + ".join(f"t{s}.d2" for s in range(m))
+    ctes.append(
+        f"""approx AS (
+      SELECT t0.query_id, c0.vid AS neighbor_id, {ad_sum} AS ad
+      FROM p0code c0
+      JOIN p0dtab t0 ON t0.cid = c0.cid
+      {code_joins}
+      WHERE c0.vid <> t0.query_id
+    )"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ad, neighbor_id) AS rn
+        FROM approx
+      ) WHERE rn <= {refine * k}
+    )"""
+    )
+    ctes.append(
+        """pd AS (
+      SELECT c.query_id, c.neighbor_id,
+             sum(q.val * n.val) AS dot,
+             sum(q.val * q.val) AS qn2,
+             sum(n.val * n.val) AS nn2
+      FROM cand c
+      JOIN v q ON q.vid = c.query_id
+      JOIN v n ON n.vid = c.neighbor_id AND n.dim = q.dim
+      GROUP BY c.query_id, c.neighbor_id
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    ranked AS (
+      SELECT query_id, neighbor_id, dot / sqrt(qn2 * nn2) AS c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / sqrt(qn2 * nn2) DESC,
+                                         neighbor_id) AS rank
+      FROM pd WHERE qn2 > 0 AND nn2 > 0
+    )
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("ann_pq_topk", _pq_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/vectors.pq_topk): 4
+    per-subspace codebooks over 16 dims each, ADC candidate scan over
+    4-byte codes, exact-cosine re-rank of the refine*k survivors —
+    the memory-bandwidth ANN play next to IVF (partition pruning) and
+    SQ8 (uniform scalar compression). The oracle unrolls the four
+    per-subspace Lloyd chains, the code assignment, and the ADC tables
+    as CTEs over the same quantized integers."""
+    from .operators.vectors import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        m=4,
+        k_codes=8,
+        iterations=1,
+        query_ids_max=10,
+        k=5,
+        refine=4,
+    )
