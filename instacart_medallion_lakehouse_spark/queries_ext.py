@@ -2520,11 +2520,11 @@ def _pq_sql(m: int = 4, dsub: int = 16, k_codes: int = 8, iterations: int = 1,
     """
 
 
-@_register("ann_pq_topk", _pq_sql())
+@_register("ann_pq_topk", _pq_sql(k_codes=16, refine=8))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/vectors.pq_topk): 4
-    per-subspace codebooks over 16 dims each, ADC candidate scan over
-    4-byte codes, exact-cosine re-rank of the refine*k survivors —
+    16-centroid codebooks over 16 dims each, ADC candidate scan over
+    4-byte codes, exact-cosine re-rank of the 8x-over-fetched survivors —
     the memory-bandwidth ANN play next to IVF (partition pruning) and
     SQ8 (uniform scalar compression). The oracle unrolls the four
     per-subspace Lloyd chains, the code assignment, and the ADC tables
@@ -2534,9 +2534,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         _t(spark, sf_dir, "embeddings"),
         m=4,
-        k_codes=8,
+        k_codes=16,
         iterations=1,
         query_ids_max=10,
         k=5,
-        refine=4,
+        refine=8,
     )

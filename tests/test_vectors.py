@@ -173,6 +173,44 @@ class TestSq8TopK:
         assert bad == 0
 
 
+class TestPqTopK:
+    def test_recall_vs_exact(self, spark, sf_dir):
+        """PQ is the lossiest of the ANN family (codes drop within-cell
+        geometry), but the 8x over-fetch + exact re-rank should still
+        recover most of the exact top-5 on this corpus. Demand >= 0.5
+        recall@5 — the point of the test is 'the candidate generator is
+        not broken', the exactness guarantees live in the oracle twin."""
+        from instacart_medallion_lakehouse_spark.operators import vectors
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in vectors.brute_force_topk(emb, 10, 5).collect()
+        }
+        pq = {
+            (r["query_id"], r["neighbor_id"])
+            for r in vectors.pq_topk(emb, m=4, k_codes=16, iterations=1,
+                                     query_ids_max=10, k=5, refine=8).collect()
+        }
+        assert len(pq & exact) / len(exact) >= 0.5
+
+    def test_output_shape_and_ranks(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators import vectors
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = vectors.pq_topk(emb, query_ids_max=5, k=3).collect()
+        assert {r["query_id"] for r in rows} <= set(range(5))
+        by_q: dict[int, list] = {}
+        for r in rows:
+            assert r["neighbor_id"] != r["query_id"]
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            sims = [r["cos_sim"] for r in rs]
+            assert sims == sorted(sims, reverse=True)
+
+
 class TestSemanticContamination:
     def test_counts_match_brute_force_replay(self, spark, sf_dir):
         """Replay contamination with an independent all-pairs cosine
