@@ -1422,7 +1422,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = dedup._verify_jaccard(cand, ex, "doc_id", threshold=0.0)
-    return est.join(exact, ["id_a", "id_b"]).select(
+    # candidate-pair grain on both sides — broadcast the verified side
+    # so the final merge is a map-side hash join, not a sort-merge
+    return est.join(F.broadcast(exact), ["id_a", "id_b"]).select(
         "id_a",
         "id_b",
         "est_jaccard",
