@@ -970,7 +970,22 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deepest plan in the registry, not recompute.
     exact = exact.cache()
     exact.count()
-    curated = curation.drop_near_duplicates(exact, threshold=0.8)
+    # Near-dedup rides the PERSISTED signature asset: a document's
+    # MinHash signature is a function of its own text alone, so the
+    # cleaned subset's band table IS the stored whole-corpus band table
+    # semi-joined to the surviving ids — no second 16-hash signature
+    # pass over the cleaned text (the v2 plan's single biggest cost
+    # before round 4). Only the exact-Jaccard verify still tokenizes
+    # the survivors (it needs their shingles anyway).
+    ids = exact.select(F.col("doc_id").alias("_id"))
+    bands = shared_minhash_bands(spark, sf_dir).join(ids, "_id", "semi")
+    ex = dedup.shingle_table(
+        exact.select("doc_id", "text"), 3, "doc_id"
+    ).cache()
+    ex.count()  # verify consumes it from two join sides
+    pairs = dedup.minhash_lsh_pairs_from(ex, bands, threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = exact.join(losers, "doc_id", "left_anti")
     return curated.select("doc_id", "predicted_lang", "quality_score")
 
 
