@@ -1522,3 +1522,124 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@_register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH {_minhash_ctes("documents", 16, 2)},
+    pairs AS (
+      SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT))
+                 * 1.0 / count(*) / 1000000.0, 4) AS avg_jaccard
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (MinHash-LSH,
+    verified Jaccard >= 0.5) bucketed by the UNORDERED pair of source
+    labels — the dataset-composition diagnostic that answers 'how much
+    of source X is already inside source Y' before you weight a
+    mixture (within-source dups inflate a source's effective size;
+    cross-source dups double-count content across mixture components).
+    Rides the persisted signature store; the per-pair join against the
+    (doc_id, source) projection is broadcast-sized at any |pairs| that
+    fits the LSH candidate budget. avg_jaccard aggregates exact-integer
+    micro-units so summation order cannot flip the rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = dedup.shingle_table(docs, 3, "doc_id").cache()
+    ex.count()  # materialize before multi-consumer reuse (dedup.py note)
+    pairs = dedup.minhash_lsh_pairs_from(
+        ex, shared_minhash_bands(spark, sf_dir), threshold=0.5
+    )
+    src = docs.select("doc_id", "source")
+    sa, sb = F.col("_src_a"), F.col("_src_b")
+    joined = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("_src_a"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("_src_b"),
+                )
+            ),
+            "id_b",
+        )
+    )
+    micro = F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        joined.groupBy(
+            F.least(sa, sb).alias("source_a"),
+            F.greatest(sa, sb).alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dround(
+                F.sum(micro) * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e6), 4
+            ).alias("avg_jaccard"),
+        )
+    )
+
+
+@_register(
+    "source_quality_profile",
+    f"""
+    WITH {_scored_passed_ctes()}
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CAST(floor(s.quality_score * 100.0 + 0.5) AS BIGINT))
+                 * 1.0 / count(*) / 100.0, 4) AS mean_quality,
+           round(sum(CASE WHEN s.quality_score >= 0.5 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS pass_rate
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality yield: document count, mean quality score,
+    and the share passing the curation floor (0.5) — the triage view
+    that decides which sources deserve crawl/ingest budget before any
+    expensive dedup runs. One scoring scan (the same scan-local
+    score_documents projection the curation pipeline uses — no drift)
+    + one aggregate; scores are x0.25-quantized so the fixed-point
+    integer average is exact on both engines."""
+    from . import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = curation.score_documents(docs)
+    cents = F.floor(F.col("quality_score") * 100.0 + F.lit(0.5)).cast("bigint")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(
+                F.sum(cents) * F.lit(1.0) / F.count(F.lit(1)) / F.lit(100.0),
+                4,
+            ).alias("mean_quality"),
+            dround(
+                F.sum(
+                    F.when(F.col("quality_score") >= 0.5, 1).otherwise(0)
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
