@@ -172,3 +172,55 @@ class TestWinnowingModelEquivalence:
                 min(sel) if sel else None,
             )
         assert got == want
+
+
+class TestGlobalRowNumberProperty:
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-100, max_value=100),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_matches_python_sort(self, spark, vals):
+        """Random value lists (duplicates likely): the distributed
+        two-pass rank must equal the position in a Python stable sort
+        keyed (value, unique id) — the same total order."""
+        from instacart_medallion_lakehouse_spark.operators.windows import (
+            global_row_number,
+        )
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            r["id"]: r["rnk"]
+            for r in global_row_number(df, ["v", "id"], "rnk", 4).collect()
+        }
+        want = {
+            rid: pos + 1
+            for pos, (v, rid) in enumerate(sorted((v, i) for i, v in rows))
+        }
+        assert got == want
+
+
+class TestMixtureTemperatureProperty:
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=10**6), min_size=1, max_size=6
+        )
+    )
+    def test_weights_are_normalized_and_flattening(self, counts):
+        """The quantized-integer partition function must still produce
+        a (near-)normalized distribution, and temperature < 1 must
+        compress ratios: max(q)/min(q) <= max(p)/min(p)."""
+        import math
+
+        ws = [math.floor(((n / sum(counts)) ** 0.3) * 1e6 + 0.5) for n in counts]
+        z = sum(ws)
+        qs = [w / z for w in ws]
+        assert abs(sum(qs) - 1.0) < 1e-9
+        ps = [n / sum(counts) for n in counts]
+        if min(ps) > 0 and min(qs) > 0:
+            assert max(qs) / min(qs) <= max(ps) / min(ps) + 1e-6
