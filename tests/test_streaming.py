@@ -308,3 +308,84 @@ class TestStreamCdcUpsert:
             stream2, root, key=["user_id"], order_col="ts", checkpoint=ckpt
         )
         assert list_versions(root) == v1
+
+
+class TestStreamSignatureIndex:
+    def test_index_matches_batch_signatures(self, spark, sf_dir, tmp_path):
+        """Drain the documents stream through the signature-maintenance
+        sink and demand the versioned index equal the batch signature
+        builder's output row for row — the invariant that lets
+        incremental_minhash_dedup trust a streaming-maintained index."""
+        from instacart_medallion_lakehouse_spark.operators import dedup
+        from instacart_medallion_lakehouse_spark.streaming import (
+            signatures as ss,
+        )
+        from instacart_medallion_lakehouse_spark.versioned import (
+            read_versioned,
+        )
+
+        root = str(tmp_path / "sig_index")
+        ckpt = str(tmp_path / "ckpt")
+        ss.stream_signatures_to_index(
+            ss.read_documents_stream(spark, sf_dir), root, ckpt
+        )
+        got = {
+            r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(16))
+            for r in read_versioned(spark, root).collect()
+        }
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        want = {
+            r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(16))
+            for r in dedup.minhash_signatures(
+                dedup.shingle_table(docs, 3, "doc_id"), 16
+            ).collect()
+        }
+        assert got == want
+
+    def test_redrain_same_checkpoint_is_noop(self, spark, sf_dir, tmp_path):
+        from instacart_medallion_lakehouse_spark.streaming import (
+            signatures as ss,
+        )
+        from instacart_medallion_lakehouse_spark.versioned import (
+            list_versions,
+        )
+
+        root = str(tmp_path / "sig_index")
+        ckpt = str(tmp_path / "ckpt")
+        ss.stream_signatures_to_index(
+            ss.read_documents_stream(spark, sf_dir), root, ckpt
+        )
+        v1 = list_versions(root)
+        ss.stream_signatures_to_index(
+            ss.read_documents_stream(spark, sf_dir), root, ckpt
+        )
+        assert list_versions(root) == v1
+
+    def test_merge_branch_updates_preexisting_index(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Seed the index with WRONG signatures for every doc, then
+        drain — the MERGE branch must overwrite them all with the true
+        values (exercises upsert, not just bootstrap)."""
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.streaming import (
+            signatures as ss,
+        )
+        from instacart_medallion_lakehouse_spark.versioned import (
+            read_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "sig_index")
+        ckpt = str(tmp_path / "ckpt")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bogus = ss.signature_rows(docs).select(
+            "doc_id", *[F.lit("zz").alias(f"sig_{i}") for i in range(16)]
+        )
+        write_versioned(bogus, root)
+        ss.stream_signatures_to_index(
+            ss.read_documents_stream(spark, sf_dir), root, ckpt
+        )
+        final = read_versioned(spark, root)
+        assert final.filter(F.col("sig_0") == "zz").count() == 0
