@@ -179,9 +179,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mixture_temperature_weights",
     "incremental_minhash_dedup",
     "ann_pq_topk",
-    # --- remaining slots fill from registration order; every query
-    # pushed past slot 50 holds a green row in its last windowed round
-    # and is re-gated locally by tools/check_oracle.py
+    # The window is exactly 50 pins. ROTATION DEBT for round 5: the
+    # late round-4 additions `cross_source_dup_matrix` and
+    # `source_quality_profile` did not fit and have no driver row yet
+    # (both green under tools/check_oracle.py at sf0.01, tuned AND
+    # plain sessions) — pin them first next round, alongside anything
+    # round 5 rewrites; every other registry query then holds a green
+    # driver row from r1-r4.
 )
 
 
