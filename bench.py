@@ -38,6 +38,15 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # run-private derived-table store: clearing the host-global default
+    # between passes would race any concurrent session (their in-flight
+    # scans lose files; their rebuilds pollute our timings) — the bench
+    # must own the store it measures
+    import tempfile
+
+    os.environ["SPARK_GRAFT_SHARED_DIR"] = tempfile.mkdtemp(
+        prefix="spark_graft_bench_store_"
+    )
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup on a trivial job so the first query isn't taxed
@@ -83,6 +92,7 @@ def main() -> None:
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     spark.stop()
+    q.clear_shared_store()  # drop the run-private store directory
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

@@ -290,18 +290,41 @@ def minhash_lsh_pairs_from(
     split out so the band table can come from the persisted signature
     store (queries.shared_table) instead of being recomputed per query.
     """
-    cand = (
-        bands.alias("a")
+    return _verify_jaccard(
+        lsh_candidate_pairs(bands), ex, id_col, threshold
+    )
+
+
+def lsh_candidate_pairs(
+    bands_a: DataFrame, bands_b: DataFrame | None = None
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs meeting in an LSH band
+    bucket — THE candidate generator every MinHash consumer shares
+    (pair dedup, bucket profile, estimate-vs-exact QA, incremental
+    batch-vs-index), kept in one place so a join tweak cannot drift
+    between the generator and the diagnostics describing it.
+
+    One-sided (``bands_b`` None): self-join with ``a._id < b._id`` —
+    each unordered pair once. Two-sided: a-side ids joined against
+    b-side ids (the incremental batch-vs-index shape; caller
+    guarantees the two id sets are disjoint).
+    """
+    if bands_b is None:
+        cond_ids = F.col("a._id") < F.col("b._id")
+        bands_b = bands_a
+    else:
+        cond_ids = F.lit(True)
+    return (
+        bands_a.alias("a")
         .join(
-            bands.alias("b"),
+            bands_b.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
+            & cond_ids,
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, ex, id_col, threshold)
 
 
 def minhash_bands(

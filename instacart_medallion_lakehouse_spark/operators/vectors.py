@@ -925,7 +925,6 @@ def pq_topk(
     )
     q_ids = np.array([r["_vid"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["_q"] for r in qrows], dtype=np.float64)
-    q_n2 = np.array([r["_n2"] for r in qrows], dtype=np.float64)
     dtabs = []  # per subspace: dict cid -> np.array of d2 per query
     for s, (cids_s, C_s) in enumerate(books):
         qsub = q_mat[:, s * dsub : (s + 1) * dsub]

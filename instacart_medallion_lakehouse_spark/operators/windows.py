@@ -52,56 +52,80 @@ def global_row_number(
     order_by: list[Column | str],
     rank_col: str = "_grank",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
-    """Distributed global row_number: two-pass range-partitioned rank
+    """Distributed global row_number: two-pass cutpoint-bucketed rank
     instead of a single-partition ``Window.orderBy``.
 
     A partitionless window funnels the whole input through ONE task —
     the classic global-sort straggler at scale. This operator gets the
     identical result distributed:
 
-      1. range-partition by the order keys (ascending partition ids hold
-         ascending key ranges — a sampling pass + one range exchange,
-         exactly what a global sort does anyway);
-      2. per-partition local row_number, partitioned on
-         ``spark_partition_id()`` so no further shuffle;
-      3. per-partition row counts (numPartitions rows — driver-scale)
+      1. collect approximate percentile CUTPOINTS of the leading order
+         key ONCE to the driver (bounded: n_buckets-1 scalars — the
+         same driver-held bounds a RangePartitioner keeps) and bucket
+         every row against them as literals. Literal cutpoints make
+         the bucketing a pure value function, so the rank branch and
+         the counts branch below agree BY CONSTRUCTION — unlike
+         ``repartitionByRange``, whose sampled bounds are seeded per
+         evaluation and only line up across branches while exchange
+         reuse happens to kick in;
+      2. per-bucket local row_number (one hash exchange on the bucket
+         id);
+      3. per-bucket row counts (n_buckets rows — driver-scale)
          → exclusive prefix sums via a broadcast inequality self-join
-         (O(p²) pairs of the p-row count table; NO single-partition
+         (O(b²) pairs of the b-row count table; NO single-partition
          stage anywhere) → broadcast back as offsets;
-         global rank = local rank + partition offset.
+         global rank = local rank + bucket offset.
 
     ``order_by`` must be a deterministic TOTAL order (pass a unique
-    tie-break column) — the same contract as every rank in this module.
-    Ascending order only; wrap descending needs as ascending on a
-    negated/complemented key.
+    tie-break column) with a NUMERIC leading key — the same contract
+    as every rank in this module. Ascending order only; wrap
+    descending needs as ascending on a negated/complemented key.
+    ``total_col``: optionally attach the global row count as a column,
+    derived from the (tiny) bucket-count table — callers needing n for
+    ntile/percent_rank math then pay NO extra scan of the input.
     """
+    spark = df.sparkSession
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    part = (
-        df.repartitionByRange(num_partitions, *cols)
-        if num_partitions
-        else df.repartitionByRange(*cols)
-    )
-    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+    first = cols[0]
+    n_buckets = num_partitions or spark.sparkContext.defaultParallelism
+    cuts: list = []
+    if n_buckets > 1:
+        fracs = [i / n_buckets for i in range(1, n_buckets)]
+        got = df.select(
+            F.percentile_approx(first, fracs, 10_000).alias("_c")
+        ).first()["_c"]
+        cuts = sorted(set(got)) if got else []
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (first > F.lit(c)).cast("int")
+    # null leading keys sort FIRST under ascending order → lowest bucket
+    bucket = F.when(first.isNull(), F.lit(-1)).otherwise(bucket)
+    local = df.withColumn("_b", bucket).withColumn(
         "_lrn",
-        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+        F.row_number().over(Window.partitionBy("_b").orderBy(*cols)),
     )
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = local.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
     prior = counts.select(
-        F.col("_pid").alias("_ppid"), F.col("_cnt").alias("_pcnt")
+        F.col("_b").alias("_pb"), F.col("_cnt").alias("_pcnt")
     )
     offsets = (
         counts.join(
-            F.broadcast(prior), F.col("_ppid") < F.col("_pid"), "left"
+            F.broadcast(prior), F.col("_pb") < F.col("_b"), "left"
         )
-        .groupBy("_pid")
+        .groupBy("_b")
         .agg(F.coalesce(F.sum("_pcnt"), F.lit(0)).alias("_off"))
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
+    out = (
+        local.join(F.broadcast(offsets), "_b")
         .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_b", "_lrn", "_off")
     )
+    if total_col is not None:
+        total = counts.agg(F.sum("_cnt").alias(total_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out
 
 
 def sessionize(

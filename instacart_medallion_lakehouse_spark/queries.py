@@ -268,6 +268,7 @@ def shared_table(
     name: str,
     builder: Callable[[], DataFrame],
     sources: tuple[str, ...] = ("documents.parquet",),
+    token: str = "v1",
 ) -> DataFrame:
     """Return the derived table ``name`` for ``sf_dir``, building it with
     ``builder()`` and persisting to scratch parquet on first request.
@@ -275,6 +276,12 @@ def shared_table(
     Publication is atomic (write to a unique tmp dir, rename into
     place), so a concurrent builder loses the race cleanly and reads
     the winner's table.
+
+    ``token`` versions the BUILDER LOGIC in the cache key: the store
+    outlives the process, so a code change to anything the builder
+    depends on (hash seeds, tokenization, shingle size, ...) would
+    otherwise keep serving the stale pre-change table across sessions.
+    Bump the caller's token whenever the builder's semantics change.
     """
     import hashlib
     import shutil
@@ -284,6 +291,7 @@ def shared_table(
         return builder()
     fp = hashlib.md5()
     fp.update(sf_dir.encode())
+    fp.update(f"|{token}|".encode())
     for s in sources:
         p = os.path.join(sf_dir, s)
         st = os.stat(p)

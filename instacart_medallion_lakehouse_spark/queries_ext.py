@@ -1088,18 +1088,19 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import global_row_number
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    ranked = global_row_number(cust, ["c_acctbal", "c_custkey"], "_r")
-    n_total = cust.agg(F.count(F.lit(1)).alias("_n"))
+    # total row count rides global_row_number's internal bucket-count
+    # table — no second scan of the input for n
+    ranked = global_row_number(
+        cust, ["c_acctbal", "c_custkey"], "_r", total_col="_n"
+    )
     qsz = F.floor(F.col("_n") / 4)
     rem = F.col("_n") % 4
     big_cut = rem * (qsz + 1)  # rows covered by the (q+1)-sized buckets
     quartile = F.when(
         F.col("_r") <= big_cut, F.floor((F.col("_r") - 1) / (qsz + 1)) + 1
     ).otherwise(rem + F.floor((F.col("_r") - 1 - big_cut) / qsz) + 1)
-    ranked = (
-        ranked.crossJoin(F.broadcast(n_total))
-        .withColumn("quartile", quartile.cast("int"))
-        .drop("_r", "_n")
+    ranked = ranked.withColumn("quartile", quartile.cast("int")).drop(
+        "_r", "_n"
     )
     return (
         ranked.groupBy("quartile")
@@ -1230,10 +1231,12 @@ def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import global_row_number
 
     sup = _t(spark, sf_dir, "supplier")
-    n_total = sup.agg(F.count(F.lit(1)).alias("_n"))
     ranked = global_row_number(
-        sup.select("s_suppkey", "s_acctbal"), ["s_acctbal", "s_suppkey"], "_r"
-    ).crossJoin(F.broadcast(n_total))
+        sup.select("s_suppkey", "s_acctbal"),
+        ["s_acctbal", "s_suppkey"],
+        "_r",
+        total_col="_n",  # rides the bucket-count table, no second scan
+    )
     return ranked.select(
         "s_suppkey",
         dround(F.col("s_acctbal"), 2).alias("acctbal"),

@@ -301,6 +301,8 @@ def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id"),
             num_hashes=16,
         ),
+        # bump when tokens()/shingle_table/minhash hash-family change
+        token="md5-seeded-16x-3shingle-v1",
     )
 
 
@@ -1305,7 +1307,12 @@ def shared_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return shared_table(
-        spark, sf_dir, f"boilerplate_phrases_n{_BP_N}_m{_BP_MIN_DOCS}", build
+        spark,
+        sf_dir,
+        f"boilerplate_phrases_n{_BP_N}_m{_BP_MIN_DOCS}",
+        build,
+        # bump when tokens()/shingle_table semantics change
+        token="whitespace-tokens-distinct-shingles-v1",
     )
 
 
@@ -1396,17 +1403,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex.count()  # materialize: feeds the candidate verify twice
     sig = shared_minhash_sigs(spark, sf_dir)  # stored asset, cheap scan
     bands = dedup.bands_from_signatures(sig, 16, 2, "doc_id")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    cand = dedup.lsh_candidate_pairs(bands)
     agree = sum(
         F.when(F.col(f"_xs{i}") == F.col(f"_ys{i}"), 1).otherwise(0)
         for i in range(16)
@@ -1500,18 +1497,7 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_minhash_sigs(spark, sf_dir), 16, 2
     ).cache()
     bands.count()  # feeds both sides of the band-bucket join
-    batch_bands = bands.filter(~gate)
-    index_bands = bands.filter(gate)
-    cand = (
-        batch_bands.alias("a")
-        .join(
-            index_bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    cand = dedup.lsh_candidate_pairs(bands.filter(~gate), bands.filter(gate))
     ex = dedup.shingle_table(docs, 3, "doc_id").cache()
     ex.count()  # verify consumes it from two join sides
     return (

@@ -24,4 +24,8 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
+    if not os.path.isdir(SF_DIR):
+        # CI / fresh-clone hosts have no driver-generated testdata —
+        # fixture-backed tests skip, inline-data tests still run
+        pytest.skip(f"testdata dir {SF_DIR} not present on this host")
     return SF_DIR

@@ -46,7 +46,10 @@ class TestGlobalRowNumber:
         df = global_row_number(o, ["o_totalprice", "o_orderkey"], "rnk")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan
-        assert "rangepartitioning" in plan
+        # buckets from driver-collected literal cutpoints → hash
+        # exchange on the bucket id, never a range/sampled exchange
+        assert "hashpartitioning(_b" in plan
+        assert "rangepartitioning" not in plan
 
     def test_ranks_are_dense_and_complete(self, spark, sf_dir):
         sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")

@@ -146,9 +146,9 @@ class TestNearDup:
 
 
 class TestPrefixFilter:
-    def test_prefix_filtered_output_identical_to_naive(self, spark):
+    def test_prefix_filtered_output_identical_to_naive(self, spark, sf_dir):
         # real corpus slice: the prefix filter must be EXACT (recall 1)
-        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         naive = {
             (r["id_a"], r["id_b"]): r["jaccard"]
             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
