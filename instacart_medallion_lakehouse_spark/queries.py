@@ -917,3 +917,4 @@ from . import queries_ext  # noqa: E402,F401
 from . import queries_train  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401
