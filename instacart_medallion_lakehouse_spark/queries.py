@@ -180,12 +180,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "incremental_minhash_dedup",
     "ann_pq_topk",
     # The window is exactly 50 pins. ROTATION DEBT for round 5: the
-    # late round-4 additions `cross_source_dup_matrix` and
-    # `source_quality_profile` did not fit and have no driver row yet
-    # (both green under tools/check_oracle.py at sf0.01, tuned AND
-    # plain sessions) — pin them first next round, alongside anything
-    # round 5 rewrites; every other registry query then holds a green
-    # driver row from r1-r4.
+    # late round-4 additions did not fit and have no driver row yet
+    # (all green under tools/check_oracle.py at sf0.01) — pin them
+    # first next round, alongside anything round 5 rewrites:
+    #   cross_source_dup_matrix, source_quality_profile,
+    #   q2_min_cost_supplier, q4_priority_exists,
+    #   q9_profit_by_nation_year, q11_important_parts,
+    #   q12_priority_by_flag, q16_supplier_part_counts,
+    #   q19_disjunctive_revenue, q20_excess_suppliers,
+    #   q21_waiting_suppliers, events_near_errors
+    # Every other registry query then holds a green driver row from
+    # r1-r4.
 )
 
 

@@ -1392,3 +1392,68 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_register(
+    "events_near_errors",
+    """
+    SELECT e.event_id, e.user_id,
+           CAST(count(c.ts) AS BIGINT) AS n_near_clicks,
+           min(abs(epoch_us(c.ts) - epoch_us(e.ts))) AS min_gap_us
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 14400000000
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+    ORDER BY e.event_id
+    """,
+)
+def events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: for every error event, how many clicks the
+    same user made within +/-4 hours, and the gap to the nearest one —
+    the telemetry-correlation query that motivates a scalable range
+    join. The oracle is the textbook inequality LEFT JOIN; the engine
+    runs operators/rangejoin.py's bucketized band_join (3x bounded
+    explode + equi-shuffle on (user_id, 4h bin) + exact integer-us
+    residual — no per-key quadratics, no nested-loop join), then
+    re-attaches zero-match errors with a left join against the
+    error-grain counts. Gaps compare in integer microseconds, so the
+    min and the band cut are exact on both engines."""
+    from .operators.rangejoin import band_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    delta_us = 4 * 3600 * 1_000_000
+    pairs = band_join(
+        err, clk, on=["user_id"], left_ts="ts", right_ts="c_ts",
+        delta_us=delta_us,
+    )
+    gaps = (
+        pairs.withColumn(
+            "_gap",
+            F.abs(F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("ts"))),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("_gap").alias("_min_gap"),
+        )
+    )
+    return (
+        err.join(gaps, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias(
+                "n_near_clicks"
+            ),
+            F.col("_min_gap").alias("min_gap_us"),
+        )
+        .orderBy("event_id")
+    )
