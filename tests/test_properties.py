@@ -224,3 +224,38 @@ class TestMixtureTemperatureProperty:
         ps = [n / sum(counts) for n in counts]
         if min(ps) > 0 and min(qs) > 0:
             assert max(qs) / min(qs) <= max(ps) / min(ps) + 1e-6
+
+
+class TestBandJoinBinLemma:
+    """The correctness core of operators/rangejoin.band_join: with bin
+    width >= the band radius, any pair within the band differs by at
+    most one bin — so probing bin-1/bin/bin+1 misses nothing. Pure
+    integer math, so the property is testable without Spark."""
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.integers(min_value=-(2**32), max_value=2**32),
+        st.integers(min_value=1, max_value=2**40),
+        st.integers(min_value=0, max_value=2**40),
+    )
+    def test_adjacent_bins_cover_band(self, a, gap, width, extra):
+        delta = width  # width >= delta is the asserted contract
+        b = a + max(-delta, min(delta, gap))  # |a-b| <= delta
+        assert abs(a - b) <= delta
+        # floor division (Python // matches Spark F.floor on longs)
+        assert abs(a // width - b // width) <= 1
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.integers(min_value=1, max_value=2**40),
+        st.integers(min_value=1, max_value=3),
+    )
+    def test_outside_wide_band_never_matches_residual(self, a, width, k):
+        """Rows farther apart than delta may still share adjacent bins —
+        the residual predicate, not the binning, is the filter. Sanity:
+        a pair more than 2*width apart can never be bin-adjacent, so
+        the 3-bin probe also bounds false candidates."""
+        b = a + 2 * width + k
+        assert abs(a // width - b // width) >= 2
