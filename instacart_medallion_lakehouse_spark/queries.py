@@ -188,7 +188,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     #   q9_profit_by_nation_year, q11_important_parts,
     #   q12_priority_by_flag, q16_supplier_part_counts,
     #   q19_disjunctive_revenue, q20_excess_suppliers,
-    #   q21_waiting_suppliers, events_near_errors
+    #   q21_waiting_suppliers, events_near_errors,
+    #   blocklist_filter, hash_shuffled_export
     # Every other registry query then holds a green driver row from
     # r1-r4.
 )

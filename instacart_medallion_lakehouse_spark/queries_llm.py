@@ -721,3 +721,73 @@ def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("normalized_entropy"),
     ).orderBy("lang")
+
+
+_BLOCKLIST = ("slow", "spill", "crash")
+_BLOCK_RATIO = 0.02
+
+
+@_register(
+    "blocklist_filter",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             len(list_filter(t, x -> x IN
+                 ({", ".join(f"'{w}'" for w in _BLOCKLIST)}))) AS hits,
+             len(t) AS n_tok
+      FROM (SELECT source, {{toks}} AS t FROM documents)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hits * 1.0 / n_tok > {_BLOCK_RATIO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           round(sum(CASE WHEN hits * 1.0 / n_tok > {_BLOCK_RATIO}
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS block_rate,
+           CAST(sum(hits) AS BIGINT) AS total_hits
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """.format(toks=_TOKS_SQL),
+)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety blocklist filtering (the Dolma/RefinedWeb-style wordlist
+    gate): per-document blocked-term density against a curated term
+    list, a document is dropped when density exceeds 2%, and the
+    report is per-source yield — the audit a data vendor publishes
+    alongside a release.
+
+    Spark-first: term counting is pure codegen'd array algebra — for
+    each blocklist word, count(w) = size(t) - size(array_remove(t, w))
+    (no higher-order lambda, which Spark interprets; no explode — the
+    decision is scan-local). The density cut compares hits/len against
+    the literal on identical IEEE doubles in both engines. One shuffle:
+    the per-source rollup. At 100 TB the blocklist rides the scan the
+    same way (it is a compile-time literal list; a 10k-term list would
+    broadcast an exploded (token -> 1) map join instead)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    hits = None
+    for w in _BLOCKLIST:
+        c = F.size(t) - F.size(F.array_remove(t, w))
+        hits = c if hits is None else hits + c
+    scored = docs.select(
+        "source",
+        hits.alias("hits"),
+        F.size(t).alias("n_tok"),
+    )
+    blocked = F.when(
+        F.col("hits") * F.lit(1.0) / F.col("n_tok") > F.lit(_BLOCK_RATIO), 1
+    ).otherwise(0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(blocked).cast("bigint").alias("n_blocked"),
+            dround(
+                F.sum(blocked) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("block_rate"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+        )
+        .orderBy("source")
+    )

@@ -498,3 +498,62 @@ def cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+@_register(
+    "hash_shuffled_export",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuf_' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos,
+           CAST((row_number() OVER (ORDER BY k, doc_id) - 1) % 8 AS BIGINT)
+             AS shard
+    FROM keyed
+    ORDER BY pos
+    """,
+)
+def hash_shuffled_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a pseudo-random position from the md5 of its id (60-bit key, salted
+    'shuf_' so this hash stream is independent of the split/resample
+    streams) and a round-robin shard assignment — the export step that
+    randomizes training order WITHOUT RNG state, so any re-run, task
+    retry, or different cluster size reproduces byte-identical shards.
+
+    Spark-first: the global ordering uses operators/windows.
+    global_row_number (cutpoint-bucketed two-pass rank) — NOT a
+    partitionless row_number window, which would funnel the corpus
+    through one task; at 100 TB the same plan writes
+    partitionBy(shard) with sortWithinPartitions(pos). The md5 hex →
+    bigint conversion (conv base 16) is exact at 15 hex chars and
+    identical in DuckDB ('0x…'::BIGINT)."""
+    from .operators.windows import global_row_number
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shuf_"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    ranked = global_row_number(docs, ["k", "doc_id"], "pos")
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            ((F.col("pos") - F.lit(1)) % F.lit(8)).cast("bigint").alias("shard"),
+        )
+        .orderBy("pos")
+    )

@@ -131,3 +131,33 @@ class TestSharedTableStore:
         assert sorted(map(tuple, stored.collect())) == sorted(
             map(tuple, fresh.collect())
         )
+
+
+class TestHashShuffledExport:
+    def test_no_single_partition_rank_stage(self, spark, sf_dir):
+        """The export's global ordering must come from the distributed
+        cutpoint-bucketed rank; the only allowed single-partition work
+        is the final display sort's range exchange."""
+        from instacart_medallion_lakehouse_spark import queries as q
+
+        df = q.queries()["hash_shuffled_export"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "hashpartitioning(_b" in plan
+
+    def test_positions_are_a_permutation_and_shards_balanced(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries as q
+
+        rows = q.queries()["hash_shuffled_export"](spark, sf_dir).collect()
+        n = len(rows)
+        assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+        from collections import Counter
+
+        shards = Counter(r.shard for r in rows)
+        assert set(shards) == set(range(8))
+        assert max(shards.values()) - min(shards.values()) <= 1
+        # determinism: same result on a second evaluation
+        again = q.queries()["hash_shuffled_export"](spark, sf_dir).collect()
+        assert {(r.doc_id, r.pos, r.shard) for r in rows} == {
+            (r.doc_id, r.pos, r.shard) for r in again
+        }
