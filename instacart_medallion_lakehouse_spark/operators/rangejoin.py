@@ -45,39 +45,51 @@ def band_join(
 
     Returns left columns + right's non-key columns; callers alias
     colliding names beforehand. ``bin_width_us`` defaults to
-    ``delta_us`` and must be >= it (asserted) so that +/-1 bin
-    adjacency covers the band.
+    ``max(delta_us, 1)`` (delta_us=0 = exact-microsecond match) and
+    must be >= delta_us and > 0 (validated) so that +/-1 bin adjacency
+    covers the band.
 
     Cost shape: one shuffle per side on (keys, bin); the exploded side
     carries exactly 3 rows per input row. Skewed keys still subdivide
     by time bin, so a single hot entity spreads across
     span/bin_width reducers instead of one.
     """
-    width = bin_width_us if bin_width_us is not None else delta_us
+    if delta_us < 0:
+        raise ValueError(f"delta_us={delta_us} must be >= 0")
+    width = bin_width_us if bin_width_us is not None else max(delta_us, 1)
     if width < delta_us:
         raise ValueError(
             f"bin_width_us={width} < delta_us={delta_us}: adjacent-bin "
             "probing would miss matches spanning more than one bin"
         )
+    if width <= 0:
+        raise ValueError(f"bin_width_us={width} must be > 0")
     # Both sides may derive from the SAME source DataFrame (self band
     # joins are the common case: events vs events). Spark resolves
     # l[k] == r[k] ambiguously on a self-join lineage, so every column
     # the condition touches on the right side gets a unique name first
     # and the join condition references names, never lineage.
+    # Exact integer floor division for the bin id: F.floor(col / width)
+    # goes through DOUBLE division, which loses precision above 2^53 —
+    # a within-band pair could land 2 bins apart and silently vanish.
+    # (a - pmod(a, w)) is exactly divisible by w, so `div` (integer
+    # division) yields floor(a / w) for negatives too, all in long
+    # arithmetic.
+    def _bin_of(colname: str):
+        return F.expr(
+            f"({colname} - pmod({colname}, {width}L)) div {width}L"
+        )
+
     l = left.withColumn(  # noqa: E741
         "_lus", F.unix_micros(F.col(left_ts))
     ).withColumn(
         "_lbin",
         F.explode(
-            F.array(
-                F.floor(F.col("_lus") / width) - 1,
-                F.floor(F.col("_lus") / width),
-                F.floor(F.col("_lus") / width) + 1,
-            )
+            F.array(_bin_of("_lus") - 1, _bin_of("_lus"), _bin_of("_lus") + 1)
         ),
     )
     r = right.withColumn("_rus", F.unix_micros(F.col(right_ts))).withColumn(
-        "_rbin", F.floor(F.col("_rus") / width)
+        "_rbin", _bin_of("_rus")
     )
     r = r.select(
         *[F.col(k).alias(f"_rk_{k}") for k in on],

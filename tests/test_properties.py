@@ -239,11 +239,15 @@ class TestBandJoinBinLemma:
         st.integers(min_value=1, max_value=2**40),
         st.integers(min_value=0, max_value=2**40),
     )
-    def test_adjacent_bins_cover_band(self, a, gap, width, extra):
-        delta = width  # width >= delta is the asserted contract
+    def test_adjacent_bins_cover_band(self, a, gap, delta, extra):
+        width = delta + extra  # the full width >= delta contract
         b = a + max(-delta, min(delta, gap))  # |a-b| <= delta
         assert abs(a - b) <= delta
-        # floor division (Python // matches Spark F.floor on longs)
+        # exact integer floor division (Python // is the spec; the
+        # operator's (x - pmod(x,w)) div w equals it — see
+        # test_rangejoin.test_bin_expression_is_exact_for_huge_longs
+        # for the Spark-side pin at > 2^53 magnitudes where
+        # floor(double/double) would diverge)
         assert abs(a // width - b // width) <= 1
 
     @settings(max_examples=200, deadline=None)

@@ -95,3 +95,57 @@ class TestBandJoin:
                 on=["user_id"], left_ts="ts", right_ts="c_ts",
                 delta_us=1000, bin_width_us=999,
             )
+
+
+class TestBinExactness:
+    def test_bin_expression_is_exact_for_huge_longs(self, spark):
+        """The bin id must be exact integer floor division at ANY long
+        magnitude — floor(double/double) loses precision above 2^53 and
+        would put within-band pairs 2 bins apart. Pin the operator's
+        (x - pmod(x, w)) div w formula against Python // on adversarial
+        magnitudes, negatives included."""
+        from pyspark.sql import functions as F
+
+        width = 14_400_000_000
+        # values one microsecond below a bin boundary at ~2^62, where
+        # the double rounds UP across the boundary
+        edge = (2**62 // width) * width
+        vals = [
+            2**62, 2**62 + 1, -(2**62), -(2**62) - 1,
+            2**53 + 1, -(2**53) - 1, 0, -1, 1,
+            width, width - 1, -width, -width - 1,
+            edge - 1, edge + width - 1, -(edge - 1),
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], ["x"]).select(
+            "x",
+            F.expr(f"(x - pmod(x, {width}L)) div {width}L").alias("got"),
+            F.floor(F.col("x") / F.lit(width)).alias("naive"),
+        )
+        rows = {r.x: (r.got, r.naive) for r in df.collect()}
+        for v in vals:
+            assert rows[v][0] == v // width, (v, rows[v])
+        # and document WHY: the naive double path really does diverge
+        # just below huge bin boundaries
+        assert rows[edge - 1][1] != (edge - 1) // width
+
+    def test_zero_delta_matches_equal_microseconds_only(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        ev = _events(spark, sf_dir)
+        a = ev.select(F.col("event_id").alias("a_id"), "user_id", "ts")
+        b = ev.select(
+            "user_id", F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+        )
+        got = {
+            (r.a_id, r.b_id)
+            for r in band_join(
+                a, b, on=["user_id"], left_ts="ts", right_ts="b_ts", delta_us=0
+            ).collect()
+        }
+        # every event matches at least itself, and any (x, y) pair in
+        # the result shares an exact timestamp
+        ids = {r.a_id for r in a.collect()}
+        assert {(i, i) for i in ids} <= got
+        ts_of = {r.a_id: r.ts for r in a.collect()}
+        for x, y in got:
+            assert ts_of[x] == ts_of[y]

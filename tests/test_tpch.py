@@ -153,5 +153,9 @@ class TestSubquerySemantics:
             .agg(F.min("l_extendedprice").alias("m"))
             .collect()
         }
+        import math
+
         for r in rows:
-            assert abs(r.supply_price - round(mins[r.p_partkey], 2)) < 1e-9
+            # dround semantics (HALF_UP), not Python's banker's round
+            want = math.floor(mins[r.p_partkey] * 100.0 + 0.5) / 100.0
+            assert r.supply_price == want
