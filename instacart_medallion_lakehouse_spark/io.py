@@ -118,13 +118,16 @@ def write_table(
                 * scale
                 / F.lit(span)
             ).cast("long")
-            # NULL handling must be explicit: least/greatest SKIP null
-            # args, so a NULL row would otherwise ride the arithmetic to
-            # bucket 65535 and blow out the max-range file stats. Pin
-            # NULLs to bucket 0 — they co-locate with min-value rows and
-            # file skipping for the top of the range stays tight.
-            clamped = F.greatest(F.lit(0), F.least(F.lit(scale), raw))
-            return F.coalesce(clamped, F.lit(0))
+            # NULL handling must be explicit AND must happen BEFORE the
+            # clamp: least/greatest SKIP null args (least(65535, NULL)
+            # = 65535), so clamping a NULL row rides it to bucket 65535
+            # and blows out the max-range file stats — the coalesce has
+            # to wrap the raw value, not the clamped one. Pin NULLs to
+            # bucket 0 — they co-locate with min-value rows and file
+            # skipping for the top of the range stays tight.
+            return F.greatest(
+                F.lit(0), F.least(F.lit(scale), F.coalesce(raw, F.lit(0)))
+            )
 
         zkey = zorder_key(bucket(ca, lo_a, span_a), bucket(cb, lo_b, span_b))
         stamped = df.withColumn("_zkey", zkey)
@@ -357,8 +360,16 @@ def read_jsonl_quarantine(
     Spark requires the corrupt-record column to be part of the parse
     schema; it is appended here and stripped from the good branch, so
     callers keep their declared schema exactly. The split is two
-    filters over ONE cached parse (a lazy double-read would re-parse
-    the file once per branch).
+    filters over ONE materialized parse (a lazy double-read would
+    re-parse the file once per branch) — an eager localCheckpoint, not
+    ``.cache()``: a cache entry is pinned in the CacheManager for the
+    session's lifetime with no handle for the caller to release it,
+    so repeated ingests would accumulate until eviction silently
+    reintroduced the double parse. Checkpoint blocks are
+    reference-counted and reclaimed when the returned frames go out of
+    scope. Trade-off: a lost executor fails the job loudly instead of
+    recomputing (acceptable for an ingest step that gates on the
+    result).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StringType
@@ -371,9 +382,8 @@ def read_jsonl_quarantine(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(parse_schema)
         .json(path)
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    parsed.count()  # materialize: both branches read the one parse
     bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"
     )

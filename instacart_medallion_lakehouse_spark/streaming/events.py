@@ -51,9 +51,18 @@ def _events_stream_schema(ts_type: str) -> StructType:
     what the batch reader actually sees — file-source streams require an
     explicit schema and a wrong ts type silently corrupts every window.
     """
-    from pyspark.sql.types import TimestampNTZType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
-    ts_field = LongType() if ts_type == "bigint" else TimestampNTZType()
+    # three observed physical forms, mirroring io.read_events exactly:
+    # bigint (nanosAsLong), tz-adjusted 'timestamp' (left as-is by the
+    # batch reader — declaring NTZ here would reinterpret instants as
+    # wall-clock and shift every window), and NTZ
+    if ts_type == "bigint":
+        ts_field = LongType()
+    elif ts_type == "timestamp":
+        ts_field = TimestampType()
+    else:
+        ts_field = TimestampNTZType()
     return StructType(
         [
             StructField("event_id", LongType()),
@@ -294,6 +303,10 @@ def stream_to_parquet(
     exactly-once progress. Re-running with the same checkpoint resumes
     from the recorded offsets — already-processed input produces no
     duplicate output (verified in tests/test_streaming.py).
+
+    A drain that does not finish within ``timeout_sec`` raises
+    TimeoutError — the output directory would otherwise hold a
+    silently truncated prefix of the input while looking complete.
     """
     q = (
         streaming_df.writeStream.format("parquet")
@@ -304,7 +317,13 @@ def stream_to_parquet(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"parquet drain into {path} did not finish within "
+                f"{timeout_sec}s; the written files are a prefix of the "
+                "input — re-run with the same checkpoint to resume"
+            )
     finally:
         if q.isActive:
             q.stop()
@@ -344,7 +363,15 @@ def drain_to_batch(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                # drain_to_batch feeds oracle-checked queries: a silent
+                # partial memory table surfaces as a baffling value
+                # mismatch — fail loudly instead
+                raise TimeoutError(
+                    f"stream drain '{name}' did not finish within "
+                    f"{timeout_sec}s; memory table holds a partial result"
+                )
         finally:
             if q.isActive:
                 q.stop()
@@ -359,22 +386,34 @@ def stream_to_versioned(
     checkpoint: str,
     timeout_sec: int = 120,
 ) -> None:
-    """foreachBatch sink committing each micro-batch as a versioned
-    snapshot (versioned.py manifest protocol).
+    """foreachBatch sink ACCUMULATING micro-batches into a versioned
+    table (versioned.py manifest protocol): each batch commits a new
+    snapshot = previous snapshot + the batch's rows, so the latest
+    version always holds every row drained so far — a multi-batch
+    drain (several source files, maxFilesPerTrigger) must not leave
+    "latest" holding only the final batch.
 
     The checkpoint gives replay-once per micro-batch under normal
     operation; on crash-replay foreachBatch is at-least-once, and the
-    failure mode here is an EXTRA snapshot version (readers of
-    "latest" see a duplicate commit of the same batch), never a
-    half-written or corrupted table — the manifest publish is atomic.
-    Re-running a drained stream against the same checkpoint commits
-    nothing (offsets already recorded), which is what makes a
+    failure mode here is the replayed batch's rows appearing TWICE in
+    the newest snapshot (append semantics without a transactional
+    dedup id — the same exposure as a plain Delta append), never a
+    half-written or corrupted table — the manifest publish is atomic,
+    and time travel still reaches every pre-replay version.
+    Re-running a fully drained stream against the same checkpoint
+    commits nothing (offsets already recorded), which is what makes a
     streaming pipeline + versioned gold layer safely re-runnable.
     """
-    from ..versioned import write_versioned
+    from ..versioned import list_versions, read_versioned, write_versioned
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_versioned(batch_df, root)
+        if not batch_df.take(1):
+            return  # an empty batch must not commit a junk version
+        if list_versions(root):
+            current = read_versioned(batch_df.sparkSession, root)
+            write_versioned(current.unionByName(batch_df), root)
+        else:
+            write_versioned(batch_df, root)
 
     q = (
         streaming_df.writeStream.foreachBatch(commit_batch)
@@ -409,31 +448,46 @@ def stream_upsert_to_versioned(
     tiebreak_col: str | None = None,
 ) -> None:
     """CDC-apply sink: MERGE each micro-batch into a versioned snapshot
-    by key, last-writer-wins within the batch.
+    by key, last-writer-wins by ``order_col`` — WITHIN the batch and
+    ACROSS batches.
 
     The streaming half of the change-data-capture story: upstream
     emits row-level changes; each micro-batch is first collapsed to
-    one row per key (greatest ``order_col``), then applied with
+    one row per key (greatest ``order_col``), then guarded against the
+    CURRENT table — an incoming row only applies if its order_col is
+    >= the stored row's (a later batch can carry an EARLIER change,
+    e.g. a late-arriving file; blindly merging it would regress the
+    key to a stale value). Survivors apply with
     versioned.upsert_versioned — which enforces the Delta-MERGE
     contract that updates are key-unique. The first batch bootstraps
     the table. Crash-replay semantics match stream_to_versioned:
     at-least-once per micro-batch, and re-applying the same collapsed
-    batch is IDEMPOTENT on row content (the merge overwrites the same
-    keys with the same values — the cost is an extra snapshot version,
-    never divergent data).
+    batch is IDEMPOTENT on row content (equal order_col lets the
+    incoming row win, so the replay rewrites the same values — the
+    cost is an extra snapshot version, never divergent data).
 
     Determinism: two change rows with equal (key, order_col) in one
     batch are ambiguous; pass ``tiebreak_col`` (a unique column such as
     an event id) to make the collapse — and therefore crash-replay —
     fully deterministic. Without it the winner among exact (key,
-    order_col) ties is partition-order-dependent.
+    order_col) ties is partition-order-dependent. Across batches an
+    equal-order_col incoming row replaces the stored one (incoming
+    wins — required for replay idempotence).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..versioned import list_versions, upsert_versioned, write_versioned
+    from ..versioned import (
+        list_versions,
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # empty batch: no bootstrap of an empty v1, no
+            # pointless full-snapshot rewrite version
         order = [F.col(order_col).desc()]
         if tiebreak_col is not None:
             order.append(F.col(tiebreak_col).desc())
@@ -443,10 +497,27 @@ def stream_upsert_to_versioned(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if list_versions(root):
-            upsert_versioned(latest.sparkSession, root, latest, key)
-        else:
+        spark = latest.sparkSession
+        if not list_versions(root):
             write_versioned(latest, root)
+            return
+        current = read_versioned(spark, root).select(
+            *key, F.col(order_col).alias("_cur_ord")
+        )
+        # no broadcast hint: `current` (the full table) is the BIG side
+        # and a left join can only broadcast its right side — leave the
+        # physical choice to AQE, which picks broadcast when the table
+        # is still small and shuffle join once it isn't
+        guarded = (
+            latest.join(current, on=key, how="left")
+            .filter(
+                F.col("_cur_ord").isNull()
+                | (F.col(order_col) >= F.col("_cur_ord"))
+            )
+            .drop("_cur_ord")
+        )
+        if guarded.take(1):
+            upsert_versioned(spark, root, guarded, key)
 
     q = (
         streaming_df.writeStream.foreachBatch(commit_batch)

@@ -53,8 +53,22 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(_version_dir(root), f"v{version:08d}.json")
 
 
-def _data_dir(root: str, version: int) -> str:
-    return os.path.join(root, _DATA, f"v{version:08d}")
+def _new_data_dir(root: str, version: int) -> str:
+    """A FRESH data directory for one writer's snapshot attempt.
+
+    The name carries a per-writer random token: two concurrent writers
+    that both compute the same next version number must never share a
+    data directory — with a shared ``_data/v{N}`` both Spark jobs pass
+    mode('errorifexists') (the check happens at job start), their
+    ``_temporary`` staging trees collide, and the manifest race's
+    winner can publish a directory holding a MIX of both writers'
+    part-files. Unique dirs make the loser's output an invisible
+    orphan instead; the manifest records the actual relpath, so
+    readers never reconstruct the name.
+    """
+    import uuid
+
+    return os.path.join(root, _DATA, f"v{version:08d}_{uuid.uuid4().hex[:8]}")
 
 
 def list_versions(root: str) -> list[int]:
@@ -72,21 +86,31 @@ def list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _orphan_versions(root: str) -> list[int]:
-    """Data-dir version numbers with NO published manifest (crashed or
-    in-flight writers). Invisible to readers by protocol."""
+def _committed_data_dirs(root: str) -> set[str]:
+    """Absolute data-dir paths referenced by any committed manifest."""
+    out = set()
+    for v in list_versions(root):
+        with open(_manifest_path(root, v)) as f:
+            out.add(os.path.normpath(os.path.join(root, json.load(f)["data"])))
+    return out
+
+
+def _orphan_data_dirs(root: str) -> list[str]:
+    """Data dirs with NO published manifest (crashed, in-flight, or
+    race-losing writers). Invisible to readers by protocol. Only
+    ``v``-prefixed names are considered — a foreign directory that
+    happens to sit under ``_data/`` is NOT this module's to reclaim."""
     ddir = os.path.join(root, _DATA)
     if not os.path.isdir(ddir):
         return []
-    committed = set(list_versions(root))
+    committed = _committed_data_dirs(root)
     out = []
     for name in os.listdir(ddir):
-        try:
-            v = int(name[1:])
-        except (ValueError, IndexError):
+        if not name.startswith("v"):
             continue
-        if v not in committed:
-            out.append(v)
+        path = os.path.normpath(os.path.join(ddir, name))
+        if path not in committed:
+            out.append(path)
     return sorted(out)
 
 
@@ -102,12 +126,12 @@ def write_versioned(
     ordinary parquet tree.
     """
     os.makedirs(_version_dir(root), exist_ok=True)
-    # skip over orphan data dirs (crashed writers that never published a
-    # manifest): committing into their slot would fail forever on
-    # errorifexists and wedge every re-run — the orphan stays invisible
-    # to readers and is reclaimed by vacuum()
-    version = max(list_versions(root) + _orphan_versions(root), default=0) + 1
-    data = _data_dir(root, version)
+    # data dirs are writer-unique (_new_data_dir), so a crashed or
+    # race-losing writer's leftovers never block a version number —
+    # next version is simply max(committed) + 1 and the orphan dir is
+    # reclaimed by vacuum()
+    version = max(list_versions(root), default=0) + 1
+    data = _new_data_dir(root, version)
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -184,7 +208,10 @@ def vacuum(
     an IN-FLIGHT writer between its data write and manifest publish;
     deleting it would make that writer's subsequent commit point at a
     destroyed directory. The retention window just needs to exceed the
-    longest plausible snapshot write.
+    longest plausible snapshot write. Committed snapshots are removed
+    by the path their MANIFEST records (never a reconstructed name);
+    stale orphans are reclaimed as a side effect and are not part of
+    the returned version list.
     """
     import shutil
 
@@ -193,22 +220,19 @@ def vacuum(
     removed = []
     for v in committed:
         if v not in keep:
+            with open(_manifest_path(root, v)) as f:
+                data = os.path.join(root, json.load(f)["data"])
             os.unlink(_manifest_path(root, v))
-            shutil.rmtree(_data_dir(root, v), ignore_errors=True)
+            shutil.rmtree(data, ignore_errors=True)
             removed.append(v)
     now = time.time()
-    for v in _orphan_versions(root):
-        if v in keep:
-            continue
-        path = _data_dir(root, v)
+    for path in _orphan_data_dirs(root):
         try:
             age = now - os.path.getmtime(path)
         except OSError:
             continue
         if age >= orphan_retention_sec:
             shutil.rmtree(path, ignore_errors=True)
-            if v not in removed:
-                removed.append(v)
     return removed
 
 
@@ -332,11 +356,14 @@ def diff_versions(
     CDF read Delta exposes, recovered from full snapshots.
 
     Relational shape: a single full outer join on the key; the op
-    classifies on side-presence, updates detected by comparing a
-    md5-over-all-columns row hash (null-safe via concat_ws sentinel).
-    One co-partitioned shuffle join of the two snapshots — no driver
-    materialization, safe at any snapshot size. Row-hash comparison is
-    conservative for float columns (bitwise-identical or changed).
+    classifies on side-presence, updates detected by comparing an
+    md5(to_json(struct(values))) row hash — JSON carries field names
+    and quotes/escapes values, so it is injection-free (no separator a
+    value could contain) and null-aware (a null field and the string
+    'null' serialize differently). One co-partitioned shuffle join of
+    the two snapshots — no driver materialization, safe at any
+    snapshot size. Row-hash comparison is conservative for float
+    columns (bitwise-identical or changed).
     """
     from pyspark.sql import functions as F
 
@@ -351,12 +378,7 @@ def diff_versions(
     val_cols = [c for c in cols if c not in key]
 
     def hashed(df, tag):
-        h = F.md5(
-            F.concat_ws(
-                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                          for c in val_cols]
-            )
-        )
+        h = F.md5(F.to_json(F.struct(*[F.col(c) for c in val_cols])))
         renamed = df.select(
             *[F.col(k).alias(k) for k in key],
             *[F.col(c).alias(f"{tag}_{c}") for c in val_cols],

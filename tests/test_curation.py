@@ -91,7 +91,7 @@ class TestTrainingAssembly:
         # partition layout on disk (pruned reads per split)
         import glob
 
-        assert glob.glob(f"{out}/training_set/_data/v00000001/split=*")
+        assert glob.glob(f"{out}/training_set/_data/v00000001_*/split=*")
 
         # rerun commits version 2 with an IDENTICAL training set
         res2 = run_training_assembly(spark, sf_dir, out)

@@ -389,3 +389,106 @@ class TestStreamSignatureIndex:
         )
         final = read_versioned(spark, root)
         assert final.filter(F.col("sig_0") == "zz").count() == 0
+
+
+class TestStreamToVersionedMultiBatch:
+    def test_multi_batch_drain_accumulates_all_rows(self, spark, sf_dir, tmp_path):
+        """Regression: each micro-batch used to commit a REPLACEMENT
+        snapshot, so a multi-batch drain left 'latest' holding only the
+        final batch. With maxFilesPerTrigger=1 over two source files the
+        accumulated latest version must hold every input row."""
+        from instacart_medallion_lakehouse_spark.streaming import events as se
+        from instacart_medallion_lakehouse_spark.versioned import (
+            list_versions,
+            read_versioned,
+        )
+
+        src = str(tmp_path / "src")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_name"
+        )
+        a = region.select(
+            region["r_regionkey"].alias("k"), region["r_name"].alias("v")
+        )
+        b = nation.select(
+            nation["n_nationkey"].alias("k"), nation["n_name"].alias("v")
+        )
+        a.coalesce(1).write.parquet(src)
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        root = str(tmp_path / "tbl")
+        se.stream_to_versioned(stream, root, checkpoint=str(tmp_path / "ck"))
+        total = a.count() + b.count()
+        assert read_versioned(spark, root).count() == total
+        # at least two commits happened (one per micro-batch), and each
+        # earlier version is a strict prefix of the accumulation
+        versions = list_versions(root)
+        assert len(versions) >= 2
+        counts = [
+            read_versioned(spark, root, version=v).count() for v in versions
+        ]
+        assert counts == sorted(counts)
+        assert counts[-1] == total
+
+    def test_empty_source_commits_nothing(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from instacart_medallion_lakehouse_spark.streaming import events as se
+        from instacart_medallion_lakehouse_spark.versioned import list_versions
+
+        src = str(tmp_path / "src")
+        schema = StructType([StructField("k", LongType())])
+        spark.createDataFrame([], schema).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        root = str(tmp_path / "tbl")
+        se.stream_to_versioned(stream, root, checkpoint=str(tmp_path / "ck"))
+        assert list_versions(root) == []
+
+
+class TestCdcStaleBatchGuard:
+    def test_later_batch_with_older_change_does_not_regress(
+        self, spark, tmp_path
+    ):
+        """A late-arriving file carrying an OLDER change for a key must
+        not overwrite the newer stored row (last-writer-wins by
+        order_col across batches, not just within one)."""
+        from pyspark.sql import functions as F
+
+        from instacart_medallion_lakehouse_spark.streaming import events as se
+        from instacart_medallion_lakehouse_spark.versioned import read_versioned
+
+        src = str(tmp_path / "src")
+        fresh = spark.createDataFrame(
+            [(7, 100, "new"), (8, 50, "n8")], ["user_id", "ts", "v"]
+        )
+        stale = spark.createDataFrame(
+            [(7, 90, "old"), (9, 10, "n9")], ["user_id", "ts", "v"]
+        )
+        fresh.coalesce(1).write.parquet(src)
+        stale.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(fresh.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        root = str(tmp_path / "tbl")
+        se.stream_upsert_to_versioned(
+            stream,
+            root,
+            key=["user_id"],
+            order_col="ts",
+            checkpoint=str(tmp_path / "ck"),
+        )
+        got = {
+            r.user_id: (r.ts, r.v)
+            for r in read_versioned(spark, root).collect()
+        }
+        # whichever file became batch 2, key 7 must end at ts=100
+        assert got[7] == (100, "new")
+        assert got[8] == (50, "n8")
+        assert got[9] == (10, "n9")

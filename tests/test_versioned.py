@@ -36,24 +36,40 @@ class TestCommitProtocol:
     def test_uncommitted_data_is_invisible(self, spark, sf_dir, root):
         region = spark.read.parquet(f"{sf_dir}/region.parquet")
         V.write_versioned(region, root)
-        # simulate a crashed writer: data dir exists, manifest never lands
-        region.limit(1).write.parquet(V._data_dir(root, 2))
+        # simulate a crashed writer: data dir exists, manifest never
+        # lands (data dirs are writer-unique, so the crashed attempt
+        # cannot collide with any later writer's directory)
+        orphan = V._new_data_dir(root, 2)
+        region.limit(1).write.parquet(orphan)
         assert V.list_versions(root) == [1]
         assert V.read_versioned(spark, root).count() == region.count()
-        # the next commit SKIPS the orphan's slot (re-runnability: a
-        # crashed writer must not wedge every later write) and the
+        # the next commit is unaffected by the orphan (re-runnability:
+        # a crashed writer must not wedge every later write) and the
         # orphan stays invisible
-        assert V.write_versioned(region, root) == 3
-        assert V.list_versions(root) == [1, 3]
+        assert V.write_versioned(region, root) == 2
+        assert V.list_versions(root) == [1, 2]
         assert V.read_versioned(spark, root).count() == region.count()
         # fresh orphans survive vacuum (in-flight writer protection)...
         assert V.vacuum(root, keep_last=2) == []
         import os as _os
 
-        assert _os.path.isdir(V._data_dir(root, 2))
-        # ...but stale ones are reclaimed once past the retention window
-        assert V.vacuum(root, keep_last=2, orphan_retention_sec=0.0) == [2]
-        assert not _os.path.isdir(V._data_dir(root, 2))
+        assert _os.path.isdir(orphan)
+        # ...but stale ones are reclaimed once past the retention
+        # window (a side effect, not a removed committed version)
+        assert V.vacuum(root, keep_last=2, orphan_retention_sec=0.0) == []
+        assert not _os.path.isdir(orphan)
+        # both committed snapshots remain readable throughout
+        assert V.read_versioned(spark, root, version=1).count() == region.count()
+
+    def test_concurrent_writers_never_share_a_data_dir(self, root):
+        """Two writers racing for the same version number target
+        DIFFERENT data directories, so the manifest-race winner's
+        snapshot can never contain a mix of both writers' part-files
+        (the loser's dir becomes an invisible orphan)."""
+        a = V._new_data_dir(root, 1)
+        b = V._new_data_dir(root, 1)
+        assert a != b
+        assert os.path.basename(a).startswith("v00000001_")
 
     def test_commit_race_single_winner(self, spark, sf_dir, root, monkeypatch):
         region = spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -128,9 +144,15 @@ class TestStreamToVersioned:
         # same checkpoint -> offsets recorded -> no new snapshot
         stream_to_versioned(stream, root, ckpt)
         assert [e["version"] for e in V.history(root)] == [1]
-        # fresh checkpoint -> reprocess -> a second, identical snapshot
+        # fresh checkpoint -> reprocess -> the batch APPENDS again (the
+        # documented at-least-once append exposure: a redrain without
+        # the original checkpoint duplicates rows, never corrupts)
         stream_to_versioned(stream, root, str(tmp_path / "ckpt2"))
         assert [e["version"] for e in V.history(root)] == [1, 2]
+        assert (
+            V.read_versioned(spark, root).count()
+            == 2 * read_events(spark, sf_dir).count()
+        )
 
 
 class TestCompaction:
@@ -147,11 +169,15 @@ class TestCompaction:
         df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         # simulate a small-file mess: 16 files for a tiny table
         V.write_versioned(df.repartition(16), root)
-        before = glob.glob(f"{root}/_data/v00000001/*.parquet")
+        # resolve data dirs via the manifest (data-dir names carry a
+        # writer-unique token and must never be reconstructed)
+        h = {e["version"]: e["data"] for e in V.history(root)}
+        before = glob.glob(f"{root}/{h[1]}/*.parquet")
         assert len(before) == 16
         v = compact_versioned(spark, root, target_file_bytes=1 << 30)
         assert v == 2
-        after = glob.glob(f"{root}/_data/v00000002/*.parquet")
+        h = {e["version"]: e["data"] for e in V.history(root)}
+        after = glob.glob(f"{root}/{h[2]}/*.parquet")
         assert len(after) == 1
         assert V.read_versioned(spark, root).count() == df.count()
         # pre-compaction snapshot still reachable
@@ -235,11 +261,13 @@ class TestPartitionLayoutPreserved:
         V.write_versioned(
             orders.repartition(8), root, partition_by=["o_orderstatus"]
         )
-        assert glob.glob(f"{root}/_data/v00000001/o_orderstatus=*")
+        h = {e["version"]: e["data"] for e in V.history(root)}
+        assert glob.glob(f"{root}/{h[1]}/o_orderstatus=*")
         v = compact_versioned(spark, root, target_file_bytes=1 << 30)
         # the compacted snapshot keeps the Hive partition layout -> every
         # post-compaction read of 'latest' still prunes on o_orderstatus
-        parts = glob.glob(f"{root}/_data/v{v:08d}/o_orderstatus=*")
+        h = {e["version"]: e["data"] for e in V.history(root)}
+        parts = glob.glob(f"{root}/{h[v]}/o_orderstatus=*")
         assert parts, "compaction dropped the disk-partition layout"
         got = V.read_versioned(spark, root)
         assert got.count() == orders.count()
@@ -275,7 +303,8 @@ class TestPartitionLayoutPreserved:
             [(2, "B", "P2"), (3, "c", "P1")], "id long, v string, part string"
         )
         v = upsert_versioned(spark, root, updates, key=["id"])
-        assert glob.glob(f"{root}/_data/v{v:08d}/part=*")
+        h = {e["version"]: e["data"] for e in V.history(root)}
+        assert glob.glob(f"{root}/{h[v]}/part=*")
         latest = {r.id: r.v for r in V.read_versioned(spark, root).collect()}
         assert latest == {1: "a", 2: "B", 3: "c"}
 
@@ -342,3 +371,31 @@ class TestDiffVersions:
         v3 = spark.createDataFrame([(1, "x")], "id long, name string")
         V.write_versioned(v3, root)
         assert V.diff_versions(spark, root, 2, 3, key=["id"]).count() == 0
+
+
+class TestDiffHashInjection:
+    def test_separator_straddling_values_are_detected_as_update(
+        self, spark, root
+    ):
+        """Regression: the row hash was concat_ws('\\x1f') over
+        stringified values, so ('x\\x1fy', 'z') and ('x', 'y\\x1fz')
+        hashed identically and the update was silently dropped. The
+        JSON-struct hash must classify it as an update."""
+        a = spark.createDataFrame(
+            [(1, "x\x1fy", "z")], ["id", "c1", "c2"]
+        )
+        b = spark.createDataFrame(
+            [(1, "x", "y\x1fz")], ["id", "c1", "c2"]
+        )
+        V.write_versioned(a, root)
+        V.write_versioned(b, root)
+        diff = V.diff_versions(spark, root, 1, 2, key=["id"]).collect()
+        assert len(diff) == 1 and diff[0]["_op"] == "update"
+
+    def test_null_vs_sentinel_string_is_detected(self, spark, root):
+        a = spark.createDataFrame([(1, None)], "id INT, c1 STRING")
+        b = spark.createDataFrame([(1, "\x00")], "id INT, c1 STRING")
+        V.write_versioned(a, root)
+        V.write_versioned(b, root)
+        diff = V.diff_versions(spark, root, 1, 2, key=["id"]).collect()
+        assert len(diff) == 1 and diff[0]["_op"] == "update"
