@@ -32,7 +32,7 @@ from .functions.text import (
     stopword_hits,
     tokens,
 )
-from .io import write_table
+from .io import read_table, write_table
 from .operators.dedup import minhash_lsh_pairs
 
 
@@ -122,7 +122,12 @@ def contamination_flags(
     benchmark_contamination query and curated_docs_v2."""
     from .operators.dedup import shingle_table
 
-    ex = shingle_table(docs, 3, id_col)
+    # the shingle explosion feeds THREE consumers (bench side, bench
+    # sizes, corpus side) — pin it so the tokenize/posexplode/window/
+    # distinct chain runs once, the same multi-consumer convention as
+    # operators/dedup.py's ngram_jaccard_pairs / minhash_bands
+    ex = shingle_table(docs, 3, id_col).cache()
+    ex.count()
     bench = ex.filter(F.col(id_col) < bench_max_id).select(
         F.col(id_col).alias("bench_id"), "_sh"
     )
@@ -190,7 +195,7 @@ def run_curation(
 
     scored = score_documents(raw)
     write_table(scored, f"{out_dir}/silver/documents_scored")
-    scored = spark.read.parquet(f"{out_dir}/silver/documents_scored")
+    scored = read_table(spark, f"{out_dir}/silver/documents_scored")
     res.n_scored = scored.count()
     quality.reconcile_row_counts(res.n_raw, res.n_scored, 0.0, "documents_scored")
 
@@ -202,7 +207,7 @@ def run_curation(
 
     curated = drop_near_duplicates(exact, threshold=near_dup_threshold)
     write_table(curated, f"{out_dir}/gold/documents_curated")
-    curated = spark.read.parquet(f"{out_dir}/gold/documents_curated")
+    curated = read_table(spark, f"{out_dir}/gold/documents_curated")
     res.n_after_near_dedup = curated.count()
     quality.assert_row_count_nonzero(res.n_after_near_dedup, "curation.curated")
 
@@ -246,7 +251,8 @@ def run_training_assembly(
 
     Everything is ONE lazy composition until the single versioned
     write; the only materializations are the near-dedup hand-off pin
-    inside curated_docs_v2 and the commit itself. Deterministic end to
+    inside curated_docs_v2, the id-only curated-set pin, and the commit
+    itself. Deterministic end to
     end: reruns produce byte-identical snapshots (asserted in tests),
     so version N+1 of the training set diffs cleanly against N via
     diff_versions.
@@ -260,7 +266,11 @@ def run_training_assembly(
     res.n_raw = raw.count()
     quality.assert_row_count_nonzero(res.n_raw, "assembly.raw")
 
-    curated_ids = curated_docs_v2(spark, sf_dir).select("doc_id")
+    # id-only pin: one run of the curated_docs_v2 chain serves both the
+    # attrition count and the corpus join (ids are tiny — the cacheable
+    # asset at 100 TB; the text never materializes twice)
+    curated_ids = curated_docs_v2(spark, sf_dir).select("doc_id").cache()
+    res.n_curated = curated_ids.count()
     corpus = raw.join(curated_ids, "doc_id")
 
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -273,7 +283,15 @@ def run_training_assembly(
         *[F.when(F.col("lang") == s, F.lit(t)) for s, t in _MIX.items()],
         F.lit(_MIX_DEFAULT),
     )
-    kept = (split != "train") | (bucket <= mix_thr)
+    # the mixture gate hashes INDEPENDENTLY of the split bucket: reusing
+    # ``bucket`` would condition the keep decision on bucket < 'cd'
+    # (train), inflating every _MIX keep rate by ~1/0.80 and making any
+    # threshold >= 'cd' indistinguishable from keep-all — the _MIX
+    # thresholds are calibrated over the FULL md5 space (queries_train)
+    mix_bucket = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    kept = (split != "train") | (mix_bucket <= mix_thr)
 
     assembled = corpus.select(
         "doc_id",
@@ -297,14 +315,25 @@ def run_training_assembly(
         ),
     )
 
+    # pre-commit row count observed on the commit's own write pass;
+    # the non-empty gate runs INSIDE the commit protocol (post-write,
+    # pre-publish), so a 0-row assembly never becomes the latest version
+    from pyspark.sql import Observation
+
+    obs = Observation("training_set_commit")
     res.version = write_versioned(
-        packed, f"{out_dir}/training_set", partition_by=["split"]
+        packed.observe(obs, F.count(F.lit(1)).alias("n_rows")),
+        f"{out_dir}/training_set",
+        partition_by=["split"],
+        validate=lambda: quality.assert_row_count_nonzero(
+            int(obs.get["n_rows"]), "assembly.training_set"
+        ),
     )
+    n_assembled = int(obs.get["n_rows"])
 
     from .versioned import read_versioned
 
     committed = read_versioned(spark, f"{out_dir}/training_set", res.version)
-    res.n_curated = corpus.count()
     res.split_counts = {
         r["split"]: r["n"]
         for r in committed.groupBy("split")
@@ -319,10 +348,11 @@ def run_training_assembly(
         .distinct()
         .count()
     )
-    quality.assert_row_count_nonzero(sum(res.split_counts.values()),
-                                     "assembly.training_set")
+    curated_ids.unpersist()
+    # reconcile what the commit pass WROTE against what the snapshot
+    # actually SERVES — a partial/duplicated snapshot fails here
     quality.reconcile_row_counts(
-        sum(res.split_counts.values()),
+        n_assembled,
         sum(res.split_counts.values()),
         0.0,
         "training_set",

@@ -133,6 +133,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tie_break_col: str | None = "event_id",
 ) -> DataFrame:
     """Batch gaps-and-islands sessionization over an event stream.
 
@@ -141,17 +142,29 @@ def sessionize(
     Two stacked windows over the SAME (partition, order) → one shuffle,
     one sort, both computed in a single window physical operator.
 
+    ``tie_break_col`` makes the ordering total when two events share a
+    timestamp (default matches the events table's ``event_id``); pass
+    ``None`` to order by timestamp alone — then equal-timestamp rows
+    within a user order nondeterministically.
+
     This is the batch twin of Structured Streaming session windows
     (``F.session_window`` — see streaming/events.py); the batch form is
     DuckDB-oracle-checkable, the streaming form is rows-only.
     """
+    if tie_break_col is not None and tie_break_col not in df.columns:
+        raise ValueError(
+            f"sessionize: tie_break_col '{tie_break_col}' not in input "
+            f"columns {df.columns}; pass tie_break_col=None to order by "
+            f"'{ts_col}' alone (nondeterministic for tied timestamps)"
+        )
+    order = [ts_col] + ([tie_break_col] if tie_break_col is not None else [])
     ts = F.col(ts_col)
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap_sec = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts_col, 1).over(w))
     is_new = F.when(
         gap_sec.isNull() | (gap_sec > gap_minutes * 60), 1
     ).otherwise(0)
-    running = Window.partitionBy(user_col).orderBy(ts_col, "event_id").rowsBetween(
+    running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn("_new_session", is_new).withColumn(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import quality
-from .io import write_table
+from .io import read_table, write_table
 from .operators.cleanse import dedup_keep_first
 from .plans import marts
 
@@ -61,6 +61,30 @@ _SILVER_KEYS: dict[str, list[str] | None] = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey"],
     "lineitem": None,
+}
+
+# Keyless tables still get the lenient inverted duplicate gate on their
+# densest natural key: duplication is expected, but a near-totally
+# duplicated table (rate > duplicate_rate_lenient) means an upstream
+# fan-out bug, not normal line-item multiplicity.
+_LENIENT_DUP_KEYS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_linenumber"],
+}
+
+# Null-rate gates enforced at silver, observed on the write pass itself
+# (zero extra scans). PK/FK columns must never be null in healthy data;
+# threshold is GateThresholds.null_rate_default. (The reference's
+# days_since_prior-style lenient threshold applies to genuinely-nullable
+# business columns — the star schema has none, so only the default-rate
+# gate is wired here; from_yaml still validates both keys.)
+_NULL_GATE_COLS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey"],
 }
 
 # FK → parent PK edges gated at silver (reference 02_silver_transform.py:59-68)
@@ -110,7 +134,11 @@ def run_bronze(
         quality.assert_row_count_nonzero(n, f"bronze.{name}")
         quality.log_layer_stats("bronze", name, n)
         result.bronze_counts[name] = n
-        out[name] = spark.read.parquet(f"{out_dir}/bronze/{name}")
+        # read back through the format-aware reader: under Delta an
+        # overwrite only logically removes the previous files, so a
+        # plain parquet read of the directory would return old+new rows
+        # on every re-run
+        out[name] = read_table(spark, f"{out_dir}/bronze/{name}")
     return out
 
 
@@ -157,15 +185,37 @@ def run_silver(
         from pyspark.sql import Observation
 
         obs = Observation(f"silver_{name}")
+        # null-rate gates ride the same write-pass observation as the
+        # row count — zero extra scans per gated column
+        null_cols = _NULL_GATE_COLS.get(name, [])
+        metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+            for c in null_cols
+        ]
         write_table(
-            cleaned.observe(obs, F.count(F.lit(1)).alias("n_rows")),
+            cleaned.observe(obs, *metrics),
             f"{out_dir}/silver/{name}",
         )
-        silver_df = spark.read.parquet(f"{out_dir}/silver/{name}")
-        n = int(obs.get["n_rows"])  # observed on the write pass, no re-scan
+        silver_df = read_table(spark, f"{out_dir}/silver/{name}")
+        got = dict(obs.get)  # observed on the write pass, no re-scan
+        n = int(got["n_rows"])
+        for c in null_cols:
+            rate = round((got[f"nulls_{c}"] or 0) / n, 6) if n else 0.0
+            if rate > thresholds.null_rate_default:
+                raise quality.DataQualityError(
+                    f"[silver] null rate {rate:.6f} on '{name}.{c}' exceeds "
+                    f"threshold {thresholds.null_rate_default}"
+                )
         if keys is not None:
             quality.check_duplicate_rate(
                 silver_df, keys, thresholds.duplicate_rate, "silver"
+            )
+        elif name in _LENIENT_DUP_KEYS:
+            quality.check_duplicate_rate(
+                silver_df,
+                _LENIENT_DUP_KEYS[name],
+                thresholds.duplicate_rate_lenient,
+                "silver",
             )
         quality.reconcile_row_counts(
             result.bronze_counts[name], n, thresholds.reconcile_drift, name
@@ -221,11 +271,22 @@ def run_gold(
         if versioned_gold:
             from .versioned import read_versioned, write_versioned
 
-            write_versioned(df, f"{out_dir}/gold/{name}", partition_by=part_by)
+            # the non-empty gate runs INSIDE the commit protocol (after
+            # the data write, before the manifest publish): a 0-row mart
+            # leaves an unpublished orphan and raises — it never becomes
+            # the latest readable version
+            write_versioned(
+                df,
+                f"{out_dir}/gold/{name}",
+                partition_by=part_by,
+                validate=lambda obs=obs, name=name: quality.assert_row_count_nonzero(
+                    int(obs.get["n_rows"]), f"gold.{name}"
+                ),
+            )
             written = read_versioned(spark, f"{out_dir}/gold/{name}")
         else:
             write_table(df, f"{out_dir}/gold/{name}", partition_by=part_by)
-            written = spark.read.parquet(f"{out_dir}/gold/{name}")
+            written = read_table(spark, f"{out_dir}/gold/{name}")
         n = int(obs.get["n_rows"])  # observed on the write pass, no re-scan
         quality.assert_row_count_nonzero(n, f"gold.{name}")
         quality.log_layer_stats("gold", name, n)

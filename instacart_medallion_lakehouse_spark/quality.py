@@ -49,6 +49,11 @@ class GateThresholds:
     null_rate_default: float = 0.001  # 0.1%
     null_rate_days_since_prior: float = 0.07  # 7% — nulls valid for first orders
     duplicate_rate: float = 0.0
+    # Inverted lenient gate for tables with NO unique natural key (the
+    # reference runs lineitem-style tables through threshold=0.99,
+    # 02_silver_transform.py:121): duplication is normal, but a table
+    # that is ~entirely duplicate groups signals an upstream fan-out bug.
+    duplicate_rate_lenient: float = 0.99
     reconcile_drift: float = 0.001  # 0.1%
     referential_integrity: float = 0.0
 

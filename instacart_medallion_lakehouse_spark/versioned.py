@@ -115,7 +115,10 @@ def _orphan_data_dirs(root: str) -> list[str]:
 
 
 def write_versioned(
-    df: DataFrame, root: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    partition_by: list[str] | None = None,
+    validate=None,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its number.
 
@@ -124,6 +127,14 @@ def write_versioned(
     ``vacuum`` removes. ``partition_by`` disk-partitions the snapshot —
     partition pruning composes with versioning since each snapshot is an
     ordinary parquet tree.
+
+    ``validate`` (no-arg callable) runs after the data write completes
+    but BEFORE the manifest publish — the gate-conditional commit point
+    quality.write_with_observed_gates documents. Because the write
+    action has finished, any ``df.observe`` metrics are available inside
+    the hook; if it raises, the manifest is never published, the staged
+    data dir is an ordinary orphan (invisible to readers, reclaimed by
+    ``vacuum``), and readers keep serving the previous version.
     """
     os.makedirs(_version_dir(root), exist_ok=True)
     # data dirs are writer-unique (_new_data_dir), so a crashed or
@@ -136,6 +147,8 @@ def write_versioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data)
+    if validate is not None:
+        validate()
 
     manifest = {
         "version": version,
