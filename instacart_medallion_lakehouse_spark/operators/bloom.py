@@ -40,13 +40,6 @@ def _position(key_col: str, seed: int, num_bits: int) -> Column:
     )
 
 
-def _mask(key_col: str, seed: int, num_bits: int) -> Column:
-    """1L << (position % 64) — SQL-text shiftleft because the Python
-    F.shiftleft only accepts a literal int shift amount."""
-    return F.expr(
-        f"shiftleft(1L, cast(pmod(xxhash64({key_col}, {seed}), {num_bits})"
-        f" % 64 AS INT))"
-    )
 
 
 def build_bloom(
@@ -108,12 +101,22 @@ def bloom_prune(
     to the un-pruned plan. ``num_bits``/``num_hashes`` must match the
     build call.
     """
-    probed = fact.crossJoin(F.broadcast(bloom))
+    # the bitmap rides an internal column name so a fact frame that
+    # already carries 'bf' (build_bloom's public output name) never
+    # collides or gets silently shadowed
+    bf = "_bloom_bf"
+    if bf in fact.columns:
+        raise ValueError(f"bloom_prune: fact already has a '{bf}' column")
+    probed = fact.crossJoin(
+        F.broadcast(bloom.select(F.col("bf").alias(bf)))
+    )
     cond = None
     for i in range(num_hashes):
-        word = F.element_at(
-            F.col("bf"), (_position(key_col, i, num_bits) / 64).cast("int") + 1
-        )
-        test = word.bitwiseAND(_mask(key_col, i, num_bits)) != 0
+        pos = _position(key_col, i, num_bits)
+        word = F.element_at(F.col(bf), (pos / 64).cast("int") + 1)
+        # getbit takes a Column bit position — no SQL-text interpolation
+        # of the caller's column name (which broke for names needing
+        # quoting) and no literal-only shiftleft restriction
+        test = F.getbit(word, pos % 64) == 1
         cond = test if cond is None else (cond & test)
-    return probed.filter(cond).drop("bf")
+    return probed.filter(cond).drop(bf)

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dround
-from ..functions.text import fingerprint, token_shingles, tokens
+from ..functions.text import fingerprint, tokens
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -50,6 +50,15 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return (
         docs.withColumn("fingerprint", fingerprint(F.col("text")))
         .withColumn("canonical_doc_id", F.min(id_col).over(w))
+        # NULL-text docs share a NULL fingerprint and land in one window
+        # partition — they share no content, so each is its own
+        # canonical, never a duplicate of the others
+        .withColumn(
+            "canonical_doc_id",
+            F.when(F.col("fingerprint").isNull(), F.col(id_col)).otherwise(
+                F.col("canonical_doc_id")
+            ),
+        )
         .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_doc_id"))
     )
 
@@ -57,13 +66,6 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact near-dup, inverted-index candidate join)
 # ---------------------------------------------------------------------------
-
-
-def _with_shingles(docs: DataFrame, n: int, id_col: str) -> DataFrame:
-    return docs.select(
-        F.col(id_col),
-        token_shingles(tokens(F.col("text")), n).alias("shingles"),
-    )
 
 
 def shingle_table(docs: DataFrame, n: int, id_col: str) -> DataFrame:
@@ -139,9 +141,19 @@ def ngram_jaccard_pairs(
             ex.join(dfreq, "_sh")
             .withColumn("_rank", F.row_number().over(w))
             .join(F.broadcast(sizes), id_col)
+            # recall-safe ceil(t*n): the raw double product can land
+            # ABOVE the true integer (0.55*100 = 55.000000000000007 →
+            # ceil 56), silently shortening the prefix below the
+            # theoretical minimum and breaking the recall=1 guarantee.
+            # Subtracting an epsilon larger than any possible product
+            # ulp (n < 2^31 → ulp < 5e-7) can only LOWER the ceil, i.e.
+            # lengthen the prefix — extra candidates that the exact
+            # verify step removes, never a lost pair
             .filter(
                 F.col("_rank")
-                <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+                <= F.col("_n")
+                - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-6))
+                + 1
             )
             .select(id_col, "_sh")
         )

@@ -42,6 +42,18 @@ def salted_join(
     dim is too big to broadcast AND the fact key is hot, where a
     sort-merge join would hang on one straggler partition).
     """
+    # only fact-preserving join types are row-identical under salting:
+    # the dim side is replicated num_salts×, so any type that keeps
+    # UNMATCHED dim rows (right/full outer, right semi/anti) would emit
+    # each unmatched dim row once per salt instead of once
+    allowed = {"inner", "left", "leftouter", "leftsemi", "semi",
+               "leftanti", "anti", "cross"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how='{how}' is not fact-preserving — the "
+            f"replicated dim side would duplicate unmatched dim rows "
+            f"{num_salts}x; use one of {sorted(allowed)}"
+        )
     cols = salt_on or fact.columns
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(num_salts))

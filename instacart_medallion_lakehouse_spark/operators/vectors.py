@@ -70,6 +70,38 @@ def _prep(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).filter(F.col("_n2") > 0)
 
 
+def _chunked_cosine_blocks(a_mat, a_n2, b_mat, b_n2):
+    """Yield ``(lo, hi, sim)`` row-chunks of the exact cosine matrix
+    ``a_mat[lo:hi] @ b_mat.T / sqrt(outer(n2_a, n2_b))``.
+
+    The ONE shared GEMM kernel for every pairwise scorer in this module
+    (block-pair groups, LSH buckets, semantic-dedup clusters): chunk
+    size targets a ~4 MB score block, and both the score and the
+    denominator are computed into preallocated buffers reused across
+    chunks — fresh (m x n) temporaries are first-touch memory every
+    iteration, which on lazily-paged hosts costs ~1ms per 4K page.
+    Inputs are quantized integer-valued doubles, so every dot product
+    is exact under any summation order (bit-identical to the SQL
+    oracle). The yielded ``sim`` view aliases the reused buffer:
+    consume it before the next iteration.
+    """
+    import numpy as np
+
+    nb = len(b_n2)
+    bt = np.ascontiguousarray(b_mat.T)
+    chunk = max(1, min(256, (4 << 20) // max(8 * nb, 1)))
+    g = np.empty((chunk, nb))
+    denom = np.empty((chunk, nb))
+    for lo in range(0, len(a_n2), chunk):
+        hi = min(lo + chunk, len(a_n2))
+        m = hi - lo
+        np.dot(a_mat[lo:hi], bt, out=g[:m])
+        np.multiply.outer(a_n2[lo:hi], b_n2, out=denom[:m])
+        np.sqrt(denom[:m], out=denom[:m])
+        np.divide(g[:m], denom[:m], out=g[:m])
+        yield lo, hi, g[:m]
+
+
 def _scored_against_queries(
     emb: DataFrame, query_ids_max: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -280,25 +312,11 @@ def cosine_neardup_pairs(
             a_ids, b_ids = ids[la], ids[lb]
             a_mat, b_mat = mat[la], mat[lb]
             a_n2, b_n2 = n2[la], n2[lb]
-        nb = len(b_ids)
-        if len(a_ids) == 0 or nb == 0:
+        if len(a_ids) == 0 or len(b_ids) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        bt = np.ascontiguousarray(b_mat.T)
-        # chunk the GEMM into preallocated, reused buffers: fresh score
-        # matrices are first-touch memory every group, which on lazily-
-        # paged hosts costs ~1ms per 4K page
-        chunk = max(1, min(256, (4 << 20) // max(8 * nb, 1)))
-        g = np.empty((chunk, nb))
-        denom = np.empty((chunk, nb))
         outs = []
-        for lo in range(0, len(a_ids), chunk):
-            hi = min(lo + chunk, len(a_ids))
-            m = hi - lo
-            np.dot(a_mat[lo:hi], bt, out=g[:m])
-            np.multiply.outer(a_n2[lo:hi], b_n2, out=denom[:m])
-            np.sqrt(denom[:m], out=denom[:m])
-            np.divide(g[:m], denom[:m], out=g[:m])
-            keep = g[:m] >= threshold
+        for lo, hi, g in _chunked_cosine_blocks(a_mat, a_n2, b_mat, b_n2):
+            keep = g >= threshold
             if bi == bj:
                 keep &= a_ids[lo:hi, None] < b_ids[None, :]
             else:
@@ -611,20 +629,9 @@ def cosine_neardup_pairs_lsh(
             )
         mat = np.array(list(pdf["_q"]), dtype=np.float64)
         n2 = pdf["_n2"].to_numpy(dtype=np.float64)
-        # chunked GEMM with reused buffers (first-touch pages and fresh
-        # mmaps cost seconds on lazily-paged hosts)
-        chunk = max(1, min(256, (4 << 20) // max(8 * n, 1)))
-        g = np.empty((chunk, n))
-        denom = np.empty((chunk, n))
         outs = []
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            m = hi - lo
-            np.dot(mat[lo:hi], mat.T, out=g[:m])
-            np.multiply.outer(n2[lo:hi], n2, out=denom[:m])
-            np.sqrt(denom[:m], out=denom[:m])
-            np.divide(g[:m], denom[:m], out=g[:m])
-            keep = (g[:m] >= threshold) & (ids[lo:hi, None] < ids[None, :])
+        for lo, hi, g in _chunked_cosine_blocks(mat, n2, mat, n2):
+            keep = (g >= threshold) & (ids[lo:hi, None] < ids[None, :])
             ai, bi = np.nonzero(keep)
             outs.append(
                 pd.DataFrame(
@@ -680,30 +687,26 @@ def semantic_dedup(
     # assignment + vector payload in one pass over the pinned corpus;
     # zero vectors cluster (oracle parity) but are excluded from the
     # cosine scan and the output by the _n2 > 0 filter
+    # pin the assignment output: it feeds BOTH the per-cluster scorer
+    # and the final join's left side — uncached, the full mapInPandas
+    # GEMM pass over the corpus would execute twice
     prep = (
         _assignment(raw, cids, C, passthrough=True)
         .filter(F.col("_n2") > 0)
         .withColumnRenamed("_vid", id_col)
+        .cache()
     )
+    prep.count()  # materialize BEFORE the two consumers (lazy-cache race)
 
     def score_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["_q"]), dtype=np.float64)
         n2 = pdf["_n2"].to_numpy(dtype=np.float64)
-        n = len(ids)
-        if n < 2:
+        if len(ids) < 2:
             return pd.DataFrame({"_dup": np.array([], dtype=np.int64)})
-        # chunked upper-triangle GEMM with reused buffers (first-touch
-        # pages and fresh mmaps are seconds at scale on this host)
-        chunk = max(1, min(256, (4 << 20) // max(8 * n, 1)))
-        g = np.empty((chunk, n))
         dropped = set()
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            m = hi - lo
-            np.dot(mat[lo:hi], mat.T, out=g[:m])
-            g[:m] /= np.sqrt(np.outer(n2[lo:hi], n2))
-            keep = (g[:m] >= threshold) & (ids[lo:hi, None] > ids[None, :])
+        for lo, hi, g in _chunked_cosine_blocks(mat, n2, mat, n2):
+            keep = (g >= threshold) & (ids[lo:hi, None] > ids[None, :])
             dropped.update(ids[lo + r] for r in np.nonzero(keep.any(axis=1))[0])
         return pd.DataFrame({"_dup": np.fromiter(dropped, dtype=np.int64)})
 
@@ -882,6 +885,16 @@ def pq_topk(
 
     raw = _raw(emb, id_col, vec_col).cache()
     pre = raw.filter(F.col("_vid") < max(k_codes, query_ids_max)).collect()
+    # degenerate corpora (no codebook-init vectors or no query vectors,
+    # e.g. a shard whose ids all start above the contract range) return
+    # an empty result like brute_force_topk, instead of crashing on
+    # pre[0] / an empty k-means init
+    if not any(r["_vid"] < k_codes for r in pre) or not any(
+        r["_vid"] < query_ids_max for r in pre
+    ):
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank integer"
+        )
     d = len(pre[0]["_q"])
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m

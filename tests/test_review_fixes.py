@@ -147,3 +147,80 @@ class TestSessionizeTieBreak:
             events, user_col="user_id", ts_col="ts", tie_break_col="eid"
         )
         assert out.count() == events.count()
+
+
+class TestOperatorReviewFixes:
+    """Round-4 operator-review regressions: salted_join how validation,
+    null-text exact dedup, pq_topk degenerate corpus, bloom name
+    handling, recall-safe prefix bound."""
+
+    def test_salted_join_rejects_dim_preserving_how(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators.skew import salted_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        )
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(li, orders, "l_orderkey", how="full")
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(li, orders, "l_orderkey", how="right_outer")
+
+    def test_exact_duplicates_null_text_not_grouped(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(7, None), (42, None), (1, "same"), (2, "same")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in dedup.exact_duplicates(docs).collect()}
+        # null-text docs are each their own canonical, never duplicates
+        assert rows[7]["canonical_doc_id"] == 7 and not rows[7]["is_duplicate"]
+        assert rows[42]["canonical_doc_id"] == 42 and not rows[42]["is_duplicate"]
+        # real duplicates still collapse
+        assert rows[2]["canonical_doc_id"] == 1 and rows[2]["is_duplicate"]
+
+    def test_pq_topk_empty_on_out_of_range_ids(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import vectors
+
+        emb = spark.createDataFrame(
+            [(1000 + i, [float(j) for j in range(8)]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        out = vectors.pq_topk(emb, m=4, k_codes=8, query_ids_max=10, k=3)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+    def test_bloom_prune_rejects_reserved_column(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators.bloom import (
+            bloom_prune,
+            build_bloom,
+        )
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        bf = build_bloom(orders.select("o_custkey"), "o_custkey")
+        poisoned = orders.withColumn("_bloom_bf", F.lit(1))
+        with pytest.raises(ValueError, match="_bloom_bf"):
+            bloom_prune(poisoned, "o_custkey", bf)
+
+    def test_prefix_filter_identical_at_adversarial_threshold(self, spark, sf_dir):
+        # 0.55 * n hits the IEEE ceil-above-integer case (0.55*100 ->
+        # 55.000000000000007); the recall-safe bound must keep the
+        # prefix-filtered pair set identical to the naive self-join
+        from instacart_medallion_lakehouse_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        naive = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.55, prefix_filter=False
+            ).collect()
+        }
+        filtered = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.55, prefix_filter=True
+            ).collect()
+        }
+        assert filtered == naive
