@@ -31,8 +31,21 @@ def surrogate_key(*cols: Column | str, sep: str = "_") -> Column:
     notebooks/03_gold_metrics.py:85-88. Deterministic, so safe for
     idempotent re-runs and cross-engine comparison (unlike
     monotonically_increasing_id).
+
+    NULL parts coalesce to a ``<NULL>`` sentinel: concat_ws silently
+    SKIPS null arguments, so without it (1, NULL, 2) and (1, 2, NULL)
+    would both concatenate to ``1_2`` and collide on the same surrogate
+    — distinct business keys silently merged. (A literal key part equal
+    to the sentinel string can still collide — keys are expected to be
+    ids/codes, not free text.)
     """
-    parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("<NULL>"),
+        )
+        for c in cols
+    ]
     return F.md5(F.concat_ws(sep, *parts))
 
 

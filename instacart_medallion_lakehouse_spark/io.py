@@ -147,9 +147,11 @@ def write_table(
     writer.save(path)
 
 
-def zorder_key(a, b, bits: int = 16):
+def zorder_key(a, b):
     """Bit-interleaved (Morton) key over two numeric columns, each
-    normalized to ``bits`` rank buckets via min/max range scaling.
+    normalized to 16-bit rank buckets via min/max range scaling (the
+    bucket width is fixed: spread()'s shift/mask constants are the
+    16-bit Morton spreading network).
 
     ``cluster_by`` (lexicographic range sort) makes row-group stats
     selective for the FIRST key only; interleaving makes a single sort
@@ -158,7 +160,7 @@ def zorder_key(a, b, bits: int = 16):
     column. This is Delta's OPTIMIZE ZORDER idea as a pure Catalyst
     expression (shift/or/and bit spreading, whole-stage codegen; no UDF).
 
-    ``a``/``b`` must already be scaled to [0, 2^bits) longs — see
+    ``a``/``b`` must already be scaled to [0, 2^16) longs — see
     write_table(zorder_by=...), which derives the scaling from a
     min/max aggregate of the input.
     """
@@ -305,6 +307,29 @@ def register_temp_views(spark: SparkSession, tables: dict[str, DataFrame]) -> No
         df.createOrReplaceTempView(name)
 
 
+def _parquet_has_nanos_ts(path: str, col: str) -> bool:
+    """Driver-side footer probe: does ``col`` carry the Parquet
+    TIMESTAMP(NANOS) physical type (arrow ``timestamp[ns]``)? Accepts a
+    single file or a directory of part files (first footer wins — one
+    writer means one physical type)."""
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return False
+        probe = os.path.join(path, parts[0])
+    try:
+        field = pq.read_schema(probe).field(col)
+    except (KeyError, OSError):
+        return False
+    t = field.type
+    return str(t).startswith("timestamp[ns")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table, normalizing ``ts`` to session-zone timestamp.
 
@@ -321,11 +346,20 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       pinned to UTC (session.py), so the cast reinterprets the same
       wall-clock micros as a UTC instant — byte-identical values, and
       one stable output type for every downstream consumer.
+
+    The ``nanosAsLong`` legacy conf is session-wide and changes how
+    EVERY later parquet read maps TIMESTAMP(NANOS) columns, so it is
+    only flipped when a driver-side footer probe shows the nanos
+    physical type is actually present (it cannot be scoped per-read:
+    the scan consults it again at execution time, after this function
+    returns, so a set/restore would break the read it was set for).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    if _parquet_has_nanos_ts(path, "ts"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -334,12 +368,17 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# the star-schema table list, defined ONCE here: sql_api's view
+# registration imports it, so the DataFrame and SQL faces can't drift
+# when a testdata table is added
+STAR_TABLES = (
+    "region nation customer supplier part orders lineitem documents embeddings"
+).split()
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every synthetic testdata table from a scale-factor directory."""
-    names = (
-        "region nation customer supplier part orders lineitem documents embeddings"
-    ).split()
-    out = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    out = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in STAR_TABLES}
     out["events"] = read_events(spark, sf_dir)
     return out
 

@@ -152,17 +152,38 @@ def as_of_join(
         .orderBy(ts_col, "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u.select(
-        *on,
-        ts_col,
-        "_side",
-        *left_payload,
-        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
-        .over(w)
-        .alias(f"asof_{ts_col}"),
-        *[
-            F.last(a, ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c, a in zip(right_cols, carried)
-        ],
+    # carry the ENTIRE right payload as one struct: independent
+    # last(col, ignorenulls) per column would skip a NULL field of the
+    # latest right row and back-fill it from an OLDER row — a torn
+    # output row that exists in no right row. The struct is NULL as a
+    # whole for left-side rows (which is all ignorenulls must skip),
+    # while NULL fields INSIDE the latest right row's struct survive.
+    asof_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col(ts_col).alias("_asof_ts"),
+            *[F.col(a) for a in carried],
+        ),
+    )
+    out = (
+        u.withColumn("_r", asof_struct)
+        .select(
+            *on,
+            ts_col,
+            "_side",
+            *left_payload,
+            F.last("_r", ignorenulls=True).over(w).alias("_rlast"),
+        )
+        .select(
+            *on,
+            ts_col,
+            "_side",
+            *left_payload,
+            F.col("_rlast._asof_ts").alias(f"asof_{ts_col}"),
+            *[
+                F.col(f"_rlast.{a}").alias(f"asof_{c}")
+                for c, a in zip(right_cols, carried)
+            ],
+        )
     )
     return out.filter(F.col("_side") == 1).drop("_side")

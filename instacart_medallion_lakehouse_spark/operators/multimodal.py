@@ -250,6 +250,26 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             for doc_id, mtype, p in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
+                if p is None:
+                    # a NULL payload (e.g. synthesized from a NULL text
+                    # body) must not kill the whole stage with
+                    # bytes(None); emit a null-feature row so the doc
+                    # stays visible to downstream quality gates
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_type": mtype,
+                            "n_bytes": None,
+                            "checksum": None,
+                            "format": None,
+                            "width": None,
+                            "height": None,
+                            "channels": None,
+                            "sample_rate": None,
+                            "n_frames": None,
+                        }
+                    )
+                    continue
                 payload = bytes(p)
                 parsed = parse_media_header(payload)
                 rows.append(
@@ -333,7 +353,7 @@ def plan_thumbnails(
             for doc_id, mtype, p in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
-                if mtype != "image":
+                if mtype != "image" or p is None:
                     continue
                 parsed = parse_media_header(bytes(p))
                 w, h = parsed["width"], parsed["height"]
@@ -373,7 +393,7 @@ def plan_frame_samples(media: DataFrame, every_n: int = 5) -> DataFrame:
             for doc_id, mtype, p in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
-                if mtype != "video":
+                if mtype != "video" or p is None:
                     continue
                 n_frames = parse_media_header(bytes(p))["n_frames"] or 0
                 for idx in range(0, n_frames, every_n):

@@ -569,9 +569,10 @@ def star_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "fct_surrogate_key",
     """
-    SELECT md5(concat_ws('_', CAST(l_orderkey AS VARCHAR),
-                              CAST(l_partkey AS VARCHAR),
-                              CAST(l_linenumber AS VARCHAR))) AS line_key,
+    SELECT md5(concat_ws('_', COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>'),
+                              COALESCE(CAST(l_partkey AS VARCHAR), '<NULL>'),
+                              COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>')))
+             AS line_key,
            l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
            l_extendedprice, l_discount, l_returnflag, l_linestatus
     FROM lineitem

@@ -16,11 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .io import read_events
-
-STAR_TABLES = (
-    "region nation customer supplier part orders lineitem documents embeddings"
-).split()
+from .io import STAR_TABLES, read_events
 
 
 def register_star_views(spark: SparkSession, sf_dir: str) -> None:
@@ -87,8 +83,12 @@ WITH agg AS (
   WHERE o.o_orderstatus = 'F'
   GROUP BY r.r_name, n.n_name
 )
-SELECT *, CAST(floor(100.0 * total_line_items
-               / sum(total_line_items) OVER () * 10000.0 + 0.5) / 10000.0
+-- 100.0D/10000.0D: bare decimal literals against the BIGINT counts
+-- would make this window compute in DECIMAL(38,14) — exactly 1.5 at
+-- rounding midpoints where the double faces (DataFrame + DuckDB) see
+-- 1.4999999999999998 — diverging the three-face hash at scale
+SELECT *, CAST(floor(100.0D * total_line_items
+               / sum(total_line_items) OVER () * 10000.0D + 0.5) / 10000.0D
                AS DOUBLE) AS pct_of_total_items
 FROM agg
 """
@@ -114,12 +114,33 @@ def create_table_as(
     statement SHAPE and idempotent re-run semantics are identical.
     """
     if replace:
+        # resolve the table's REAL managed location from the catalog
+        # before dropping — string-building it from the warehouse dir
+        # ignores the database qualifier (warehouse/<db>.db/<tbl>) and
+        # the catalog's lower-casing, which could delete an unrelated
+        # same-named table's files or miss the stale location entirely
+        location = None
+        try:
+            location = next(
+                r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+                if r["col_name"] == "Location"
+            )
+        except Exception:
+            # table absent: derive the default managed location the
+            # catalog WOULD use, so a stale orphan dir from a crashed
+            # earlier CTAS (metadata gone, files left) still gets purged
+            parts = [p.strip("`").lower() for p in table.split(".")]
+            name = parts[-1]
+            db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            base = warehouse if db == "default" else f"{warehouse}/{db}.db"
+            location = f"{base}/{name}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         # the default in-memory catalog drops METADATA only; purge the
         # managed location too or the re-create hits LOCATION_ALREADY_EXISTS
         jvm = spark.sparkContext._jvm
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.split('.')[-1]}")
+        path = jvm.org.apache.hadoop.fs.Path(location)
         fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         fs.delete(path, True)
     spark.sql(f"CREATE TABLE {table} USING parquet AS {select_sql}")

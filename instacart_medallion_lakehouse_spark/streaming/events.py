@@ -87,7 +87,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros, NTZ micros are cast under the UTC session zone — so batch
     and stream see the same timestamps.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session-wide legacy conf flipped ONLY when the footer actually
+    # carries TIMESTAMP(NANOS) — same policy and rationale as the batch
+    # reader (io.read_events): an unconditional set silently changes how
+    # every later parquet read in the session maps nanos columns
+    from ..io import _parquet_has_nanos_ts
+
+    if _parquet_has_nanos_ts(f"{sf_dir}/events.parquet", "ts"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(probe.dtypes).get("ts", "timestamp_ntz")
     # file stream sources require a DIRECTORY; point at the sf dir and

@@ -224,3 +224,110 @@ class TestOperatorReviewFixes:
             ).collect()
         }
         assert filtered == naive
+
+
+class TestSqlAndIoReviewFixes:
+    """Third review batch: decimal-vs-double SQL face, CTAS location
+    resolution, as-of torn rows, surrogate-key null parts, multimodal
+    null payloads, conf-leak scoping."""
+
+    def test_sql_pct_window_computes_in_double(self, spark):
+        # bare 100.0 would make this DECIMAL(38,14): exactly 1.5 at the
+        # midpoint -> floor 2; the double faces see 1.4999999999999998
+        # -> floor 1. The D-suffixed literals must match the double face.
+        row = spark.sql(
+            "SELECT CAST(floor(100.0D * 3 / 2000000 * 10000.0D + 0.5)"
+            " / 10000.0D AS DOUBLE) AS x"
+        ).collect()[0]
+        assert row["x"] == 0.0001
+
+    def test_sql_face_pct_column_is_double(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import sql_api
+
+        sql_api.ensure_star_views(spark, sf_dir)
+        df = sql_api.run_sql(spark, sql_api.REGION_PERFORMANCE_SQL)
+        assert dict(df.dtypes)["pct_of_total_items"] == "double"
+
+    def test_as_of_join_carries_whole_right_row(self, spark):
+        # latest right row has a NULL x: the output must carry THAT row's
+        # (NULL, 9), not a torn (5, 9) mixing two right rows
+        from instacart_medallion_lakehouse_spark.operators.joins import as_of_join
+
+        left = spark.createDataFrame([(1, 3, 0)], "k long, ts long, lid long")
+        right = spark.createDataFrame(
+            [(1, 1, 5, 7), (1, 2, None, 9)],
+            "k long, ts long, x long, y long",
+        )
+        r = as_of_join(
+            left, right, on=["k"], ts_col="ts",
+            right_cols=["x", "y"], tie_col="lid", right_tie_col="y",
+        ).collect()[0]
+        assert r["asof_ts"] == 2
+        assert r["asof_x"] is None
+        assert r["asof_y"] == 9
+
+    def test_surrogate_key_distinguishes_null_positions(self, spark):
+        from instacart_medallion_lakehouse_spark.functions.scalar import (
+            surrogate_key,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, 2), (1, 2, None)], "a long, b long, c long"
+        ).select(surrogate_key("a", "b", "c").alias("k"))
+        keys = [r["k"] for r in df.collect()]
+        assert keys[0] != keys[1]
+
+    def test_media_features_null_payload_row(self, spark):
+        from instacart_medallion_lakehouse_spark.operators.multimodal import (
+            extract_media_features,
+        )
+
+        media = spark.createDataFrame(
+            [(1, "image", None), (2, "audio", bytearray(b"RIFFxxxxWAVE"))],
+            "doc_id long, media_type string, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in extract_media_features(media).collect()}
+        assert rows[1]["n_bytes"] is None and rows[1]["checksum"] is None
+        assert rows[2]["n_bytes"] == 12
+
+    def test_ctas_db_qualified_table_does_not_touch_default(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import sql_api
+
+        sql_api.ensure_star_views(spark, sf_dir)
+        spark.sql("CREATE DATABASE IF NOT EXISTS ctas_test_db")
+        try:
+            # a default-db table with the same short name
+            sql_api.create_table_as(
+                spark, "ctas_probe", "SELECT * FROM region", replace=True
+            )
+            n_default = spark.table("ctas_probe").count()
+            # CTAS the qualified twin TWICE (replace path must resolve the
+            # qualified location, not delete default's files)
+            for _ in range(2):
+                sql_api.create_table_as(
+                    spark,
+                    "ctas_test_db.ctas_probe",
+                    "SELECT * FROM nation",
+                    replace=True,
+                )
+            assert spark.table("ctas_test_db.ctas_probe").count() > 0
+            # default-db table data is intact and still readable
+            assert spark.table("default.ctas_probe").count() == n_default
+        finally:
+            spark.sql("DROP TABLE IF EXISTS default.ctas_probe")
+            spark.sql("DROP TABLE IF EXISTS ctas_test_db.ctas_probe")
+            spark.sql("DROP DATABASE IF EXISTS ctas_test_db")
+
+    def test_read_events_does_not_flip_conf_for_us_timestamps(self, spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        from instacart_medallion_lakehouse_spark import io as io_mod
+
+        field = pq.read_schema(f"{sf_dir}/events.parquet").field("ts")
+        before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        io_mod.read_events(spark, sf_dir).count()
+        after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        if str(field.type).startswith("timestamp[ns"):
+            assert after == "true"
+        else:
+            assert after == before
