@@ -189,7 +189,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     #   q12_priority_by_flag, q16_supplier_part_counts,
     #   q19_disjunctive_revenue, q20_excess_suppliers,
     #   q21_waiting_suppliers, events_near_errors,
-    #   blocklist_filter, hash_shuffled_export
+    #   blocklist_filter, hash_shuffled_export,
+    #   cms_heavy_hitters, zipf_slope, stream_hopping_events,
+    #   top_brands_per_nation
     # Every other registry query then holds a green driver row from
     # r1-r4.
 )

@@ -1457,3 +1457,90 @@ def events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k with OTHER rollup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top_brands_per_nation",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation_name, p.p_brand AS brand,
+             CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount))
+                        * 100.0 + 0.5) / 100.0 AS DOUBLE) AS brand_revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY nation_name
+                                   ORDER BY brand_revenue DESC, brand) AS rk
+      FROM rev
+    )
+    SELECT nation_name,
+           CASE WHEN rk <= 3 THEN brand ELSE 'OTHER' END AS brand_label,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(floor(sum(brand_revenue) * 100.0 + 0.5) / 100.0 AS DOUBLE)
+             AS revenue
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY nation_name, revenue DESC, brand_label
+    """,
+)
+def top_brands_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 part brands by revenue, with every remaining
+    brand rolled into one 'OTHER' row — the standard reporting shape
+    (bounded rows per group, nothing silently dropped: the OTHER bucket
+    keeps the grand total reconcilable against ungrouped revenue).
+
+    Plan: one star join (nation/part broadcast under AQE), one
+    (nation, brand)-keyed aggregate, a per-nation row_number over the
+    ALREADY-AGGREGATED brand grain (25 nations x |brands| rows — never
+    the fact table), then a regroup on the capped label. Ranking runs
+    on the dround'd per-brand revenue so rank ties resolve identically
+    in both engines (raw double sums can differ in the last ulp across
+    summation orders, which would flip rank order and move a brand in/
+    out of OTHER); the final revenue re-rounds the sum of those exact
+    2-dp values.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("brand_revenue")
+        )
+    )
+    w = Window.partitionBy("nation_name").orderBy(
+        F.col("brand_revenue").desc(), "brand"
+    )
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    label = F.when(F.col("rk") <= 3, F.col("brand")).otherwise(
+        F.lit("OTHER")
+    )
+    return (
+        ranked.groupBy("nation_name", label.alias("brand_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_brands"),
+            dround(F.sum("brand_revenue"), 2).alias("revenue"),
+        )
+        .orderBy("nation_name", F.col("revenue").desc(), "brand_label")
+    )

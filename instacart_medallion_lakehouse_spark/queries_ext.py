@@ -15,6 +15,7 @@ from .queries import _register, _t
 from .streaming.events import (
     dedup_stream,
     drain_to_batch,
+    hopping_counts_stream,
     read_events_stream,
     session_windows_stream,
     tumbling_counts_stream,
@@ -146,6 +147,37 @@ def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion — must equal the batch windowed_events byte for byte."""
     stream = read_events_stream(spark, sf_dir)
     return drain_to_batch(tumbling_counts_stream(stream), output_mode="complete")
+
+
+@_register(
+    "stream_hopping_events",
+    """
+    WITH panes AS (
+      -- hopping windows, size 2h / hop 1h: event ts belongs to exactly
+      -- the two hop-aligned starts {bucket_1h(ts), bucket_1h(ts) - 1h}
+      -- (s <= ts < s + 2h with s on the 1h grid)
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour',
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM panes
+    GROUP BY 1, 2
+    """,
+)
+def stream_hopping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hopping-window (2h window / 1h hop) aggregation over
+    readStream, drained to batch. Each event contributes to exactly two
+    overlapping panes; the oracle replays that as a UNION ALL of the
+    two hop-shifted tumbling bucketings."""
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_batch(hopping_counts_stream(stream), output_mode="complete")
 
 
 @_register(

@@ -1629,3 +1629,171 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency sketches: count-min heavy hitters, Zipf rank-frequency slope
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4  # independent hash rows
+_CMS_WIDTH = 512  # buckets per row
+
+
+def _cms_bucket(row: int, tok) -> "F.Column":
+    """Hash row ``row``'s bucket for a token: first 16 bits of
+    md5('{row}_' || tok) mod width — integer-exact, so the DuckDB twin
+    (('0x'||substr(md5(...),1,4))::INT % width) replays it bit for bit."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}_"), tok)), 1, 4), 16, 10
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+
+
+def _cms_bucket_sql(row: int, tok_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{row}_' || {tok_expr}), 1, 4))::INT"
+        f" % {_CMS_WIDTH})"
+    )
+
+
+@_register(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    exact AS (
+      SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, exact_count FROM exact
+      ORDER BY exact_count DESC, tok LIMIT 20
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT {i} AS row, {_cms_bucket_sql(i, 'tok')} AS bucket, tok FROM toks"
+        for i in range(_CMS_DEPTH)
+      )}
+    ),
+    sketch AS (
+      SELECT row, bucket, count(*) AS c FROM probes GROUP BY row, bucket
+    ),
+    est AS (
+      SELECT t.tok, min(s.c) AS cms_estimate
+      FROM top t
+      JOIN sketch s
+        ON ({" OR ".join(
+          f"(s.row = {i} AND s.bucket = {_cms_bucket_sql(i, 't.tok')})"
+          for i in range(_CMS_DEPTH)
+        )})
+      GROUP BY t.tok
+    )
+    SELECT t.tok AS tok,
+           CAST(t.exact_count AS BIGINT) AS exact_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate
+    FROM top t JOIN est e ON t.tok = e.tok
+    ORDER BY exact_count DESC, t.tok
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy audit: the corpus's top-20 tokens with
+    their exact counts next to the CMS estimate (depth 4 x width 512).
+
+    Completes the sketch family (HLL distinct, GK quantiles, Bloom join
+    pruning — COVERAGE.md) with the bounded-memory FREQUENCY sketch: at
+    100 TB the exact token-count table is vocabulary-sized (10^8+ rows,
+    a full shuffle to maintain), while the sketch is a fixed
+    depth*width integer grid a streaming job can hold per-executor and
+    merge by addition. The estimate is a provable OVERcount (min over
+    rows of a bucket that also absorbed colliding tokens), so the
+    audit's (exact, estimate) gap is the collision error at this
+    width — the sizing curve an operator reads before trusting the
+    sketch at production vocabulary sizes.
+
+    Plan: one explode feeds both faces; the sketch is a (row, bucket)
+    hash-aggregate capped at depth*width = 2048 rows (broadcast to the
+    probe join), and the exact side is a map-side-combined token count
+    + TakeOrdered(20). All hashing is md5-derived integers — the DuckDB
+    twin replays the identical sketch, so hash equality verifies the
+    estimates themselves, not just the shape.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), "tok").limit(20)
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_bucket(i, F.col("tok")).alias("bucket"),
+            )
+            for i in range(_CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        toks.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = top.select(
+        "tok", "exact_count", F.explode(entries).alias("e")
+    ).select("tok", "exact_count", F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.col("exact_count").desc(), "tok")
+    )
+
+
+@_register(
+    "zipf_slope",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 200
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(max(c) AS BIGINT) AS top_freq,
+           round(covar_pop(ln(r), ln(c)) / var_pop(ln(r)), 4) AS zipf_slope
+    FROM ranked
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: least-squares slope of log(frequency)
+    vs log(rank) over the top-200 tokens — natural text follows Zipf's
+    law (slope near -1); machine-generated or template-heavy corpora
+    flatten or steepen it, so the slope is a one-number drift alarm on
+    an ingest feed.
+
+    slope = covar_pop(ln r, ln c) / var_pop(ln r): the regression
+    aggregates run AFTER a TakeOrdered(200) cap, so the ranking window
+    orders 200 rows, not the vocabulary (bounded-by-contract, never the
+    single-partition global sort the full vocab would need). Rank ties
+    share the same frequency, so which token takes which rank cannot
+    change the (ln r, ln c) multiset — the slope is deterministic.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), "tok").limit(200)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
+    )
+    lr, lc = F.log(F.col("r")), F.log(F.col("c"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("c").alias("top_freq"),
+        dround(F.covar_pop(lr, lc) / F.var_pop(lr), 4).alias("zipf_slope"),
+    )

@@ -132,6 +132,40 @@ def tumbling_counts_stream(
     )
 
 
+def hopping_counts_stream(
+    events: DataFrame,
+    window: str = "2 hours",
+    hop: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked HOPPING (sliding) window aggregation: windows of
+    ``window`` length starting every ``hop``, so each event lands in
+    window/hop overlapping windows (2 here). The streaming counterpart
+    of a trailing-2h dashboard refreshed hourly.
+
+    Scale shape: F.window with a slide duplicates each row into its
+    window memberships BEFORE the shuffle — the state store holds one
+    running aggregate per (window, event_type), never per event, and
+    the watermark bounds how many window panes stay open. The batch
+    twin (queries_ext.stream_hopping_events oracle) is the UNION ALL of
+    the two hop-shifted tumbling bucketings.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, hop).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_windows_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
