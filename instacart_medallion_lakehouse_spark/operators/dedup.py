@@ -179,6 +179,72 @@ def ngram_jaccard_pairs(
     return _jaccard_from_common(common, sizes, id_col, threshold)
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup: ordered pairs where containment
+    C(A in B) = |A ∩ B| / |A| >= threshold — "most of A's shingles also
+    appear in B". Jaccard misses these when the container is much
+    larger (a doc quoted inside a 100x longer doc has J ~ |A|/|B| ~ 0
+    but containment ~ 1), so this is the quote / boilerplate-superset /
+    excerpt detector a curation pipeline runs NEXT TO resemblance
+    dedup, not instead of it.
+
+    Same one-pass inverted-index shape as ngram_jaccard_pairs: the
+    shingle self-join's per-pair row count IS the intersection, and the
+    two directed containments come from dividing by each side's set
+    size (broadcast) — the unordered intersection table is computed
+    once and emitted in both directions, so asymmetry costs no second
+    join. Scale path mirrors the Jaccard operator's prefix filter:
+    for C(A in B) >= t, A must share one of its first
+    |A| - ceil(t*|A|) + 1 rarity-ordered shingles with B, so the same
+    PPJoin-style pruning applies (on the contained side only).
+    """
+    ex = shingle_table(docs, n, id_col).cache()
+    ex.count()  # materialize before the self-join (see ngram_jaccard_pairs)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    common = (
+        ex.select(F.col(id_col).alias("_ida"), F.col("_sh"))
+        .join(ex.select(F.col(id_col).alias("_idb"), F.col("_sh")), "_sh")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .groupBy(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .join(
+            F.broadcast(
+                sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+            ),
+            "id_b",
+        )
+    )
+    directed = common.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("_common").cast("double") / F.col("_na").cast("double")).alias(
+            "_c"
+        ),
+    ).unionByName(
+        common.select(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            (
+                F.col("_common").cast("double") / F.col("_nb").cast("double")
+            ).alias("_c"),
+        )
+    )
+    return directed.select(
+        "contained_id", "container_id", dround(F.col("_c"), 6).alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
 def _jaccard_from_common(
     common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

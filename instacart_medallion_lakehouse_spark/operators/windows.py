@@ -170,3 +170,41 @@ def sessionize(
     return df.withColumn("_new_session", is_new).withColumn(
         "session_seq", F.sum("_new_session").over(running)
     ).drop("_new_session")
+
+
+def sliding_distinct_count(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    days: int = 7,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """EXACT distinct count over a trailing ``days``-day window per day
+    (e.g. trailing-7d active users) — the metric window frames cannot
+    express: ``count(DISTINCT x) OVER (RANGE ...)`` is unsupported in
+    Spark (and needs per-frame set state anywhere).
+
+    Contribution expansion instead: dedup to (key, day) pairs, explode
+    each pair to the ``days`` trailing window-end days it contributes
+    to, and countDistinct per window end. The expansion factor is the
+    window length over the DEDUPED daily grain — at 100 TB the
+    (key, day) dedup collapses the event stream (typically 100-1000x)
+    BEFORE the xN explode, so the shuffled volume is days x daily-actives,
+    not days x events. Output keeps only window ends that are observed
+    activity days (a day with zero events has no row, matching the raw
+    daily rollup's domain).
+    """
+    day = F.to_date(F.col(ts_col))
+    pairs = df.select(day.alias("_d"), F.col(key_col).alias("_k")).distinct()
+    observed = pairs.select(F.col("_d").alias("_day")).distinct()
+    contrib = pairs.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), days - 1))
+        ).alias("_day"),
+    )
+    return (
+        contrib.join(F.broadcast(observed), "_day", "semi")
+        .groupBy(F.col("_day").alias("day"))
+        .agg(F.countDistinct("_k").alias(out_col))
+    )

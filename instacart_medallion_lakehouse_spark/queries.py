@@ -191,7 +191,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     #   q21_waiting_suppliers, events_near_errors,
     #   blocklist_filter, hash_shuffled_export,
     #   cms_heavy_hitters, zipf_slope, stream_hopping_events,
-    #   top_brands_per_nation
+    #   top_brands_per_nation, containment_pairs, rolling_active_users,
+    #   winsorized_order_stats
     # Every other registry query then holds a green driver row from
     # r1-r4.
 )

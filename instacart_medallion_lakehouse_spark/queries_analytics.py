@@ -1544,3 +1544,112 @@ def top_brands_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_name", F.col("revenue").desc(), "brand_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct aggregation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    observed AS (SELECT DISTINCT d AS day FROM du),
+    contrib AS (
+      SELECT du.user_id, CAST(du.d + (t.i * INTERVAL 1 DAY) AS DATE) AS day
+      FROM du, range(0, 7) t(i)
+    )
+    SELECT c.day, count(DISTINCT c.user_id) AS active_users_7d
+    FROM contrib c JOIN observed o ON c.day = o.day
+    GROUP BY c.day
+    ORDER BY c.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    DISTINCT aggregation window frames cannot express (count(DISTINCT)
+    OVER RANGE is unsupported; per-frame set state would be needed).
+    Uses operators/windows.sliding_distinct_count: dedup to (user, day),
+    explode each pair to the 7 window ends it feeds, countDistinct per
+    end — shuffle volume is 7 x daily-actives after the dedup collapse,
+    never 7 x raw events."""
+    from .operators.windows import sliding_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        sliding_distinct_count(
+            ev, "ts", "user_id", days=7, out_col="active_users_7d"
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorized means
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "winsorized_order_stats",
+    """
+    WITH q AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderstatus
+    ),
+    clipped AS (
+      SELECT o.o_orderstatus,
+             greatest(least(o.o_totalprice, q.hi), q.lo) AS w
+      FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(floor(w * 100.0 + 0.5) AS BIGINT)) * 1.0
+                 / count(w) / 100.0, 4) AS winsorized_mean
+    FROM clipped
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-group mean: clip order totals to the group's
+    exact [p05, p95] (type-7 interpolated percentile — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree bit for bit on
+    identical inputs), then take the fixed-point mean of the clipped
+    values. Winsorizing is the data-cleaning step that keeps a fat-tail
+    sale or a corrupt price row from dragging a per-segment KPI; the
+    fixed-point mean (cents-quantized exact integer sum) is what makes
+    the result order-independent and therefore oracle-comparable.
+
+    Plan: one percentile aggregate per group (tiny), broadcast back to
+    the fact scan, clip in-row, one fixed-point aggregate — two
+    shuffles, no window, no sort of the fact table.
+    """
+    from .operators.aggs import avg_fixedpoint
+
+    orders = _t(spark, sf_dir, "orders")
+    q = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.05, 0.95))").alias("_q")
+    ).select(
+        "o_orderstatus",
+        F.col("_q")[0].alias("_lo"),
+        F.col("_q")[1].alias("_hi"),
+    )
+    clipped = orders.join(F.broadcast(q), "o_orderstatus").select(
+        "o_orderstatus",
+        F.greatest(F.least(F.col("o_totalprice"), F.col("_hi")), F.col("_lo")).alias(
+            "_w"
+        ),
+    )
+    return (
+        clipped.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            avg_fixedpoint(F.col("_w"), 100, 4).alias("winsorized_mean"),
+        )
+        .orderBy("o_orderstatus")
+    )

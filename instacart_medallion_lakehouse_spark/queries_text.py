@@ -1797,3 +1797,52 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_freq"),
         dround(F.covar_pop(lr, lc) / F.var_pop(lr), 4).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup (quote / excerpt / boilerplate-superset)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "containment_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh0 AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t
+    ),
+    sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh0 WHERE len(shingles) > 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT cm.id_a AS contained_id, cm.id_b AS container_id,
+             cm.c * 1.0 / sa.n AS _c
+      FROM common cm JOIN sizes sa ON cm.id_a = sa.doc_id
+      UNION ALL
+      SELECT cm.id_b, cm.id_a, cm.c * 1.0 / sb.n
+      FROM common cm JOIN sizes sb ON cm.id_b = sb.doc_id
+    )
+    SELECT contained_id, container_id,
+           round(_c, 6) AS containment
+    FROM directed
+    WHERE round(_c, 6) >= 0.6
+    ORDER BY contained_id, container_id
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: ordered (contained, container)
+    pairs with |A∩B|/|A| >= 0.6 over 3-token shingles. Catches what
+    resemblance (Jaccard) dedup structurally misses — a short doc quoted
+    inside a much longer one has J ~ 0 but containment ~ 1. See
+    operators/dedup.shingle_containment_pairs for the plan and the
+    PPJoin-style scale path."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.shingle_containment_pairs(
+        docs, n=3, threshold=0.6, id_col="doc_id"
+    ).orderBy("contained_id", "container_id")

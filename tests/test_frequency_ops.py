@@ -171,3 +171,121 @@ class TestTopBrandsPerNation:
         for r in queries_analytics.top_brands_per_nation(spark, sf_dir).collect():
             got[r["nation_name"]] = got.get(r["nation_name"], 0) + r["n_brands"]
         assert got == want
+
+
+class TestContainmentPairs:
+    def test_quote_detected_jaccard_blind(self, spark):
+        """A short doc verbatim inside a much longer one: containment of
+        the short side ~1.0 (detected) while Jaccard is far below any
+        dedup threshold (the resemblance family is structurally blind
+        to it)."""
+        from instacart_medallion_lakehouse_spark.operators import dedup
+
+        quote = "the quick brown fox jumps over the lazy dog"
+        filler = " ".join(f"w{i}" for i in range(200))
+        docs = spark.createDataFrame(
+            [(1, quote), (2, filler + " " + quote + " " + filler)],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in dedup.shingle_containment_pairs(docs, threshold=0.6).collect()
+        }
+        assert pairs.get((1, 2)) == 1.0
+        assert (2, 1) not in pairs  # the big doc is NOT contained in the quote
+        jacc = dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+        assert not jacc  # jaccard ~ |A|/|B| ~ 0.02: invisible to resemblance
+
+    def test_registry_rows_are_directed_and_thresholded(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_text import (
+            containment_pairs,
+        )
+
+        for r in containment_pairs(spark, sf_dir).collect():
+            assert r["containment"] >= 0.6
+            assert r["contained_id"] != r["container_id"]
+
+
+class TestSlidingDistinctCount:
+    def test_matches_bruteforce(self, spark):
+        import datetime as dt
+
+        from instacart_medallion_lakehouse_spark.operators.windows import (
+            sliding_distinct_count,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1 active on days 0, 1, 1 (dup), 9; user 2 on day 1
+            (base + dt.timedelta(days=0, hours=3), 1),
+            (base + dt.timedelta(days=1, hours=4), 1),
+            (base + dt.timedelta(days=1, hours=5), 1),
+            (base + dt.timedelta(days=9), 1),
+            (base + dt.timedelta(days=1, hours=6), 2),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        got = {
+            str(r["day"]): r["n_distinct"]
+            for r in sliding_distinct_count(df, "ts", "user_id", days=7).collect()
+        }
+        # observed days: 0, 1, 9. Trailing 7d: day0 -> {1}; day1 -> {1,2};
+        # day9 -> {1} (day1 activity is 8 days back, outside the window)
+        assert got == {"2024-01-01": 1, "2024-01-02": 2, "2024-01-10": 1}
+
+    def test_registry_bounds(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.io import read_events
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            rolling_active_users,
+        )
+
+        ev = read_events(spark, sf_dir)
+        daily_max = (
+            ev.groupBy(F.to_date("ts").alias("d"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        total_users = ev.select("user_id").distinct().count()
+        for r in rolling_active_users(spark, sf_dir).collect():
+            # 7d distinct is >= any single day's and <= the universe
+            assert daily_max is None or r["active_users_7d"] <= total_users
+            assert r["active_users_7d"] >= 1
+
+
+class TestWinsorizedStats:
+    def test_outlier_robustness(self, spark):
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            winsorized_order_stats,  # noqa: F401 — registry import sanity
+        )
+
+        # 19 sane prices + one absurd outlier: the p95 clip bounds the
+        # outlier's pull on the mean
+        rows = [("F", 100.0 + i) for i in range(19)] + [("F", 1_000_000.0)]
+        df = spark.createDataFrame(rows, "o_orderstatus string, o_totalprice double")
+        df.createOrReplaceTempView("_wins_probe")
+        q = df.groupBy("o_orderstatus").agg(
+            F.expr("percentile(o_totalprice, array(0.05, 0.95))").alias("_q")
+        ).select(
+            "o_orderstatus",
+            F.col("_q")[0].alias("_lo"),
+            F.col("_q")[1].alias("_hi"),
+        )
+        clipped = df.join(q, "o_orderstatus").select(
+            F.greatest(
+                F.least(F.col("o_totalprice"), F.col("_hi")), F.col("_lo")
+            ).alias("w")
+        )
+        wmean = clipped.agg(F.avg("w")).collect()[0][0]
+        raw = df.agg(F.avg("o_totalprice")).collect()[0][0]
+        assert raw > 50_000  # outlier dominates the raw mean
+        assert wmean < 60_000  # winsorized mean stays near the bulk
+
+    def test_registry_shape(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_analytics import (
+            winsorized_order_stats,
+        )
+
+        rows = winsorized_order_stats(spark, sf_dir).collect()
+        assert {r["o_orderstatus"] for r in rows} <= {"F", "O", "P"}
+        for r in rows:
+            assert r["winsorized_mean"] > 0
