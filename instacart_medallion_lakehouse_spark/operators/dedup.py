@@ -166,17 +166,40 @@ def ngram_jaccard_pairs(
         )
         return _verify_jaccard(cand, ex, id_col, threshold)
 
-    common = (
+    return _jaccard_from_common(
+        _pair_intersections(ex, id_col), sizes, id_col, threshold
+    )
+
+
+def _pair_intersections(ex: DataFrame, id_col: str) -> DataFrame:
+    """Unordered (id_a < id_b) shared-shingle counts via the inverted-
+    index self-join — each shared shingle contributes exactly one row,
+    so count(*) IS |A ∩ B|. The single source of the candidate-
+    intersection machinery (Jaccard and containment both build on it)."""
+    return (
         ex.select(F.col(id_col).alias("_ida"), F.col("_sh"))
-        .join(
-            ex.select(F.col(id_col).alias("_idb"), F.col("_sh")),
-            "_sh",
-        )
+        .join(ex.select(F.col(id_col).alias("_idb"), F.col("_sh")), "_sh")
         .filter(F.col("_ida") < F.col("_idb"))
         .groupBy(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_common"))
     )
-    return _jaccard_from_common(common, sizes, id_col, threshold)
+
+
+def _attach_sizes(common: DataFrame, sizes: DataFrame, id_col: str) -> DataFrame:
+    """Broadcast-join each side's shingle-set size onto the pair table
+    as _na / _nb (the size table is one row per doc — always the small
+    side)."""
+    return common.join(
+        F.broadcast(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+        ),
+        "id_b",
+    )
 
 
 def shingle_containment_pairs(
@@ -206,25 +229,7 @@ def shingle_containment_pairs(
     ex = shingle_table(docs, n, id_col).cache()
     ex.count()  # materialize before the self-join (see ngram_jaccard_pairs)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    common = (
-        ex.select(F.col(id_col).alias("_ida"), F.col("_sh"))
-        .join(ex.select(F.col(id_col).alias("_idb"), F.col("_sh")), "_sh")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .groupBy(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_common"))
-        .join(
-            F.broadcast(
-                sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
-            ),
-            "id_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
-            ),
-            "id_b",
-        )
-    )
+    common = _attach_sizes(_pair_intersections(ex, id_col), sizes, id_col)
     directed = common.select(
         F.col("id_a").alias("contained_id"),
         F.col("id_b").alias("container_id"),
@@ -253,18 +258,7 @@ def _jaccard_from_common(
         F.col("_na") + F.col("_nb") - F.col("_common")
     ).cast("double")
     return (
-        common.join(
-            F.broadcast(
-                sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
-            ),
-            "id_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
-            ),
-            "id_b",
-        )
+        _attach_sizes(common, sizes, id_col)
         .select("id_a", "id_b", dround(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -194,6 +194,11 @@ def sliding_distinct_count(
     activity days (a day with zero events has no row, matching the raw
     daily rollup's domain).
     """
+    if days < 1:
+        # F.sequence with stop < start silently generates a DESCENDING
+        # sequence — days=0 would attribute activity to the PAST instead
+        # of raising (same guard class as band_join's delta validation)
+        raise ValueError(f"days must be >= 1, got {days}")
     day = F.to_date(F.col(ts_col))
     pairs = df.select(day.alias("_d"), F.col(key_col).alias("_k")).distinct()
     observed = pairs.select(F.col("_d").alias("_day")).distinct()

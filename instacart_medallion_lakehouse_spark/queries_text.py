@@ -1720,7 +1720,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates themselves, not just the shape.
     """
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).cache()
+    toks.count()  # materialize: the exact side and the sketch side
+    # shuffle on different keys, so ReuseExchange cannot serve them from
+    # one scan — uncached, the corpus would be read + exploded twice
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     top = exact.orderBy(F.col("exact_count").desc(), "tok").limit(20)
 
@@ -1763,11 +1766,19 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM top
+    ),
+    q AS (
+      SELECT CAST(floor(ln(r) * 1000000.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT) AS y,
+             c
+      FROM ranked
     )
     SELECT CAST(count(*) AS BIGINT) AS n_terms,
            CAST(max(c) AS BIGINT) AS top_freq,
-           round(covar_pop(ln(r), ln(c)) / var_pop(ln(r)), 4) AS zipf_slope
-    FROM ranked
+           round((count(*) * sum(x * y) - sum(x) * sum(y)) * 1.0
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 4)
+             AS zipf_slope
+    FROM q
     """,
 )
 def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,12 +1788,18 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     flatten or steepen it, so the slope is a one-number drift alarm on
     an ingest feed.
 
-    slope = covar_pop(ln r, ln c) / var_pop(ln r): the regression
-    aggregates run AFTER a TakeOrdered(200) cap, so the ranking window
-    orders 200 rows, not the vocabulary (bounded-by-contract, never the
-    single-partition global sort the full vocab would need). Rank ties
+    Determinism discipline (same as daily_count_revenue_corr): NO float
+    moment aggregates — ln(r)/ln(c) are quantized to 1e-6 fixed-point
+    LONGs first, then slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) runs on
+    exact integer sums; the only float ops are the per-row ln+quantize
+    and ONE final division — both exactly rounded, so the oracle
+    matches bit for bit regardless of partitioning or summation order.
+    (Magnitudes: x,y ≤ ln(10¹²)·10⁶ < 3e7, n = 200 → nΣxy < 4e18, ΣxΣy
+    < 4e18 — inside int64; ln caps growth, so the bound holds at any
+    corpus size.) The regression runs AFTER a TakeOrdered(200) cap, so
+    the ranking window orders 200 rows, not the vocabulary. Rank ties
     share the same frequency, so which token takes which rank cannot
-    change the (ln r, ln c) multiset — the slope is deterministic.
+    change the (x, y) multiset — the slope is deterministic.
     """
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
@@ -1791,11 +1808,24 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top.withColumn(
         "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
     )
-    lr, lc = F.log(F.col("r")), F.log(F.col("c"))
-    return ranked.agg(
+
+    def _q(col):
+        return F.floor(F.log(col) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    q = ranked.select(
+        _q(F.col("r")).alias("x"), _q(F.col("c")).alias("y"), "c"
+    )
+    n = F.count(F.lit(1))
+    num = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).cast(
+        "double"
+    )
+    den = (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast(
+        "double"
+    )
+    return q.agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.max("c").alias("top_freq"),
-        dround(F.covar_pop(lr, lc) / F.var_pop(lr), 4).alias("zipf_slope"),
+        dround(num / den, 4).alias("zipf_slope"),
     )
 
 

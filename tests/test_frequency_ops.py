@@ -232,6 +232,19 @@ class TestSlidingDistinctCount:
         # day9 -> {1} (day1 activity is 8 days back, outside the window)
         assert got == {"2024-01-01": 1, "2024-01-02": 2, "2024-01-10": 1}
 
+    def test_rejects_nonpositive_days(self, spark):
+        """days=0 would make F.sequence run BACKWARD (stop < start
+        defaults the step to -1), silently attributing activity to the
+        past — must raise instead."""
+        from instacart_medallion_lakehouse_spark.operators.windows import (
+            sliding_distinct_count,
+        )
+
+        df = spark.createDataFrame([], "ts timestamp, user_id long")
+        for bad in (0, -3):
+            with pytest.raises(ValueError, match="days"):
+                sliding_distinct_count(df, "ts", "user_id", days=bad)
+
     def test_registry_bounds(self, spark, sf_dir):
         from instacart_medallion_lakehouse_spark.io import read_events
         from instacart_medallion_lakehouse_spark.queries_analytics import (
@@ -239,17 +252,23 @@ class TestSlidingDistinctCount:
         )
 
         ev = read_events(spark, sf_dir)
-        daily_max = (
-            ev.groupBy(F.to_date("ts").alias("d"))
+        daily = {
+            r["d"]: r["n"]
+            for r in ev.groupBy(F.to_date("ts").alias("d"))
             .agg(F.countDistinct("user_id").alias("n"))
-            .agg(F.max("n"))
-            .collect()[0][0]
-        )
+            .collect()
+        }
         total_users = ev.select("user_id").distinct().count()
-        for r in rolling_active_users(spark, sf_dir).collect():
-            # 7d distinct is >= any single day's and <= the universe
-            assert daily_max is None or r["active_users_7d"] <= total_users
-            assert r["active_users_7d"] >= 1
+        rolling = {
+            r["day"]: r["active_users_7d"]
+            for r in rolling_active_users(spark, sf_dir).collect()
+        }
+        assert set(rolling) == set(daily)  # window-end domain = observed days
+        for day, n in rolling.items():
+            # trailing-7d distinct is bounded below by the window-end
+            # day's own distinct count (a dropped contribution day would
+            # break this) and above by the user universe
+            assert daily[day] <= n <= total_users
 
 
 class TestWinsorizedStats:
@@ -262,7 +281,6 @@ class TestWinsorizedStats:
         # outlier's pull on the mean
         rows = [("F", 100.0 + i) for i in range(19)] + [("F", 1_000_000.0)]
         df = spark.createDataFrame(rows, "o_orderstatus string, o_totalprice double")
-        df.createOrReplaceTempView("_wins_probe")
         q = df.groupBy("o_orderstatus").agg(
             F.expr("percentile(o_totalprice, array(0.05, 0.95))").alias("_q")
         ).select(
