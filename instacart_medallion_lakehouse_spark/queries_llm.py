@@ -483,7 +483,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT vec_id, label,
-             [CAST(floor(x * 1000 + 0.5) AS BIGINT) for x in embedding] AS e
+             [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+              for x in embedding] AS e
       FROM embeddings
     ),
     comp AS (
@@ -562,8 +563,9 @@ _LM_BUCKET_CHARS = 4  # 16^4 = 65536 buckets for both unigram and bigram
     v AS (SELECT count(DISTINCT bb) AS vb FROM big)
     SELECT big.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(sum(round(-ln((c2.n2 + 1) * 1.0 / (c1.n1 + v.vb)), 6))
-                 / count(*), 4) AS avg_nll
+           round(sum(CAST(floor(-ln((c2.n2 + 1) * 1.0 / (c1.n1 + v.vb))
+                                * 1000000.0 + 0.5) AS BIGINT))
+                 * 1.0 / count(*) / 1000000.0, 4) AS avg_nll
     FROM big
     JOIN c2 ON big.bb = c2.bb
     JOIN c1 ON big.ub = c1.ub
@@ -582,8 +584,9 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the lead() window per doc and the final per-doc mean. Reported
     as log-perplexity (avg_nll) — exp() would add a second
     transcendental to the cross-engine surface for zero information.
-    ln() rounds at 6 dp per event before the 4 dp mean, the same libm
-    discipline as tfidf_top_terms/dsir_weights."""
+    Each event's nll is quantized to an exact 1e-6-unit integer before
+    the per-doc mean, so the sum is order-independent (a 6-dp DOUBLE
+    sum flipped a 4-dp rounding midpoint at sf0.1)."""
     docs = _t(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -637,19 +640,32 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped.filter(F.col("bb").isNotNull())
         .agg(F.count(F.lit(1)).alias("vb"))
     )
-    nll = dround(
-        -F.log((F.col("n2") + 1) * F.lit(1.0) / (F.col("n1") + F.col("vb"))),
-        6,
-    )
+    # per-event nll as an EXACT integer in 1e-6 units: summing 6-dp
+    # DOUBLES accumulates in engine-specific order (6-dp decimals are
+    # not exact in binary), and at sf0.1 a per-doc mean landed on a
+    # 4-dp rounding midpoint and flipped between engines — integer
+    # sums make the mean order-independent (same discipline as
+    # avg_fixedpoint / zipf_slope / daily_count_revenue_corr)
+    nll_e6 = F.floor(
+        -F.log((F.col("n2") + 1) * F.lit(1.0) / (F.col("n1") + F.col("vb")))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
     return (
         big.join(F.broadcast(c2), "bb")
         .join(F.broadcast(c1), "ub")
         .crossJoin(F.broadcast(v))
-        .select("doc_id", nll.alias("_nll"))
+        .select("doc_id", nll_e6.alias("_nll_e6"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            dround(F.sum("_nll") / F.count(F.lit(1)), 4).alias("avg_nll"),
+            dround(
+                F.sum("_nll_e6")
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_nll"),
         )
     )
 
