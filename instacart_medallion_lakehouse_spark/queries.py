@@ -113,88 +113,82 @@ def _register(name: str, oracle: str | None):
 # the WHOLE registry stays gated locally by tools/check_oracle.py
 # regardless of order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- round 4, part 0: the signature-layer BUILD runs before every
-    # consumer of the persisted store (minhash_lsh_dedup,
-    # lsh_bucket_profile, dedup_clusters, cluster_canonicals,
-    # minhash_estimate_error), so in ordered multi-query runs — the
-    # bench included — the shared build cost is attributed to this
-    # entry, not to whichever consumer happens first
+    # --- round 7, part 0: the signature-layer BUILD stays pinned first
+    # so that in ordered multi-query runs — the bench included — the
+    # persisted store's shared build cost is attributed to this entry,
+    # not to whichever consumer (minhash_lsh_dedup, lsh_bucket_profile,
+    # dedup_clusters, cluster_canonicals, minhash_estimate_error)
+    # happens to run first; keeping it in place also keeps per-query
+    # bench timings comparable across rounds.
     "minhash_signature_table",
-    # --- round 4, part 1: the 36 queries that have NEVER held a driver
-    # correctness row (VERDICT r3 #1 — judge-verified green out-of-band
-    # in r3, but the standing external signal must exist). After this
-    # round, lifetime driver coverage is every registered query.
-    "semantic_contamination",
-    "winnowing_fingerprints",
-    "long_run_overlap",
-    "consistent_sample_k",
-    "lsh_bucket_profile",
-    "stream_running_totals",   # rows-only by design
-    "price_percentiles_approx",  # rows-only by design
-    "triangle_count",
-    "pagerank_fuzzy",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q13_customer_distribution",
-    "stratified_sample",
-    "corpus_mixture",
-    "sequence_packing",
-    "funnel_steps",
-    "errors_in_sessions",
-    "key_skew_profile",
-    "decile_buckets",
-    "stream_enriched_totals",
-    "media_frame_samples",
-    "time_rollup_revenue",
-    "cohort_retention",
-    "unpivot_part_metrics",
-    "embedding_norms",
-    "urgent_customers_by_segment",
-    "scd2_user_states",
-    "revenue_trend_by_nation",
-    "forward_fill_values",
-    "daily_count_revenue_corr",
-    "user_burstiness",
-    "quality_resample",
-    "incremental_exact_dedup",
-    "doc_chunks",
-    "label_centroids",
-    "source_entropy",
-    # --- round 4, part 2: queries REWRITTEN this round, whose green
-    # r2/r3 rows describe the old plan — the new plans need fresh
-    # driver signal (grouping-sets LM fusion; persisted signature
-    # store; broadcast-iteration PageRank [above]; two-pass
-    # distributed global ranks)
-    "lm_perplexity",
-    "minhash_lsh_dedup",
-    "dedup_clusters",
-    "cluster_canonicals",
-    "revenue_gini",
-    "customer_quartiles",
-    "supplier_balance_ranks",
-    # --- round 4, part 3: queries NEW this round — first driver signal
-    "boilerplate_phrases",
-    "doc_boilerplate_ratio",
-    "minhash_estimate_error",
-    "mixture_temperature_weights",
-    "incremental_minhash_dedup",
-    "ann_pq_topk",
-    # The window is exactly 50 pins. ROTATION DEBT for round 5: the
-    # late round-4 additions did not fit and have no driver row yet
-    # (all green under tools/check_oracle.py at sf0.01) — pin them
-    # first next round, alongside anything round 5 rewrites:
-    #   cross_source_dup_matrix, source_quality_profile,
-    #   q2_min_cost_supplier, q4_priority_exists,
-    #   q9_profit_by_nation_year, q11_important_parts,
-    #   q12_priority_by_flag, q16_supplier_part_counts,
-    #   q19_disjunctive_revenue, q20_excess_suppliers,
-    #   q21_waiting_suppliers, events_near_errors,
-    #   blocklist_filter, hash_shuffled_export,
-    #   cms_heavy_hitters, zipf_slope, stream_hopping_events,
-    #   top_brands_per_nation, containment_pairs, rolling_active_users,
-    #   winsorized_order_stats
-    # Every other registry query then holds a green driver row from
-    # r1-r4.
+    # --- round 7, part 1: the 21 queries that have NEVER held a driver
+    # correctness row across r1-r6 (VERDICT r5/r6 item #1 — the late
+    # round-4 additions that did not fit the 50-slot window; all green
+    # under tools/check_oracle.py at sf0.01, but the standing external
+    # signal must exist). After this round, lifetime driver coverage is
+    # every registered query.
+    "cross_source_dup_matrix",
+    "source_quality_profile",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q12_priority_by_flag",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "events_near_errors",
+    "blocklist_filter",
+    "hash_shuffled_export",
+    "cms_heavy_hitters",
+    "zipf_slope",
+    "stream_hopping_events",
+    "top_brands_per_nation",
+    "containment_pairs",
+    "rolling_active_users",
+    "winsorized_order_stats",
+    # --- round 7, part 2: backfill with the LEAST-RECENTLY
+    # driver-checked queries (last driver row r2; computed by diffing
+    # CORRECTNESS_r01..r06 against the registry), alphabetical within
+    # the cohort. The §2-core scans/rollups/joins re-earn fresh rows
+    # here after sitting outside the window since round 2.
+    "ann_lsh_topk",
+    "ann_topk",
+    "asof_click_view",
+    "benchmark_contamination",
+    "bigram_topk",
+    "bronze_meta_scan",
+    "dedup_first",
+    "dim_customers_rollup",
+    "dim_parts_rollup",
+    "doc_fingerprint",
+    "duplicate_rate",
+    "enrich_case",
+    "fct_surrogate_key",
+    "json_extract",
+    "language_id",
+    "null_rate",
+    "null_safe_filter",
+    "pivot_status_revenue",
+    "q1_pricing_summary",
+    "quality_score",
+    "region_performance",
+    "region_performance_approx",
+    "region_performance_sql",
+    "repetition_ratio",
+    "return_velocity",
+    "ri_orphans",
+    "rollup_revenue",
+    "sessionize",
+    # The window is exactly 50 pins. ROTATION PLAN for round 8:
+    # continue the least-recently-checked backfill — the remaining r2
+    # cohort (simhash_dedup, star_enriched, stream_interval_join,
+    # stream_sessionize, stream_windowed_events, text_stats,
+    # token_count, top_k, union_all, windowed_events), then the r3
+    # cohort (ann_ivf_topk, ann_sq8_topk, bloom_pruned_join,
+    # cube_revenue, curated_docs_v2, daily_orders_zerofilled,
+    # dsir_weights, ...), plus anything round 8 rewrites.
 )
 
 
