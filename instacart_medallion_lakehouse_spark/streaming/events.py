@@ -444,17 +444,22 @@ def stream_to_versioned(
     Re-running a fully drained stream against the same checkpoint
     commits nothing (offsets already recorded), which is what makes a
     streaming pipeline + versioned gold layer safely re-runnable.
+
+    Each batch commits via versioned.append_versioned — a manifest-level
+    append that writes ONLY the batch's rows and references the prior
+    version's data dirs, so a B-batch drain does O(total rows) I/O. The
+    previous read-union-rewrite formulation rewrote the full accumulated
+    snapshot every micro-batch (O(B²) write amplification — 1+2+...+B
+    batch-sizes of parquet), which is a non-starter for a long-running
+    stream; periodic versioned.compact_versioned folds the accumulated
+    per-batch dirs back into right-sized files.
     """
-    from ..versioned import list_versions, read_versioned, write_versioned
+    from ..versioned import append_versioned
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return  # an empty batch must not commit a junk version
-        if list_versions(root):
-            current = read_versioned(batch_df.sparkSession, root)
-            write_versioned(current.unionByName(batch_df), root)
-        else:
-            write_versioned(batch_df, root)
+        append_versioned(batch_df, root)
 
     q = (
         streaming_df.writeStream.foreachBatch(commit_batch)

@@ -86,12 +86,25 @@ def list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def _manifest_dirs(manifest: dict) -> list[str]:
+    """Relative data dirs a manifest references, oldest first.
+
+    Snapshot commits record a single string; append commits
+    (append_versioned) record a LIST — the prior version's dirs plus
+    the appended batch's dir. Normalizing here keeps every reader and
+    maintenance job agnostic to which kind produced the version.
+    """
+    data = manifest["data"]
+    return [data] if isinstance(data, str) else list(data)
+
+
 def _committed_data_dirs(root: str) -> set[str]:
     """Absolute data-dir paths referenced by any committed manifest."""
     out = set()
     for v in list_versions(root):
         with open(_manifest_path(root, v)) as f:
-            out.add(os.path.normpath(os.path.join(root, json.load(f)["data"])))
+            for rel in _manifest_dirs(json.load(f)):
+                out.add(os.path.normpath(os.path.join(root, rel)))
     return out
 
 
@@ -159,6 +172,11 @@ def write_versioned(
         # disk layout instead of silently flattening it on rewrite
         "partition_by": list(partition_by) if partition_by else [],
     }
+    _publish_manifest(root, version, manifest)
+    return version
+
+
+def _publish_manifest(root: str, version: int, manifest: dict) -> None:
     final = _manifest_path(root, version)
     tmp = final + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -176,6 +194,69 @@ def write_versioned(
         )
     finally:
         os.unlink(tmp)
+
+
+def append_versioned(
+    df: DataFrame,
+    root: str,
+    validate=None,
+) -> int:
+    """Commit ``df`` APPENDED to the latest snapshot as the next version,
+    writing ONLY ``df``'s rows — the new manifest references the prior
+    version's data dirs plus one fresh dir for this batch.
+
+    This is the O(batch) commit a streaming sink needs: a B-batch drain
+    writes each row exactly once (B small dirs + B tiny manifests),
+    where a read-union-rewrite loop would write 1+2+...+B = O(B²) rows.
+    It is the same trick Delta's transaction log plays — an AddFile
+    commit, not a snapshot rewrite; pair with ``compact_versioned`` to
+    fold the accumulated small dirs back into right-sized files (that
+    rewrite commits a plain single-dir snapshot version, after which
+    appends resume on top of it).
+
+    The batch must carry the table's exact column set (any order —
+    columns are realigned by name, the unionByName contract); the
+    manifest pins the FIRST version's schema so readers see one stable
+    schema across every constituent dir. Bootstraps the table when no
+    version exists. Crash semantics are identical to write_versioned:
+    data first, manifest last, orphans invisible. The appended batch
+    inherits the table's recorded partition layout so partition pruning
+    keeps working across constituent dirs.
+    """
+    versions = list_versions(root)
+    if not versions:
+        return write_versioned(df, root, validate=validate)
+    with open(_manifest_path(root, versions[-1])) as f:
+        prior = json.load(f)
+    from pyspark.sql.types import StructType
+
+    table_schema = StructType.fromJson(prior["schema"])
+    if set(df.columns) != set(table_schema.fieldNames()):
+        raise ValueError(
+            f"append schema mismatch: table has "
+            f"{sorted(table_schema.fieldNames())}, batch has "
+            f"{sorted(df.columns)}"
+        )
+    df = df.select(*table_schema.fieldNames())
+    partition_by = prior.get("partition_by") or None
+
+    version = max(versions) + 1
+    data = _new_data_dir(root, version)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data)
+    if validate is not None:
+        validate()
+
+    manifest = {
+        "version": version,
+        "data": [*_manifest_dirs(prior), os.path.relpath(data, root)],
+        "committed_at": time.time(),
+        "schema": prior["schema"],
+        "partition_by": list(partition_by) if partition_by else [],
+    }
+    _publish_manifest(root, version, manifest)
     return version
 
 
@@ -205,7 +286,17 @@ def read_versioned(
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(manifest["schema"]))
-    return reader.parquet(os.path.join(root, manifest["data"]))
+    paths = [os.path.join(root, rel) for rel in _manifest_dirs(manifest)]
+    if len(paths) > 1 and manifest.get("partition_by"):
+        # Hive partition discovery refuses a multi-path scan whose roots
+        # are sibling constituent dirs (conflicting directory
+        # structures); per-dir scans unioned keep per-branch partition
+        # pruning and the pinned schema. Compaction bounds the fan-in.
+        from functools import reduce
+
+        parts = [reader.parquet(p) for p in paths]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+    return reader.parquet(*paths)
 
 
 def vacuum(
@@ -230,13 +321,27 @@ def vacuum(
 
     committed = list_versions(root)
     keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+    # Append commits SHARE data dirs with the versions they extend, so a
+    # dropped version's dirs are only reclaimable when no KEPT manifest
+    # still references them — exactly Delta's rule that VACUUM removes
+    # files no retained snapshot needs.
+    still_referenced: set[str] = set()
+    for v in keep:
+        with open(_manifest_path(root, v)) as f:
+            for rel in _manifest_dirs(json.load(f)):
+                still_referenced.add(os.path.normpath(os.path.join(root, rel)))
     removed = []
     for v in committed:
         if v not in keep:
             with open(_manifest_path(root, v)) as f:
-                data = os.path.join(root, json.load(f)["data"])
+                dirs = [
+                    os.path.normpath(os.path.join(root, rel))
+                    for rel in _manifest_dirs(json.load(f))
+                ]
             os.unlink(_manifest_path(root, v))
-            shutil.rmtree(data, ignore_errors=True)
+            for data in dirs:
+                if data not in still_referenced:
+                    shutil.rmtree(data, ignore_errors=True)
             removed.append(v)
     now = time.time()
     for path in _orphan_data_dirs(root):
@@ -286,12 +391,12 @@ def compact_versioned(
         raise FileNotFoundError(f"no committed versions under {root}")
     with open(_manifest_path(root, versions[-1])) as f:
         manifest = json.load(f)
-    data = os.path.join(root, manifest["data"])
     total = 0
-    for dirpath, _dirs, files in os.walk(data):
-        for name in files:
-            if name.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(dirpath, name))
+    for rel in _manifest_dirs(manifest):
+        for dirpath, _dirs, files in os.walk(os.path.join(root, rel)):
+            for name in files:
+                if name.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, name))
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = read_versioned(spark, root, versions[-1])
     # coalesce, not repartition: compaction must not pay a shuffle.

@@ -399,3 +399,136 @@ class TestDiffHashInjection:
         V.write_versioned(b, root)
         diff = V.diff_versions(spark, root, 1, 2, key=["id"]).collect()
         assert len(diff) == 1 and diff[0]["_op"] == "update"
+
+
+class TestAppendVersioned:
+    def test_append_writes_only_the_batch(self, spark, sf_dir, root):
+        """The manifest-level append: version N+1 references version N's
+        data dirs plus ONE fresh dir holding only the appended rows —
+        no rewrite of previously committed data."""
+        import glob
+
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        batch2 = region.selectExpr(
+            "r_regionkey + 100 as r_regionkey", "r_name"
+        ).limit(3)
+        assert V.append_versioned(region, root) == 1  # bootstrap
+        assert V.append_versioned(batch2, root) == 2
+        h = V.history(root)
+        assert isinstance(h[1]["data"], list) and len(h[1]["data"]) == 2
+        # v2's first dir IS v1's dir — shared, not copied
+        assert h[1]["data"][0] == h[0]["data"]
+        # the new dir holds ONLY the appended batch's rows
+        new_dir = f"{root}/{h[1]['data'][1]}"
+        assert spark.read.parquet(new_dir).count() == 3
+        assert (
+            V.read_versioned(spark, root).count() == region.count() + 3
+        )
+        # time travel still reaches the pre-append snapshot
+        assert V.read_versioned(spark, root, version=1).count() == region.count()
+
+    def test_append_realigns_columns_and_rejects_mismatch(
+        self, spark, sf_dir, root
+    ):
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        shuffled = region.select("r_name", "r_regionkey")
+        V.append_versioned(shuffled, root)
+        latest = V.read_versioned(spark, root)
+        assert latest.columns == region.columns
+        assert latest.count() == 2 * region.count()
+        bad = region.drop("r_name")
+        with pytest.raises(ValueError, match="append schema mismatch"):
+            V.append_versioned(bad, root)
+
+    def test_vacuum_keeps_dirs_shared_with_retained_versions(
+        self, spark, sf_dir, root
+    ):
+        """Dropping the pre-append version must NOT delete its data dir
+        while the retained append version still references it."""
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        V.append_versioned(region.limit(2), root)
+        shared = os.path.join(root, V.history(root)[0]["data"])
+        assert V.vacuum(root, keep_last=1) == [1]
+        assert os.path.isdir(shared)  # still referenced by v2
+        assert V.read_versioned(spark, root).count() == region.count() + 2
+        # once nothing references it, vacuum reclaims it: compact to a
+        # fresh single-dir snapshot, then drop the append version
+        V.compact_versioned(spark, root)
+        assert V.vacuum(root, keep_last=1) == [2]
+        assert not os.path.isdir(shared)
+        assert V.read_versioned(spark, root).count() == region.count() + 2
+
+    def test_compaction_folds_appended_dirs(self, spark, sf_dir, root):
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.append_versioned(region, root)
+        for _ in range(3):
+            V.append_versioned(region.limit(1), root)
+        v = V.compact_versioned(spark, root, target_file_bytes=1 << 30)
+        h = {e["version"]: e["data"] for e in V.history(root)}
+        assert isinstance(h[v], str)  # compaction commits a plain snapshot
+        assert V.read_versioned(spark, root).count() == region.count() + 3
+        # appends resume on top of the compacted snapshot
+        V.append_versioned(region.limit(1), root)
+        assert V.read_versioned(spark, root).count() == region.count() + 4
+
+    def test_partitioned_append_inherits_layout(self, spark, sf_dir, root):
+        import glob
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        V.write_versioned(orders, root, partition_by=["o_orderstatus"])
+        V.append_versioned(orders.limit(10), root)
+        h = V.history(root)
+        new_dir = f"{root}/{h[1]['data'][1]}"
+        # the batch dir is Hive-partitioned like the table
+        assert glob.glob(f"{new_dir}/o_orderstatus=*")
+        assert (
+            V.read_versioned(spark, root).count() == orders.count() + 10
+        )
+
+
+class TestStreamToVersionedScale:
+    def test_multi_batch_drain_writes_each_row_once(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The O(B) write-amplification contract: a B-batch drain lands
+        B data dirs whose parquet holds the input rows EXACTLY once in
+        total (the old read-union-rewrite sink wrote 1+2+...+B batch
+        volumes — O(B²))."""
+        import glob
+
+        from instacart_medallion_lakehouse_spark.streaming.events import (
+            stream_to_versioned,
+        )
+
+        src = str(tmp_path / "src")
+        base = (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .select("r_regionkey", "r_name")
+        )
+        base.repartition(4).write.parquet(src)
+        n_files = len(glob.glob(f"{src}/*.parquet"))
+        assert n_files >= 2  # the test needs a genuinely multi-batch drain
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        root = str(tmp_path / "tbl")
+        stream_to_versioned(stream, root, str(tmp_path / "ckpt"))
+        versions = V.list_versions(root)
+        assert len(versions) >= 2  # one commit per non-empty batch
+        assert V.read_versioned(spark, root).count() == base.count()
+        # every row on disk exactly once: total rows across ALL data
+        # dirs ever written == input rows (no snapshot rewrites)
+        data_dirs = glob.glob(f"{root}/_data/v*")
+        total = sum(spark.read.parquet(d).count() for d in data_dirs)
+        assert total == base.count()
+        # and time travel sees a strictly growing prefix
+        counts = [
+            V.read_versioned(spark, root, version=v).count() for v in versions
+        ]
+        assert counts == sorted(counts) and counts[-1] == base.count()
