@@ -34,6 +34,7 @@ from .functions.text import (
 )
 from .io import read_table, write_table
 from .operators.dedup import minhash_lsh_pairs
+from .pins import pin
 
 
 @dataclass
@@ -126,7 +127,7 @@ def contamination_flags(
     # sizes, corpus side) — pin it so the tokenize/posexplode/window/
     # distinct chain runs once, the same multi-consumer convention as
     # operators/dedup.py's ngram_jaccard_pairs / minhash_bands
-    ex = shingle_table(docs, 3, id_col).cache()
+    ex = pin(shingle_table(docs, 3, id_col))
     ex.count()
     bench = ex.filter(F.col(id_col) < bench_max_id).select(
         F.col(id_col).alias("bench_id"), "_sh"

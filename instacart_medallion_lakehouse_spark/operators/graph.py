@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..pins import pin, unpin
 
 
 def label_propagation(
@@ -89,7 +90,7 @@ def label_propagation(
     sym = edges.select(both.alias("_e")).select("_e.src", "_e.dst")
     if not edges_unique:
         sym = sym.distinct()
-    sym = sym.cache()
+    sym = pin(sym)
     sym.count()  # pinned: reused every round
 
     # Round 1 folded into initialization: on identity labels the update
@@ -99,6 +100,7 @@ def label_propagation(
         .agg(F.min("dst").alias("label"))
         .select(F.col("src").alias("node"), "label")
     )
+    checkpoint = None
     for i in range(1, iterations):
         rhs = F.broadcast(labels) if broadcast_labels else labels
         labels = (
@@ -108,8 +110,14 @@ def label_propagation(
             .select(F.col("src").alias("node"), "label")
         )
         if cache_every and (i + 1) % cache_every == 0 and i != iterations - 1:
-            labels = labels.cache()
+            labels = pin(labels)
             labels.count()  # bound lineage depth for deep propagation
+            if checkpoint is not None:
+                # the new checkpoint is materialized, so later rounds
+                # never re-read the superseded one — free it now instead
+                # of holding every checkpoint for the whole propagation
+                unpin(checkpoint)
+            checkpoint = labels
     # the LAST round is deliberately left lazy: the caller consumes the
     # result exactly once, so forcing a final materialization job would
     # only add fixed overhead

@@ -31,6 +31,7 @@ from .operators.aggs import avg_fixedpoint
 from .operators.cleanse import dedup_keep_first, enrich_events_time
 from .operators.joins import enriched_lineitem, orphan_rows
 from .operators.windows import sessionize
+from .pins import release_pins  # noqa: F401  (re-export: harness/tests)
 from .plans import marts
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -90,7 +91,22 @@ def _rewrite_rounds(sql: str) -> str:
 
 def _register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        import functools
+
+        from .pins import release_pins
+
+        @functools.wraps(fn)
+        def registry_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the cache pins left by PREVIOUSLY-run queries: a
+            # sequential sweep then holds at most one query's pins in
+            # executor storage (pins.py documents why release must
+            # happen on the NEXT query's entry, not this one's exit).
+            # Only the registry face is wrapped — direct module-level
+            # calls between queries (composition) never release.
+            release_pins()
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = registry_entry
         if oracle is not None:
             _ORACLE[name] = _rewrite_rounds(oracle)
         return fn

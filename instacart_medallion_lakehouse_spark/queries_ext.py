@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from .functions.scalar import dround
 from .operators.multimodal import extract_media_features, with_media
+from .pins import pin
 from .queries import _register, _t
 from .streaming.events import (
     dedup_stream,
@@ -1861,7 +1862,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fuzzy_name_pairs(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = edges.cache()
+    edges = pin(edges)
     edges.count()  # three consumers below
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -1944,21 +1945,21 @@ def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(both.alias("_e")).select(
         F.col("_e.s").alias("src"), F.col("_e.d").alias("dst")
     )
-    sym = sym.cache()
+    sym = pin(sym)
     sym.count()
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    deg = deg.cache()
+    deg = pin(deg)
     n_nodes = deg.count()
     damping = 0.85
     # static per-edge source outdegree, joined ONCE before the loop
-    sym_od = sym.join(
+    sym_od = pin(sym.join(
         F.broadcast(
             deg.select(F.col("node").alias("src"), F.col("outdeg").alias("_od"))
         ),
         "src",
-    ).cache()
+    ))
     sym_od.count()
     ranks = deg.select(
         "node", dround(F.lit(1.0) / F.lit(n_nodes), 8).alias("rank")

@@ -32,6 +32,7 @@ from .functions.scalar import dround
 from .functions.text import STOPWORDS, fingerprint, stopword_hits, tokens
 from .oracle_fragments import _NORM_SQL, _TOKS_SQL
 from .queries import _register, _t
+from .pins import pin
 
 # PII patterns — RE2-compatible (DuckDB) AND java.util.regex-compatible
 # (Spark): no backreferences, no lookaround, \b and \d mean the same
@@ -198,7 +199,8 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.substring(F.md5("t"), 1, _DSIR_BUCKET_CHARS).alias("b"),
         )
-    ).cache()
+    )
+    tok = pin(tok)
     tok.count()  # materialize before 4-consumer reuse (dedup.py convention)
     src = tok.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
     tgt = (

@@ -35,6 +35,7 @@ from .operators import dedup
 from .operators.graph import label_propagation
 from .queries import _register, _t
 from .oracle_fragments import _NGRAM_VERIFY_SQL, _TOKS_SQL, _minhash_ctes
+from .pins import pin
 
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling
@@ -390,7 +391,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_text import shared_minhash_bands
 
     docs = _t(spark, sf_dir, "documents")
-    ex = dedup.shingle_table(docs, 3, "doc_id").cache()
+    ex = pin(dedup.shingle_table(docs, 3, "doc_id"))
     ex.count()  # materialize before multi-consumer reuse (dedup.py note)
     pairs = dedup.minhash_lsh_pairs_from(
         ex, shared_minhash_bands(spark, sf_dir), threshold=0.5
