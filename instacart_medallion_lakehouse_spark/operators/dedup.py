@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import dround
 from ..functions.text import fingerprint, tokens
+from ..pins import pin
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -99,7 +100,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
-    prefix_filter: bool = False,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All pairs with n-token-shingle Jaccard >= threshold (exact).
 
@@ -118,7 +119,9 @@ def ngram_jaccard_pairs(
     table (one row per doc) broadcasts.
 
     Scale: a shingle shared by k docs still yields k·(k−1)/2 aggregate
-    inputs. ``prefix_filter=True`` switches candidate generation to
+    inputs. ``prefix_filter=True`` (the DEFAULT — the all-pairs form is
+    O(n²)-shaped on hot shingles and is only worth choosing on corpora
+    known to have no hot head) switches candidate generation to
     PPJoin-style prefix filtering — EXACT-OUTPUT-PRESERVING: order each
     doc's shingles by global rarity (document frequency asc, shingle),
     index only the first L = |S| − ⌈t·|S|⌉ + 1 of them, and self-join
@@ -129,7 +132,7 @@ def ngram_jaccard_pairs(
     the join. This is the 100 TB form of the exact algorithm;
     minhash_lsh_pairs is the cheaper approximate alternative.
     """
-    ex = shingle_table(docs, n, id_col).cache()
+    ex = pin(shingle_table(docs, n, id_col))
     ex.count()  # materialize BEFORE the self-join: a lazily-filled cache
     # races — both join sides would concurrently recompute the pipeline
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
@@ -226,7 +229,7 @@ def shingle_containment_pairs(
     |A| - ceil(t*|A|) + 1 rarity-ordered shingles with B, so the same
     PPJoin-style pruning applies (on the contained side only).
     """
-    ex = shingle_table(docs, n, id_col).cache()
+    ex = pin(shingle_table(docs, n, id_col))
     ex.count()  # materialize before the self-join (see ngram_jaccard_pairs)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     common = _attach_sizes(_pair_intersections(ex, id_col), sizes, id_col)
@@ -417,9 +420,9 @@ def minhash_bands(
     self-join sides (or the profile aggregate); a lazily-filled cache
     would race and recompute the 16-hash signature chain per consumer.
     """
-    ex = shingle_table(docs, n, id_col).cache()
+    ex = pin(shingle_table(docs, n, id_col))
     ex.count()  # materialize before multi-consumer reuse (see ngram note)
-    bands = band_table_from_shingles(ex, num_hashes, band_rows, id_col).cache()
+    bands = pin(band_table_from_shingles(ex, num_hashes, band_rows, id_col))
     bands.count()  # materialize before the self-join (see ngram note)
     return ex, bands
 
@@ -590,7 +593,7 @@ def simhash_pairs(
     """
     assert max_hamming <= 3, "4-byte banding guarantees recall only for <= 3"
     # pinned: the fingerprint table feeds both sides of the band self-join
-    sig = simhash_table(docs, id_col).cache()
+    sig = pin(simhash_table(docs, id_col))
     sig.count()  # materialize before the band self-join (see ngram note)
     bands = sig.select(
         F.col(id_col).alias("_id"),
