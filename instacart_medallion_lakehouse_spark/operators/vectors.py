@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dround
+from ..pins import pin
 
 QUANT_SCALE = 1000
 
@@ -505,7 +506,7 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    raw = _raw(emb, id_col, vec_col).cache()
+    raw = pin(_raw(emb, id_col, vec_col))
     # One bounded collect fetches init centroids AND query vectors, and
     # doubles as the cache-materializing action (a single consumer, so
     # no lazy-cache race): saves two standalone jobs at toy scale.
@@ -533,47 +534,64 @@ def ivf_topk(
         for qi, q in enumerate(q_ids)
         for j in np.argsort(d2[qi], kind="stable")[:probe]
     ]
-    spark = emb.sparkSession
-    probed_df = spark.createDataFrame(probed, "query_id long, _cid long")
-
-    # candidates: corpus vectors assigned to a probed cluster (not
-    # self). Already duplicate-free — assignment has one row per vector
-    # and (query, cluster) probes are unique — so no distinct shuffle
-    # (the oracle's SELECT DISTINCT is the same no-op in SQL form).
-    cand = (
-        F.broadcast(probed_df)
-        .join(_assignment(raw, cids, C), "_cid")
-        .select("query_id", F.col("_vid").alias("neighbor_id"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-
-    # exact cosine: broadcast the candidate list onto the pinned corpus,
-    # score each Arrow batch against the in-closure query matrix (row-
-    # wise exact dot products — same quantized-integer argument as
-    # brute_force_topk)
+    # Assignment AND scoring fused into ONE Arrow pass over the corpus
+    # (previously two mapInPandas stages bridged by a broadcast join:
+    # assign -> candidate list -> re-join the corpus -> score). The
+    # inverted probe map (cluster id -> positions of the queries probing
+    # it; <= k_clusters x probe entries) rides the closure, so each batch
+    # assigns its vectors with the same argmin as _assignment, keeps only
+    # clusters some query probes, and scores those vectors against the
+    # probing queries with one small GEMM — no shuffle, no second corpus
+    # scan, and at 100 TB the pass streams the corpus exactly once.
     qpos = {int(q): i for i, q in enumerate(q_ids)}
+    probe_map: dict[int, list[int]] = {}
+    for q, cid in probed:
+        probe_map.setdefault(cid, []).append(qpos[q])
+    probe_map_np = {c: np.array(idx, dtype=np.int64) for c, idx in probe_map.items()}
+    Ct = np.ascontiguousarray(C.T)
 
-    def score(batches):
+    def assign_score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            qi = np.array([qpos[q] for q in pdf["query_id"]], dtype=np.int64)
             mat = np.array(list(pdf["_q"]), dtype=np.float64)
+            vid = pdf["_vid"].to_numpy(dtype=np.int64)
             n2 = pdf["_n2"].to_numpy(dtype=np.float64)
-            ok = (q_n2[qi] > 0) & (n2 > 0)
-            dot = np.einsum("ij,ij->i", q_mat[qi], mat)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64)[ok],
-                    "neighbor_id": pdf["_vid"].to_numpy(dtype=np.int64)[ok],
-                    "_cos": (dot / np.sqrt(q_n2[qi] * n2))[ok],
-                }
-            )
+            # identical assignment rule to _assignment/_kmeans_fit:
+            # argmin of (n2c - 2 x.c), ties -> lowest centroid index
+            a = np.argmin(n2c[None, :] - 2.0 * (mat @ Ct), axis=1)
+            out_q, out_n, out_c = [], [], []
+            for j in np.unique(a):
+                qidx = probe_map_np.get(int(cids[j]))
+                if qidx is None:
+                    continue  # cluster no query probes: skip its vectors
+                sel = a == j
+                smat, svid, sn2 = mat[sel], vid[sel], n2[sel]
+                dots = smat @ q_mat[qidx].T  # (n_sel, n_probing_queries)
+                qq = np.broadcast_to(q_ids[qidx][None, :], dots.shape)
+                nn = np.broadcast_to(svid[:, None], dots.shape)
+                ok = (
+                    (sn2[:, None] > 0)
+                    & (q_n2[qidx][None, :] > 0)
+                    & (qq != nn)  # not self
+                )
+                denom = np.sqrt(np.outer(sn2, q_n2[qidx]))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(ok, dots / denom, 0.0)
+                out_q.append(qq[ok])
+                out_n.append(nn[ok])
+                out_c.append(cos[ok])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "_cos": np.concatenate(out_c),
+                    }
+                )
 
-    scored = (
-        raw.join(F.broadcast(cand), raw["_vid"] == cand["neighbor_id"])
-        .select("query_id", "_vid", "_q", "_n2")
-        .mapInPandas(score, "query_id long, neighbor_id long, _cos double")
+    scored = raw.mapInPandas(
+        assign_score, "query_id long, neighbor_id long, _cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), "neighbor_id")
     return (
@@ -679,7 +697,7 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    raw = _raw(emb, id_col, vec_col).cache()
+    raw = pin(_raw(emb, id_col, vec_col))
     # the fit's init collect is the cache-materializing action (single
     # consumer — no lazy-cache race); no standalone count() job needed
     cids, C = _kmeans_fit(raw, k_clusters, iterations)
@@ -690,11 +708,10 @@ def semantic_dedup(
     # pin the assignment output: it feeds BOTH the per-cluster scorer
     # and the final join's left side — uncached, the full mapInPandas
     # GEMM pass over the corpus would execute twice
-    prep = (
+    prep = pin(
         _assignment(raw, cids, C, passthrough=True)
         .filter(F.col("_n2") > 0)
         .withColumnRenamed("_vid", id_col)
-        .cache()
     )
     prep.count()  # materialize BEFORE the two consumers (lazy-cache race)
 
@@ -770,12 +787,12 @@ def sq8_topk(
     import pandas as pd
 
     prep = _prep(emb, id_col, vec_col)
-    coded = prep.select(
+    coded = pin(prep.select(
         F.col(id_col),
         F.col("_q"),
         F.col("_n2"),
         sq8_codes(F.col("_q"), F.col("_n2")).alias("_c8"),
-    ).cache()
+    ))
     coded.count()  # materialize before 4-consumer reuse (see dedup note)
     qrows = coded.filter(F.col(id_col) < query_ids_max).collect()
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
@@ -883,7 +900,7 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    raw = _raw(emb, id_col, vec_col).cache()
+    raw = pin(_raw(emb, id_col, vec_col))
     pre = raw.filter(F.col("_vid") < max(k_codes, query_ids_max)).collect()
     # degenerate corpora (no codebook-init vectors or no query vectors,
     # e.g. a shard whose ids all start above the contract range) return
