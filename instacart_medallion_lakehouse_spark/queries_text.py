@@ -30,6 +30,7 @@ from .functions.text import (
     tokens,
 )
 from .operators import dedup, vectors
+from .pins import pin
 from .queries import _register, _t, shared_table
 
 # --- shared SQL fragments (moved to oracle_fragments.py; re-exported) ------
@@ -316,6 +317,63 @@ def shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver scoring pass (curation.score_documents: quality
+    signals, predicted language, exact-dup fingerprint) as a persisted
+    store asset. The projection is pure per-document — its interpreted
+    higher-order array lambdas (tokenize, distinct-ratio, stopword
+    hits) are the cost — so one physical pass serves every curation
+    consumer; all scores are quantized/rounded doubles and round-trip
+    parquet exactly."""
+    from . import curation
+
+    return shared_table(
+        spark,
+        sf_dir,
+        "scored_docs",
+        lambda: curation.score_documents(_t(spark, sf_dir, "documents")),
+        # bump when tokens()/scoring weights/fingerprint change
+        token="score-v1",
+    )
+
+
+def shared_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rep_ratio) Gopher-style repetition signal as a persisted
+    store asset — the most-frequent-bigram share needs a full bigram
+    explode + two aggregates, worth paying once per corpus."""
+    from . import curation
+
+    return shared_table(
+        spark,
+        sf_dir,
+        "doc_repetition",
+        lambda: curation.repetition_table(_t(spark, sf_dir, "documents")),
+        token="bigram-rep-v1",
+    )
+
+
+def shared_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct contaminated doc_ids (>= 20% shingle overlap with a
+    benchmark doc, id < 10) as a persisted store asset: the flag set is
+    a pure function of the corpus and the (bench_max_id, threshold)
+    policy — staged, the curation plan replaces a full shingle build +
+    overlap join with a tiny parquet scan that broadcasts into the
+    anti-join."""
+    from . import curation
+
+    return shared_table(
+        spark,
+        sf_dir,
+        "contamination_flags",
+        lambda: curation.contamination_flags(
+            _t(spark, sf_dir, "documents"), bench_max_id=10,
+            overlap_threshold=0.2,
+        ),
+        # name the policy params: a different policy is a different asset
+        token="bench10-overlap0.2-3shingle-v1",
+    )
+
+
 def _sig_table_sql() -> str:
     cols = ", ".join(f"sig_{i}" for i in range(16))
     return f"""
@@ -340,7 +398,7 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("minhash_lsh_dedup", _minhash_sql(num_hashes=16, band_rows=2))
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id").cache()
+    ex = pin(dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id"))
     ex.count()  # materialize before multi-consumer reuse (dedup.py note)
     bands = shared_minhash_bands(spark, sf_dir)
     return dedup.minhash_lsh_pairs_from(ex, bands, threshold=0.5)
@@ -946,20 +1004,24 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-verified operator; this entry verifies the composition."""
     from . import curation
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = curation.score_documents(docs)
+    # every documents-derived stage that is a pure function of the
+    # corpus reads from the persisted store (scored silver layer,
+    # repetition signal, contamination flag set) — the plan here starts
+    # from three parquet scans instead of re-deriving each stage's
+    # explode/aggregate chain per run
+    scored = shared_scored_docs(spark, sf_dir)
     passed = scored.filter(F.col("quality_score") >= 0.5)
 
-    rep = curation.repetition_table(docs)
+    rep = shared_repetition(spark, sf_dir)
     repok = (
         passed.join(rep, "doc_id", "left")
         .filter(F.coalesce(F.col("rep_ratio"), F.lit(0.0)) <= 0.1)
         .drop("rep_ratio")
     )
-    flagged = curation.contamination_flags(
-        docs, bench_max_id=10, overlap_threshold=0.2
+    flagged = shared_contamination_flags(spark, sf_dir)
+    clean = repok.filter(F.col("doc_id") >= 10).join(
+        F.broadcast(flagged), "doc_id", "left_anti"
     )
-    clean = repok.filter(F.col("doc_id") >= 10).join(flagged, "doc_id", "left_anti")
 
     exact = curation.drop_exact_duplicates(clean)
     # pin the cleaned set: it feeds both the minhash pair generation and
@@ -970,7 +1032,7 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warm 8.5-10.7s — the pin wins in both regimes; the large cold
     # constant (~10s) is one-time codegen + Python-worker warmup of the
     # deepest plan in the registry, not recompute.
-    exact = exact.cache()
+    exact = pin(exact)
     exact.count()
     # Near-dedup rides the PERSISTED signature asset: a document's
     # MinHash signature is a function of its own text alone, so the
@@ -981,9 +1043,9 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the survivors (it needs their shingles anyway).
     ids = exact.select(F.col("doc_id").alias("_id"))
     bands = shared_minhash_bands(spark, sf_dir).join(ids, "_id", "semi")
-    ex = dedup.shingle_table(
+    ex = pin(dedup.shingle_table(
         exact.select("doc_id", "text"), 3, "doc_id"
-    ).cache()
+    ))
     ex.count()  # verify consumes it from two join sides
     pairs = dedup.minhash_lsh_pairs_from(ex, bands, threshold=0.8)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -1399,7 +1461,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). est is an exact k/16 rational on both engines; the error is
     computed from the two ROUNDED columns so the subtraction sees
     identical doubles."""
-    ex = dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id").cache()
+    ex = pin(dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id"))
     ex.count()  # materialize: feeds the candidate verify twice
     sig = shared_minhash_sigs(spark, sf_dir)  # stored asset, cheap scan
     bands = dedup.bands_from_signatures(sig, 16, 2, "doc_id")
@@ -1493,12 +1555,12 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — a batch doc with any match is a drop, its matches say why."""
     docs = _t(spark, sf_dir, "documents")
     gate = F.substring(F.md5(F.col("_id").cast("string")), 1, 2) < "cd"
-    bands = dedup.bands_from_signatures(
+    bands = pin(dedup.bands_from_signatures(
         shared_minhash_sigs(spark, sf_dir), 16, 2
-    ).cache()
+    ))
     bands.count()  # feeds both sides of the band-bucket join
     cand = dedup.lsh_candidate_pairs(bands.filter(~gate), bands.filter(gate))
-    ex = dedup.shingle_table(docs, 3, "doc_id").cache()
+    ex = pin(dedup.shingle_table(docs, 3, "doc_id"))
     ex.count()  # verify consumes it from two join sides
     return (
         dedup._verify_jaccard(cand, ex, "doc_id", threshold=0.5)
@@ -1540,7 +1602,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits the LSH candidate budget. avg_jaccard aggregates exact-integer
     micro-units so summation order cannot flip the rounding."""
     docs = _t(spark, sf_dir, "documents")
-    ex = dedup.shingle_table(docs, 3, "doc_id").cache()
+    ex = pin(dedup.shingle_table(docs, 3, "doc_id"))
     ex.count()  # materialize before multi-consumer reuse (dedup.py note)
     pairs = dedup.minhash_lsh_pairs_from(
         ex, shared_minhash_bands(spark, sf_dir), threshold=0.5
@@ -1605,10 +1667,7 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     score_documents projection the curation pipeline uses — no drift)
     + one aggregate; scores are x0.25-quantized so the fixed-point
     integer average is exact on both engines."""
-    from . import curation
-
-    docs = _t(spark, sf_dir, "documents")
-    scored = curation.score_documents(docs)
+    scored = shared_scored_docs(spark, sf_dir)
     cents = F.floor(F.col("quality_score") * 100.0 + F.lit(0.5)).cast("bigint")
     return (
         scored.groupBy("source")
@@ -1720,7 +1779,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates themselves, not just the shape.
     """
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).cache()
+    toks = pin(docs.select(F.explode(tokens(F.col("text"))).alias("tok")))
     toks.count()  # materialize: the exact side and the sketch side
     # shuffle on different keys, so ReuseExchange cannot serve them from
     # one scan — uncached, the corpus would be read + exploded twice
