@@ -49,67 +49,36 @@ class TestDriverWindow:
         # registry entries that did not fit)
         assert len(q._WINDOW_PRIORITY) == 50
 
-    def test_never_driver_checked_queries_fill_round4_window(self):
-        """Round 4's rotation contract (VERDICT r3 #1): every query with
-        no CORRECTNESS row in rounds 1-3 must sit inside the 50-entry
-        driver window this round."""
+    def test_never_driver_checked_queries_fill_round7_window(self):
+        """Round 7's rotation contract (VERDICT r5/r6 item #1): every
+        query with no driver CORRECTNESS row in rounds 1-6 must sit
+        inside the 50-entry driver window this round."""
         never_checked = (
-            "semantic_contamination",
-            "winnowing_fingerprints",
-            "long_run_overlap",
-            "consistent_sample_k",
-            "lsh_bucket_profile",
-            "stream_running_totals",
-            "price_percentiles_approx",
-            "triangle_count",
-            "pagerank_fuzzy",
-            "q6_forecast_revenue",
-            "q14_promo_revenue",
-            "q13_customer_distribution",
-            "stratified_sample",
-            "corpus_mixture",
-            "sequence_packing",
-            "funnel_steps",
-            "errors_in_sessions",
-            "key_skew_profile",
-            "decile_buckets",
-            "stream_enriched_totals",
-            "media_frame_samples",
-            "time_rollup_revenue",
-            "cohort_retention",
-            "unpivot_part_metrics",
-            "embedding_norms",
-            "urgent_customers_by_segment",
-            "scd2_user_states",
-            "revenue_trend_by_nation",
-            "forward_fill_values",
-            "daily_count_revenue_corr",
-            "user_burstiness",
-            "quality_resample",
-            "incremental_exact_dedup",
-            "doc_chunks",
-            "label_centroids",
-            "source_entropy",
+            "cross_source_dup_matrix",
+            "source_quality_profile",
+            "q2_min_cost_supplier",
+            "q4_priority_exists",
+            "q9_profit_by_nation_year",
+            "q11_important_parts",
+            "q12_priority_by_flag",
+            "q16_supplier_part_counts",
+            "q19_disjunctive_revenue",
+            "q20_excess_suppliers",
+            "q21_waiting_suppliers",
+            "events_near_errors",
+            "blocklist_filter",
+            "hash_shuffled_export",
+            "cms_heavy_hitters",
+            "zipf_slope",
+            "stream_hopping_events",
+            "top_brands_per_nation",
+            "containment_pairs",
+            "rolling_active_users",
+            "winsorized_order_stats",
         )
         window = set(list(q.queries())[:50])
         for name in never_checked:
             assert name in window, name
-
-    def test_round4_rewrites_in_window(self):
-        """Queries whose plans were rewritten in round 4 need fresh
-        driver signal — their older green rows describe the old plan."""
-        window = set(list(q.queries())[:50])
-        for name in (
-            "lm_perplexity",
-            "minhash_lsh_dedup",
-            "dedup_clusters",
-            "cluster_canonicals",
-            "revenue_gini",
-            "customer_quartiles",
-            "supplier_balance_ranks",
-        ):
-            assert name in window, name
-
 
 class TestTfidfRoundingMargin:
     def test_unrounded_scores_clear_the_4dp_boundary(self, spark, sf_dir):
