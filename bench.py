@@ -86,10 +86,11 @@ def main() -> None:
             materialize(fn(spark, SF_DIR))
             dt = time.perf_counter() - t0
             timings[name] = round(min(dt, timings.get(name, dt)), 3)
-            # release the query's internal pinned tables (LSH band tables,
-            # shingle tables, ...) — leaked cache entries degrade later
-            # queries' storage memory and skew their timings
-            spark.catalog.clearCache()
+            # a query's internal pins (LSH band tables, shingle tables,
+            # ...) are released by the NEXT registry invocation
+            # (queries._register -> pins.release_pins), so storage holds
+            # at most one query's pins — no harness-side clearCache mop
+        q.release_pins()  # the pass's final query has no successor
     total = round(sum(timings.values()), 3)
     spark.stop()
     q.clear_shared_store()  # drop the run-private store directory
@@ -118,9 +119,18 @@ def main() -> None:
         # only meaningful where a DuckDB twin exists and took >= 50ms
         # (below that the ratio measures scheduling floors, not plans)
         dq = duck.get("queries") or {}
-        detail["ratio_total"] = (
-            round(total / duck["total"], 3) if duck.get("total") else None
-        )
+        # ratio over the MATCHED query set (both engines timed it):
+        # summing the no-oracle queries into the numerator only would
+        # overstate the ratio (conservative but wrong as a statement)
+        matched = [n for n in timings if n in dq]
+        m_spark = sum(timings[n] for n in matched)
+        m_duck = sum(dq[n] for n in matched)
+        detail["ratio_total"] = round(m_spark / m_duck, 3) if m_duck else None
+        detail["ratio_matched_seconds"] = {
+            "spark": round(m_spark, 3),
+            "duckdb": round(m_duck, 3),
+            "n": len(matched),
+        }
         detail["ratios"] = {
             name: round(t / dq[name], 2)
             for name, t in timings.items()
@@ -199,15 +209,33 @@ def _compare_to_previous_round(timings, total, sf):
     if not rounds:
         return None
     n, path = max(rounds)
+    # Prefer the previous run's FULL per-query map: BENCH_DETAIL.json is
+    # written by the last bench run and read here BEFORE this run
+    # overwrites it. The stdout-parsed BENCH_r{N} map is truncated to
+    # the most expensive ~50 queries, which made every out-of-headline
+    # query show up as "new" and hid their regressions.
+    prev_total, prev_q, source = None, {}, None
     try:
-        with open(path) as f:
-            prev = json.load(f).get("parsed") or {}
-        prev_total = prev.get("value")
-        prev_q = prev.get("queries") or {}
-        if prev.get("sf") != sf or not isinstance(prev_total, (int, float)):
-            return None
+        with open(os.path.join(HERE, "BENCH_DETAIL.json")) as f:
+            d = json.load(f)
+        if d.get("sf") == sf and isinstance(d.get("value"), (int, float)):
+            prev_total, prev_q = d["value"], d.get("queries") or {}
+            source = "BENCH_DETAIL.json (previous run)"
     except (OSError, ValueError):
-        return None
+        pass
+    if prev_total is None:
+        try:
+            with open(path) as f:
+                prev = json.load(f).get("parsed") or {}
+            prev_total = prev.get("value")
+            prev_q = prev.get("queries") or {}
+            source = f"BENCH_r{n:02d}.json (truncated stdout map)"
+            if prev.get("sf") != sf or not isinstance(
+                prev_total, (int, float)
+            ):
+                return None
+        except (OSError, ValueError):
+            return None
     regressions = {
         name: {"prev": prev_q[name], "now": t}
         for name, t in timings.items()
@@ -215,6 +243,7 @@ def _compare_to_previous_round(timings, total, sf):
     }
     return {
         "round": n,
+        "source": source,
         "prev_total": prev_total,
         "delta_sec": round(total - prev_total, 3),
         "delta_pct": round((total - prev_total) / prev_total * 100, 1),
