@@ -310,18 +310,24 @@ def register_temp_views(spark: SparkSession, tables: dict[str, DataFrame]) -> No
 def _parquet_has_nanos_ts(path: str, col: str) -> bool:
     """Driver-side footer probe: does ``col`` carry the Parquet
     TIMESTAMP(NANOS) physical type (arrow ``timestamp[ns]``)? Accepts a
-    single file or a directory of part files (first footer wins — one
-    writer means one physical type)."""
+    single file or a directory tree of part files — including
+    Hive-partitioned layouts, whose part files live in nested
+    ``key=value`` subdirs (probing only the top level would silently
+    miss them, skip the nanosAsLong conf, and fail the read). First
+    footer wins — one writer means one physical type."""
     import pyarrow.parquet as pq
 
     probe = path
     if os.path.isdir(path):
-        parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        )
-        if not parts:
+        probe = None
+        for dirpath, dirs, files in os.walk(path):
+            dirs.sort()  # deterministic walk order
+            parts = sorted(f for f in files if f.endswith(".parquet"))
+            if parts:
+                probe = os.path.join(dirpath, parts[0])
+                break
+        if probe is None:
             return False
-        probe = os.path.join(path, parts[0])
     try:
         field = pq.read_schema(probe).field(col)
     except (KeyError, OSError):

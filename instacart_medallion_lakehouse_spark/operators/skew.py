@@ -45,9 +45,12 @@ def salted_join(
     # only fact-preserving join types are row-identical under salting:
     # the dim side is replicated num_salts×, so any type that keeps
     # UNMATCHED dim rows (right/full outer, right semi/anti) would emit
-    # each unmatched dim row once per salt instead of once
+    # each unmatched dim row once per salt instead of once. 'cross' is
+    # excluded too — the on=[key, _salt] clause would silently turn a
+    # requested cross join into an inner join (and an actual cross join
+    # has no key to salt)
     allowed = {"inner", "left", "leftouter", "leftsemi", "semi",
-               "leftanti", "anti", "cross"}
+               "leftanti", "anti"}
     if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join: how='{how}' is not fact-preserving — the "

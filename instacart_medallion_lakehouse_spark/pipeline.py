@@ -200,7 +200,12 @@ def run_silver(
         got = dict(obs.get)  # observed on the write pass, no re-scan
         n = int(got["n_rows"])
         for c in null_cols:
-            rate = round((got[f"nulls_{c}"] or 0) / n, 6) if n else 0.0
+            # compare the RAW rate — rounding first would let e.g.
+            # 0.0010004 sneak under a 0.001 threshold; the 6-dp form is
+            # for the message only (quality.check_null_rate keeps the
+            # reference's rounded-compare semantics, utils/quality.py:48;
+            # this pipeline gate is ours to make exact)
+            rate = (got[f"nulls_{c}"] or 0) / n if n else 0.0
             if rate > thresholds.null_rate_default:
                 raise quality.DataQualityError(
                     f"[silver] null rate {rate:.6f} on '{name}.{c}' exceeds "

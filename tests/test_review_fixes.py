@@ -331,3 +331,89 @@ class TestSqlAndIoReviewFixes:
             assert after == "true"
         else:
             assert after == before
+
+
+class TestRound7ReviewFixes:
+    """Round-6 verdict defects: salted_join 'cross' silently became an
+    inner join; the nanos-timestamp footer probe missed partitioned
+    (nested) parquet trees; the silver null-rate pipeline gate rounded
+    the rate before comparing, letting rate = threshold + epsilon pass."""
+
+    def test_salted_join_rejects_cross(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.operators.skew import salted_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        )
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(li, orders, "l_orderkey", how="cross")
+
+    def test_nanos_probe_finds_nested_part_files(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from instacart_medallion_lakehouse_spark.io import _parquet_has_nanos_ts
+
+        tbl = pa.table(
+            {"ts": pa.array([0, 1], type=pa.timestamp("ns")), "v": [1, 2]}
+        )
+        # Hive-partitioned layout: part files live in key=value subdirs,
+        # nothing at the top level
+        nested = tmp_path / "events" / "day=2024-01-01"
+        nested.mkdir(parents=True)
+        pq.write_table(tbl, str(nested / "part-00000.parquet"))
+        assert _parquet_has_nanos_ts(str(tmp_path / "events"), "ts")
+        # micros variant stays negative through the same nested walk
+        tbl_us = pa.table(
+            {"ts": pa.array([0, 1], type=pa.timestamp("us")), "v": [1, 2]}
+        )
+        nested2 = tmp_path / "events_us" / "day=2024-01-01"
+        nested2.mkdir(parents=True)
+        pq.write_table(tbl_us, str(nested2 / "part-00000.parquet"))
+        assert not _parquet_has_nanos_ts(str(tmp_path / "events_us"), "ts")
+        # empty dir: no footer, no claim
+        (tmp_path / "empty").mkdir()
+        assert not _parquet_has_nanos_ts(str(tmp_path / "empty"), "ts")
+
+    def test_silver_null_gate_compares_raw_rate(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """rate = 1/3 = 0.333333... vs threshold 0.333333: the rounded
+        compare (round(rate, 6) = threshold) passed; the raw compare
+        must raise."""
+        import dataclasses
+
+        from instacart_medallion_lakehouse_spark import quality
+
+        monkeypatch.setattr(pipeline, "_SILVER_KEYS", {"region": ["r_regionkey"]})
+        monkeypatch.setattr(
+            pipeline, "_NULL_GATE_COLS", {"region": ["r_regionkey"]}
+        )
+        monkeypatch.setattr(pipeline, "_RI_EDGES", [])
+        bronze = {
+            "region": spark.createDataFrame(
+                [(1, "A"), (2, "B"), (None, "C")],
+                "r_regionkey long, r_name string",
+            )
+            .withColumn("_ingested_at", F.current_timestamp())
+            .withColumn("_source_file", F.lit("t"))
+            .withColumn("_bronze_version", F.lit(1))
+        }
+        result = pipeline.PipelineResult()
+        result.bronze_counts["region"] = 3
+        thresholds = dataclasses.replace(
+            quality.DEFAULT_THRESHOLDS, null_rate_default=0.333333
+        )
+        with pytest.raises(DataQualityError, match="null rate"):
+            pipeline.run_silver(
+                spark, bronze, str(tmp_path / "lake"), result, thresholds
+            )
+        # comfortably under threshold still passes
+        ok = dataclasses.replace(
+            quality.DEFAULT_THRESHOLDS, null_rate_default=0.5
+        )
+        out = pipeline.run_silver(
+            spark, bronze, str(tmp_path / "lake2"), result, ok
+        )
+        assert out["region"].count() == 3
