@@ -1,0 +1,294 @@
+"""Pure numpy + stdlib image codecs: PNG, BMP, PPM/PGM.
+
+No PIL/cv2/ffmpeg exists in this environment, so the deep-codec entry
+points (multimodal.decode_image / resize_image) are implemented here
+from the format specs directly — stdlib ``zlib``/``struct`` plus numpy,
+nothing else. Coverage is the uncompressed/deflate family a training
+pipeline actually controls for its own intermediate assets:
+
+- PNG (the real thing): 8-bit, colour types 0/2/4/6, non-interlaced.
+  Decode walks the chunk stream, inflates the concatenated IDATs with
+  ``zlib`` and reverses the per-row filters (None/Sub/Up/Average/Paeth)
+  row-at-a-time over numpy vectors; encode writes filter-0 rows through
+  ``zlib.compress`` with genuine CRC32s. Round-trips bit-exactly.
+- BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up or top-down,
+  4-byte row padding, BGR<->RGB handled.
+- PPM (P6) / PGM (P5): binary netpbm, maxval 255.
+
+``resize`` is deterministic nearest-neighbor (pixel-center sampling) —
+the thumbnail/frame-sample planning math in multimodal.py picks the
+targets; this executes them. JPEG/video stay out of scope on purpose:
+DCT entropy decoding is a codec library's job, and those entry points
+keep their explicit NotImplementedError so callers can route
+JPEG-bearing rows to an environment that has one.
+
+The functions are scalar (payload -> array -> payload) by design: they
+run INSIDE mapInPandas batches (multimodal.materialize_thumbnails), so
+Spark parallelism comes from the Arrow batch stream, not from here.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CT_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("png: truncated chunk stream")
+        yield tag, data
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IEND":
+            return
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWxC uint8. 8-bit depth, colour types 0/2/4/6, no
+    interlace. Raises ValueError on anything else (palette images,
+    16-bit, Adam7) — explicit beats silently-wrong pixels."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    ihdr = None
+    idat = bytearray()
+    for tag, data in _png_chunks(payload):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("png: missing IHDR")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if depth != 8 or ct not in _PNG_CT_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"png: unsupported (depth={depth}, colour={ct}, "
+            f"interlace={interlace}); supported: 8-bit ct in {{0,2,4,6}}, "
+            "non-interlaced"
+        )
+    if not idat:
+        raise ValueError("png: no IDAT (header-only payload)")
+    ch = _PNG_CT_CHANNELS[ct]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: decompressed size does not match IHDR dims")
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(h):
+        cur = rows[y].astype(np.intp)
+        f = filters[y]
+        if f == 0:
+            line = cur
+        elif f == 1:  # Sub: left neighbor (same channel) — sequential
+            line = cur.copy()
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter {f}")
+        out[y] = line.astype(np.uint8)
+        prev = line
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWxC (C in 1/2/3/4) or HxW uint8 -> PNG (filter 0, real CRCs)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ct is None:
+        raise ValueError(f"png: cannot encode {ch}-channel array")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    rows = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * ch)], axis=1
+    )
+    idat = zlib.compress(rows.tobytes(), 6)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------------
+# BMP (24-bit uncompressed, BITMAPINFOHEADER)
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("bmp: bad signature")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("bmp: pre-BITMAPINFOHEADER formats unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"bmp: only 24-bit uncompressed (got bpp={bpp}, "
+                         f"compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("bmp: truncated pixel data")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                        offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.shape[2] == 4:
+        arr = arr[:, :, :3]
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pixel = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel), 2835,
+                    2835, 0, 0)
+    return header + pixel
+
+
+# --------------------------------------------------------------------------
+# PPM (P6) / PGM (P5)
+# --------------------------------------------------------------------------
+
+
+def _pnm_header(payload: bytes):
+    """Parse magic, width, height, maxval, returning data offset —
+    whitespace- and comment-tolerant per the netpbm spec."""
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("pnm: only binary P5/P6 supported")
+    w, h, maxval, off = _pnm_header(payload)
+    if maxval != 255:
+        raise ValueError(f"pnm: only maxval 255 supported (got {maxval})")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    if len(payload) - off < need:
+        raise ValueError("pnm: truncated pixel data")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        .reshape(h, w, ch)
+        .copy()
+    )
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch == 1:
+        magic = b"P5"
+    elif ch == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"pnm: cannot encode {ch}-channel array")
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+# --------------------------------------------------------------------------
+# dispatch + resize
+# --------------------------------------------------------------------------
+
+
+def decode(payload: bytes) -> np.ndarray:
+    """Sniff the container and decode to HxWxC uint8."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_pnm(payload)
+    raise ValueError("unsupported image container (supported: png/bmp/pnm)")
+
+
+def encode_like(arr: np.ndarray, payload: bytes) -> bytes:
+    """Re-encode ``arr`` in the same container family as ``payload``."""
+    if payload[:8] == _PNG_SIG:
+        return encode_png(arr)
+    if payload[:2] == b"BM":
+        return encode_bmp(arr)
+    return encode_pnm(arr)
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample (pixel-center sampling:
+    src = floor((dst + 0.5) * scale)), any channel count."""
+    h, w = arr.shape[:2]
+    if width <= 0 or height <= 0:
+        raise ValueError("resize: target dims must be positive")
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.intp),
+                    h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.intp),
+                    w - 1)
+    return arr[ys][:, xs]

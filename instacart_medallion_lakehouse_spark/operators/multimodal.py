@@ -21,12 +21,16 @@ decoding:
   sample_rate come from the payload bytes, and the SQL oracle
   recomputes the same values arithmetically from doc_id, so a parser
   bug is a cross-engine mismatch.
-- ``decode_image`` / ``resize_image`` / ``sample_frames`` are the
-  deep-codec entry points (pixel decode, resampling, frame
-  extraction), stubbed with NotImplementedError because no image/audio
-  libraries exist in this environment. The Spark-side contract
-  (schemas, batching, partitioning) is identical for the real
-  implementations — swap the stub body, keep the plumbing.
+- ``decode_image`` / ``resize_image`` are REAL for PNG / 24-bit BMP /
+  binary PPM+PGM — pure numpy + stdlib zlib codecs in
+  operators/imagecodec.py — and ``materialize_thumbnails`` executes the
+  thumbnail plan over those codecs as one mapInPandas pass with
+  quarantine semantics (undecodable rows carry the error, never kill
+  the stage). JPEG decode and video frame extraction
+  (``sample_frames``) remain explicit NotImplementedError: DCT entropy
+  coding and container demux need a codec library this environment
+  doesn't have, and the Spark-side contract (schemas, batching,
+  partitioning) is identical once one is plugged in.
 
 Scale notes: mapInPandas streams Arrow record batches through one
 Python worker per core with no shuffle; partition sizing is inherited
@@ -47,6 +51,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -288,26 +293,110 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(featurize, MEDIA_FEATURE_SCHEMA)
 
 
-# --- deep-codec entry points (stubbed: no media libraries in this env) -----
+# --- deep-codec entry points ------------------------------------------------
+# PNG/BMP/PPM/PGM decode + resize are REAL (pure numpy + stdlib zlib —
+# operators/imagecodec.py implements the format specs directly). JPEG
+# and video frame extraction stay explicit NotImplementedError: DCT
+# entropy decoding and container demuxing are a codec library's job
+# (no PIL/cv2/ffmpeg in this environment), and a loud error beats
+# silently-wrong pixels — route JPEG-bearing rows to an environment
+# that has one.
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to HxWxC uint8 pixels. Requires PIL/cv2
-    (header metadata needs no libs — see parse_media_header)."""
-    raise NotImplementedError(
-        "pixel decode requires PIL or cv2, not available in this environment; "
-        "plug the real decoder into extract_media_features' featurize"
-    )
+    """Decode an image payload to HxWxC uint8 pixels (numpy). Supports
+    PNG (8-bit ct 0/2/4/6 non-interlaced), 24-bit BMP, binary PPM/PGM;
+    raises ValueError for other containers (JPEG included) and for
+    header-only payloads with no pixel data."""
+    from .imagecodec import decode
+
+    return decode(bytes(payload))
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload. Requires PIL/cv2."""
-    raise NotImplementedError("image resize requires PIL or cv2")
+    """Resize an image payload with deterministic nearest-neighbor
+    sampling, re-encoded in the payload's own container family."""
+    from .imagecodec import decode, encode_like, resize_nearest
+
+    p = bytes(payload)
+    return encode_like(resize_nearest(decode(p), width, height), p)
 
 
 def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
-    """Sample every-nth frame from a video payload. Requires ffmpeg."""
+    """Sample every-nth frame from a video payload. Requires ffmpeg
+    bindings (container demux is out of pure-numpy scope); the planning
+    half — WHICH frames to pull — is plan_frame_samples."""
     raise NotImplementedError("frame sampling requires ffmpeg bindings")
+
+
+THUMBNAIL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("thumbnail", BinaryType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def materialize_thumbnails(
+    media: DataFrame, max_dim: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """EXECUTE the thumbnail plan: decode each image payload, resize to
+    the aspect-preserving target (same arithmetic as plan_thumbnails),
+    and re-encode in the source container — one mapInPandas pass, the
+    production shape for pixel work at scale (Arrow batches through
+    Python workers, no shuffle, no driver collection).
+
+    Rows whose container the pure-numpy codec can't decode (the
+    synthetic JPEGs, header-only payloads, audio/video) come back with
+    a NULL thumbnail and the decode error string — a corrupt or
+    unsupported payload must not kill a 100 TB pass, it must land in a
+    quarantine bucket the pipeline can route on.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import decode, encode_like, resize_nearest
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                rec = {
+                    "doc_id": doc_id,
+                    "format": None,
+                    "target_w": None,
+                    "target_h": None,
+                    "thumbnail": None,
+                    "decode_error": None,
+                }
+                try:
+                    payload = bytes(p) if p is not None else b""
+                    arr = decode(payload)
+                    h, w = arr.shape[:2]
+                    scale = max(w, h) / max_dim
+                    tw = max(1, int(w / scale)) if scale > 1 else w
+                    th = max(1, int(h / scale)) if scale > 1 else h
+                    rec["format"] = (
+                        "png" if payload[:8] == b"\x89PNG\r\n\x1a\n"
+                        else "bmp" if payload[:2] == b"BM"
+                        else "pnm"
+                    )
+                    rec["target_w"], rec["target_h"] = tw, th
+                    rec["thumbnail"] = encode_like(
+                        resize_nearest(arr, tw, th), payload
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    # semantics: ANY malformed payload (bad chunk
+                    # length -> zlib.error, short header -> struct
+                    # .error, format issues -> ValueError) routes to
+                    # the error column, never kills the pass
+                    rec["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=list(THUMBNAIL_SCHEMA.names))
+
+    return media.select(id_col, "payload").mapInPandas(run, THUMBNAIL_SCHEMA)
 
 
 # --- codec-free planning stages (real arithmetic over parsed headers) ------

@@ -98,18 +98,183 @@ class TestHeaderParser:
         assert multimodal.parse_media_header(b"")["format"] == "raw"
 
 
-class TestCodecStubs:
-    def test_decode_image_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\x89PNG")
+class TestImageCodecs:
+    """Pure numpy+zlib codecs (operators/imagecodec.py): PNG / 24-bit
+    BMP / binary PPM+PGM round-trip bit-exactly; resize is
+    deterministic nearest-neighbor; unsupported containers raise."""
 
-    def test_resize_image_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            multimodal.resize_image(b"", 10, 10)
+    @staticmethod
+    def _gradient(h, w, ch):
+        import numpy as np
 
-    def test_sample_frames_stubbed(self):
+        y, x = np.mgrid[0:h, 0:w]
+        base = (x * 7 + y * 13) % 256
+        return np.stack(
+            [(base + 31 * c) % 256 for c in range(ch)], axis=2
+        ).astype(np.uint8)
+
+    def test_png_roundtrip_all_colour_types(self):
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import imagecodec as ic
+
+        for ch in (1, 2, 3, 4):
+            arr = self._gradient(13, 17, ch)
+            out = ic.decode_png(ic.encode_png(arr))
+            assert out.shape == (13, 17, ch)
+            assert np.array_equal(out, arr)
+
+    def test_png_decode_handles_all_row_filters(self):
+        """Build a PNG whose rows use filters 0-4 explicitly (forward-
+        filter by hand), and check the decoder reverses each one."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import imagecodec as ic
+
+        arr = self._gradient(5, 9, 3)
+        h, w, ch = arr.shape
+        stride = w * ch
+        flat = arr.reshape(h, stride).astype(int)
+        raw = bytearray()
+        for y in range(h):
+            f = y % 5
+            raw.append(f)
+            prev = flat[y - 1] if y else np.zeros(stride, dtype=int)
+            for x in range(stride):
+                cur = flat[y][x]
+                a = flat[y][x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if (x >= ch and y) else 0
+                if f == 0:
+                    v = cur
+                elif f == 1:
+                    v = cur - a
+                elif f == 2:
+                    v = cur - b
+                elif f == 3:
+                    v = cur - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    v = cur - pred
+                raw.append(v & 0xFF)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+        def chunk(tag, data):
+            crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(ic.decode_png(payload), arr)
+
+    def test_bmp_roundtrip_with_row_padding(self):
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import imagecodec as ic
+
+        # w=5 -> 15-byte rows padded to 16: exercises the padding path
+        arr = self._gradient(4, 5, 3)
+        out = ic.decode_bmp(ic.encode_bmp(arr))
+        assert np.array_equal(out, arr)
+
+    def test_pnm_roundtrip_and_comment_tolerance(self):
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import imagecodec as ic
+
+        rgb = self._gradient(3, 4, 3)
+        grey = self._gradient(3, 4, 1)
+        assert np.array_equal(ic.decode_pnm(ic.encode_pnm(rgb)), rgb)
+        assert np.array_equal(ic.decode_pnm(ic.encode_pnm(grey)), grey)
+        commented = b"P6\n# a comment\n4 3\n255\n" + rgb.tobytes()
+        assert np.array_equal(ic.decode_pnm(commented), rgb)
+
+    def test_resize_nearest_deterministic(self):
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import imagecodec as ic
+
+        arr = self._gradient(8, 8, 3)
+        small = ic.resize_nearest(arr, 4, 4)
+        assert small.shape == (4, 4, 3)
+        # pixel-center sampling: dst (0,0) samples src (1,1)
+        assert np.array_equal(small[0, 0], arr[1, 1])
+        # identity resize is exact
+        assert np.array_equal(ic.resize_nearest(arr, 8, 8), arr)
+
+    def test_decode_image_and_resize_image_entry_points(self):
+        from instacart_medallion_lakehouse_spark.operators import imagecodec as ic
+
+        arr = self._gradient(32, 48, 3)
+        png = ic.encode_png(arr)
+        decoded = multimodal.decode_image(png)
+        assert decoded.shape == (32, 48, 3)
+        thumb = multimodal.resize_image(png, 12, 8)
+        assert thumb[:8] == b"\x89PNG\r\n\x1a\n"  # same container family
+        assert ic.decode(thumb).shape == (8, 12, 3)
+
+    def test_unsupported_containers_raise_value_error(self):
+        with pytest.raises(ValueError):
+            multimodal.decode_image(b"\xff\xd8\xff\xc0 jpeg-ish")
+        with pytest.raises(ValueError):
+            # header-only synthetic PNG (no IDAT) must be loud, not junk
+            multimodal.decode_image(
+                b"\x89PNG\r\n\x1a\n" + b"\x00" * 17
+            )
+
+    def test_sample_frames_still_stubbed(self):
         with pytest.raises(NotImplementedError):
             multimodal.sample_frames(b"")
+
+
+class TestMaterializeThumbnails:
+    def test_thumbnails_decode_resize_and_quarantine(self, spark):
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import imagecodec as ic
+
+        y, x = np.mgrid[0:40, 0:64]
+        arr = np.stack([(x % 256), (y % 256), ((x + y) % 256)], axis=2).astype(
+            np.uint8
+        )
+        rows = [
+            (1, bytearray(ic.encode_png(arr))),
+            (2, bytearray(ic.encode_bmp(arr))),
+            (3, bytearray(ic.encode_pnm(arr))),
+            (4, bytearray(b"\xff\xd8\xff\xc0 not decodable")),
+            (5, None),
+        ]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {
+            r["doc_id"]: r
+            for r in multimodal.materialize_thumbnails(media, max_dim=16)
+            .collect()
+        }
+        assert len(out) == 5
+        for i, fmt in ((1, "png"), (2, "bmp"), (3, "pnm")):
+            r = out[i]
+            assert r["decode_error"] is None and r["format"] == fmt
+            # 64x40 -> max dim 16 keeps aspect: 16x10
+            assert (r["target_w"], r["target_h"]) == (16, 10)
+            thumb = ic.decode(bytes(r["thumbnail"]))
+            assert thumb.shape[:2] == (10, 16)
+        # quarantine rows: null thumbnail + the error, stage survived
+        assert out[4]["thumbnail"] is None and out[4]["decode_error"]
+        assert out[5]["thumbnail"] is None and out[5]["decode_error"]
 
 
 class TestPlanningStages:
