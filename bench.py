@@ -86,11 +86,14 @@ def main() -> None:
             materialize(fn(spark, SF_DIR))
             dt = time.perf_counter() - t0
             timings[name] = round(min(dt, timings.get(name, dt)), 3)
-            # a query's internal pins (LSH band tables, shingle tables,
-            # ...) are released by the NEXT registry invocation
-            # (queries._register -> pins.release_pins), so storage holds
-            # at most one query's pins — no harness-side clearCache mop
-        q.release_pins()  # the pass's final query has no successor
+            # this harness KNOWS the query is consumed here, so it
+            # releases the query's internal pins (LSH band tables,
+            # shingle tables, ...) through the documented library API —
+            # OUTSIDE the timer. Leaving them to the next registry
+            # invocation's automatic release (the library's safety net)
+            # would bill the async unpersist churn to the next query's
+            # measured window.
+            q.release_pins()
     total = round(sum(timings.values()), 3)
     spark.stop()
     q.clear_shared_store()  # drop the run-private store directory

@@ -95,12 +95,21 @@ def shingle_table(docs: DataFrame, n: int, id_col: str) -> DataFrame:
     )
 
 
+# auto-switch point for PPJoin prefix filtering: below this many
+# exploded (doc, shingle) rows the all-pairs inverted index wins (the
+# prefix path's document-frequency ranking adds a window pass + two
+# joins of fixed overhead — measured 3x slower at sf0.1's 260k rows);
+# above it, hot-shingle blowup dominates and the prefix prune is the
+# only exact shape that survives (at 100 TB corpora this is always on)
+_PREFIX_AUTO_THRESHOLD = 5_000_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """All pairs with n-token-shingle Jaccard >= threshold (exact).
 
@@ -119,10 +128,13 @@ def ngram_jaccard_pairs(
     table (one row per doc) broadcasts.
 
     Scale: a shingle shared by k docs still yields k·(k−1)/2 aggregate
-    inputs. ``prefix_filter=True`` (the DEFAULT — the all-pairs form is
-    O(n²)-shaped on hot shingles and is only worth choosing on corpora
-    known to have no hot head) switches candidate generation to
-    PPJoin-style prefix filtering — EXACT-OUTPUT-PRESERVING: order each
+    inputs. ``prefix_filter`` defaults to AUTO (None): the materialized
+    shingle count — free, it is the pin-materializing action — picks
+    the all-pairs inverted index below _PREFIX_AUTO_THRESHOLD rows and
+    PPJoin prefix filtering above it, so toy/test corpora keep the
+    cheap shape while anything at real scale gets the O(n²)-safe one.
+    Both shapes are EXACT; pass True/False to force. ``True`` switches
+    candidate generation to PPJoin-style prefix filtering: order each
     doc's shingles by global rarity (document frequency asc, shingle),
     index only the first L = |S| − ⌈t·|S|⌉ + 1 of them, and self-join
     those prefixes. Any pair with J ≥ t must share a prefix shingle (if
@@ -133,8 +145,11 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs is the cheaper approximate alternative.
     """
     ex = pin(shingle_table(docs, n, id_col))
-    ex.count()  # materialize BEFORE the self-join: a lazily-filled cache
-    # races — both join sides would concurrently recompute the pipeline
+    n_shingles = ex.count()  # materialize BEFORE the self-join: a lazily-
+    # filled cache races — both join sides would concurrently recompute
+    # the pipeline; the count doubles as the auto-switch signal
+    if prefix_filter is None:
+        prefix_filter = n_shingles > _PREFIX_AUTO_THRESHOLD
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
 
     if prefix_filter:
