@@ -1199,9 +1199,15 @@ def long_run_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import shingle_table
 
     docs = _t(spark, sf_dir, "documents")
-    runs = shingle_table(docs, _RUN_N, "doc_id").select(
-        "doc_id", F.md5(F.col("_sh")).alias("h")
+    # pin: the two self-join sides project DIFFERENT aliases, so
+    # ReuseExchange cannot serve them from one shuffle — uncached, the
+    # whole posexplode+window run-build pipeline executes twice
+    runs = pin(
+        shingle_table(docs, _RUN_N, "doc_id").select(
+            "doc_id", F.md5(F.col("_sh")).alias("h")
+        )
     )
+    runs.count()  # materialize before the self-join (lazy-cache race)
     a = runs.select(F.col("doc_id").alias("id_a"), "h")
     b = runs.select(F.col("doc_id").alias("id_b"), "h")
     return (
