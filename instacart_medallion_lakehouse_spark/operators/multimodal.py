@@ -329,6 +329,74 @@ def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
     raise NotImplementedError("frame sampling requires ffmpeg bindings")
 
 
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def extract_audio_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio-length features from the payload bytes: a REAL RIFF chunk
+    walk (not a fixed 44-byte offset — WAVs may carry LIST/fact chunks
+    before ``data``) finds the ``fmt `` and ``data`` chunks, then
+    n_samples = data bytes / (channels x bytes-per-sample) and
+    duration_ms = n_samples x 1000 / rate, all integer-exact. The
+    training-data use is duration filtering/bucketing without decoding
+    a single sample. Non-WAV or NULL payloads yield NULL stats — same
+    quarantine convention as materialize_thumbnails."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(AUDIO_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                rec = {
+                    "doc_id": doc_id,
+                    "channels": None,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "duration_ms": None,
+                }
+                payload = bytes(p) if p is not None else b""
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    pos, fmt, data_len = 12, None, None
+                    while pos + 8 <= len(payload):
+                        cid = payload[pos : pos + 4]
+                        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+                        if cid == b"fmt ":
+                            fmt = payload[pos + 8 : pos + 8 + clen]
+                        elif cid == b"data":
+                            # the header's claimed length IS the data
+                            # size (the payload may be truncated on
+                            # disk; duration comes from the claim, the
+                            # same thing ffprobe reports)
+                            data_len = clen
+                            break
+                        pos += 8 + clen + (clen & 1)  # chunks pad to even
+                    if fmt is not None and len(fmt) >= 16 and data_len is not None:
+                        (ch,) = struct.unpack_from("<H", fmt, 2)
+                        (rate,) = struct.unpack_from("<I", fmt, 4)
+                        (bits,) = struct.unpack_from("<H", fmt, 14)
+                        bytes_per = ch * (bits // 8)
+                        if bytes_per and rate:
+                            n = data_len // bytes_per
+                            rec.update(
+                                channels=ch,
+                                sample_rate=rate,
+                                n_samples=n,
+                                duration_ms=n * 1000 // rate,
+                            )
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 THUMBNAIL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.scalar import dround
-from .operators.multimodal import extract_media_features, with_media
+from .operators.multimodal import (
+    extract_audio_stats,
+    extract_media_features,
+    with_media,
+)
 from .pins import pin
 from .queries import _register, _t
 from .streaming.events import (
@@ -121,6 +125,38 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces as a cross-engine mismatch."""
     docs = _t(spark, sf_dir, "documents")
     return extract_media_features(with_media(docs))
+
+
+@_register(
+    "audio_durations",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN text IS NOT NULL
+                     THEN 1 + doc_id % 2 END AS INT) AS channels,
+           CAST(CASE WHEN text IS NOT NULL
+                     THEN 8000 * (1 + doc_id % 4) END AS INT) AS sample_rate,
+           CAST(octet_length(encode(text))
+                // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_samples,
+           CAST((octet_length(encode(text)) // (2 * (1 + doc_id % 2)))
+                * 1000 // (8000 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
+    FROM documents
+    WHERE doc_id % 3 = 1
+    """,
+)
+def audio_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duration/bucketing features parsed from the WAV payload
+    BYTES: a RIFF chunk walk locates the fmt and data chunks, then
+    n_samples and duration_ms come from the data chunk's byte length
+    and the fmt fields (operators/multimodal.extract_audio_stats) —
+    the duration-filter pass a speech-training pipeline runs without
+    decoding one sample. The oracle derives the same integers
+    arithmetically from doc_id and the utf-8 body length, so a header
+    writer/parser disagreement (field offset, endianness, chunk
+    padding) is a cross-engine mismatch. NULL-text docs carry NULL
+    payloads -> NULL stats on both faces."""
+    docs = _t(spark, sf_dir, "documents")
+    media = with_media(docs).filter(F.col("media_type") == "audio")
+    return extract_audio_stats(media)
 
 
 # ---------------------------------------------------------------------------

@@ -1218,6 +1218,104 @@ def long_run_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dup_span_coverage",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, len(t) AS n_tokens FROM t WHERE len(t) >= 1),
+    runs AS (
+      SELECT doc_id, i AS s,
+             md5(array_to_string(list_slice(t, i, i + {_RUN_N - 1}), ' ')) AS h
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_RUN_N - 2})) AS i
+            FROM t)
+    ),
+    duph AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM runs
+                     GROUP BY h)
+      WHERE c >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT r.doc_id, r.s + u.j AS p
+      FROM runs r JOIN duph USING (h) CROSS JOIN range(0, {_RUN_N}) u(j)
+    ),
+    covn AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+    SELECT tok.doc_id, tok.n_tokens,
+           CAST(coalesce(covn.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           round(coalesce(covn.n_dup_tokens, 0) * 1.0 / tok.n_tokens, 4)
+             AS dup_ratio
+    FROM tok LEFT JOIN covn ON tok.doc_id = covn.doc_id
+    """,
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL-side metric of substring-level training-data dedup
+    (Lee et al.): per document, how many token positions are covered by
+    at least one {_RUN_N}-token run that also appears verbatim in some
+    OTHER document. long_run_overlap detects the pairs; this measures
+    the per-doc damage — the quantity a span-removal pass would delete
+    and the triage signal for source-level boilerplate.
+
+    Shape: the positioned run table (posexplode + lead window, the
+    shingle_table form with positions kept) self-aggregates to the
+    cross-doc-duplicated hash set (hash, never text, shuffles), a semi
+    join keeps only duplicated runs, and coverage is explode(sequence)
+    -> distinct positions -> count. The sequence explode is x{_RUN_N}
+    on DUPLICATED runs only — at 100 TB the duplicated set is the
+    small output of the dedup index, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("_pos")
+    parts = [F.col("_tok")] + [
+        F.lead("_tok", i).over(w_ord) for i in range(1, _RUN_N)
+    ]
+    runs = pin(
+        ex.select(
+            "doc_id",
+            "_pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    runs.count()  # two consumers: the dup-hash aggregate and the semi join
+    duph = (
+        runs.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h")
+    )
+    cov = (
+        runs.join(duph, "h", "semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(_RUN_N - 1))
+            ).alias("_p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    n_tok = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return n_tok.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+        dround(
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            * F.lit(1.0)
+            / F.col("n_tokens"),
+            4,
+        ).alias("dup_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fixed-size consistent sampling + LSH bucket diagnostics
 # ---------------------------------------------------------------------------

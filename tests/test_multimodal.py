@@ -374,3 +374,40 @@ class TestBinaryFileIngest:
         out = read_media_dir(spark, str(d), glob="*.bin")
         with pytest.raises(Exception, match="naming convention"):
             out.count()
+
+
+class TestAudioStats:
+    def test_chunk_walk_handles_extra_chunks_and_quarantines(self, spark):
+        import struct as st
+
+        from instacart_medallion_lakehouse_spark.operators.multimodal import (
+            extract_audio_stats,
+        )
+
+        def wav(ch, rate, bits, data, extra_chunk=False):
+            fmt = st.pack(
+                "<HHIIHH", 1, ch, rate, rate * ch * (bits // 8),
+                ch * (bits // 8), bits,
+            )
+            chunks = b"fmt " + st.pack("<I", len(fmt)) + fmt
+            if extra_chunk:  # LIST chunk BEFORE data: offset-44 parsers break
+                chunks += b"LIST" + st.pack("<I", 5) + b"INFOX" + b"\x00"
+            chunks += b"data" + st.pack("<I", len(data)) + data
+            return (
+                b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+            )
+
+        rows = [
+            (1, bytearray(wav(2, 16000, 16, b"\x00" * 64000))),  # 1000 ms
+            (2, bytearray(wav(1, 8000, 16, b"\x00" * 4000, extra_chunk=True))),
+            (3, bytearray(b"not audio at all")),
+            (4, None),
+        ]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in extract_audio_stats(media).collect()}
+        assert (out[1]["channels"], out[1]["sample_rate"]) == (2, 16000)
+        assert out[1]["n_samples"] == 16000 and out[1]["duration_ms"] == 1000
+        # the chunk walk skips the LIST chunk (a fixed-offset-44 parse
+        # would read garbage here)
+        assert out[2]["n_samples"] == 2000 and out[2]["duration_ms"] == 250
+        assert out[3]["n_samples"] is None and out[4]["n_samples"] is None

@@ -244,3 +244,34 @@ class TestLongRunOverlap:
         assert (1, 2) in pairs  # the verbatim passage is caught
         assert pairs[(1, 2)] >= 25 - 20 + 1  # every window inside it
         assert not any(3 in k for k in pairs)
+
+
+class TestDupSpanCoverage:
+    def test_coverage_counts_cross_doc_runs_only(self, spark):
+        from instacart_medallion_lakehouse_spark.queries import _QUERIES
+
+        # 25-token docs: doc 1 and 2 share their first 22 tokens (runs
+        # at starts 0,1,2 duplicated -> positions 0..21 covered); doc 3
+        # is disjoint; doc 4 repeats a run WITHIN itself only (not
+        # cross-doc -> not counted)
+        shared = " ".join(f"w{i}" for i in range(22))
+        rows = [
+            (1, shared + " a1 a2 a3"),
+            (2, shared + " b1 b2 b3"),
+            (3, " ".join(f"z{i}" for i in range(25))),
+            (4, " ".join(f"r{i % 20}" for i in range(40))),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        import instacart_medallion_lakehouse_spark.queries_text  # noqa: F401
+        fn = _QUERIES["dup_span_coverage"]
+        import os
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.parquet(os.path.join(d, "documents.parquet"))
+            out = {r["doc_id"]: r for r in fn(spark, d).collect()}
+        assert out[1]["n_tokens"] == 25 and out[1]["n_dup_tokens"] == 22
+        assert out[2]["n_dup_tokens"] == 22
+        assert out[1]["dup_ratio"] == 0.88
+        assert out[3]["n_dup_tokens"] == 0 and out[3]["dup_ratio"] == 0.0
+        # within-doc repetition alone is NOT cross-doc duplication
+        assert out[4]["n_dup_tokens"] == 0
