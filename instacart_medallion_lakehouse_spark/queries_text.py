@@ -1316,6 +1316,129 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_spans_text",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, t, len(t) AS n_tokens FROM t WHERE len(t) >= 1),
+    runs AS (
+      SELECT doc_id, i AS s,
+             md5(array_to_string(list_slice(t, i, i + {_RUN_N - 1}), ' ')) AS h
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_RUN_N - 2})) AS i
+            FROM t)
+    ),
+    duph AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM runs
+                     GROUP BY h)
+      WHERE c >= 2
+    ),
+    keeprun AS (
+      SELECT r.doc_id, r.s FROM runs r JOIN duph USING (h)
+      WHERE r.doc_id > (SELECT min(r2.doc_id) FROM runs r2
+                        WHERE r2.h = r.h)
+    ),
+    cov AS (
+      SELECT DISTINCT k.doc_id, k.s + u.j AS p
+      FROM keeprun k CROSS JOIN range(0, {_RUN_N}) u(j)
+    ),
+    pos AS (
+      SELECT tok.doc_id, u.p + 1 AS p, t[u.p + 1] AS w
+      FROM tok CROSS JOIN LATERAL unnest(range(0, n_tokens)) u(p)
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.w
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+      WHERE cov.p IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(w, ' ' ORDER BY p)) AS kept_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tok.doc_id, tok.n_tokens,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           agg.kept_md5
+    FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+    """,
+)
+def dedup_spans_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass of substring-level dedup (Lee et al.): delete
+    every token position covered by a {_RUN_N}-token run that appears
+    verbatim in a LOWER-id document (the canonical copy keeps its
+    text — without a canonicality rule both copies would lose the
+    span), and emit the surviving token count plus the md5 of the
+    space-rejoined cleaned text. Hashing keeps the compared output
+    narrow while still pinning the exact reconstruction — a
+    off-by-one in coverage or a join-order wobble in the rejoin flips
+    the hash. A doc whose every token is covered comes back n_kept=0,
+    kept_md5 NULL.
+
+    Shape: the same positioned run table as dup_span_coverage (pinned),
+    a min-doc-per-hash aggregate to pick canonicals (hash shuffles,
+    never text), coverage explode on the non-canonical duplicated runs
+    only, an anti join from the token stream, and one ordered
+    collect_list per doc — the per-doc sort rides the final groupBy
+    shuffle, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("_pos")
+    parts = [F.col("_tok")] + [
+        F.lead("_tok", i).over(w_ord) for i in range(1, _RUN_N)
+    ]
+    runs = pin(
+        ex.select(
+            "doc_id",
+            "_pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    runs.count()  # consumers: per-hash min-doc aggregate + coverage join
+    # per-hash canonical owner and cross-doc-dup flag in ONE aggregate
+    hstat = runs.groupBy("h").agg(
+        F.min("doc_id").alias("_min_doc"),
+        F.countDistinct("doc_id").alias("_nd"),
+    )
+    keeprun = runs.join(
+        hstat.filter(F.col("_nd") >= 2), "h"
+    ).filter(F.col("doc_id") > F.col("_min_doc"))
+    cov = keeprun.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("_pos"), F.col("_pos") + F.lit(_RUN_N - 1))
+        ).alias("_p"),
+    ).distinct()
+    kept = ex.join(
+        cov,
+        (ex["doc_id"] == cov["doc_id"]) & (ex["_pos"] == cov["_p"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    n_tok = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return n_tok.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        "kept_md5",
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Fixed-size consistent sampling + LSH bucket diagnostics
 # ---------------------------------------------------------------------------

@@ -275,3 +275,34 @@ class TestDupSpanCoverage:
         assert out[3]["n_dup_tokens"] == 0 and out[3]["dup_ratio"] == 0.0
         # within-doc repetition alone is NOT cross-doc duplication
         assert out[4]["n_dup_tokens"] == 0
+
+
+class TestDedupSpansText:
+    def test_canonical_keeps_text_duplicate_loses_span(self, spark):
+        import hashlib
+        import os
+        import tempfile
+
+        from instacart_medallion_lakehouse_spark.queries import _QUERIES
+
+        shared = " ".join(f"w{i}" for i in range(22))
+        rows = [
+            (1, shared + " a1 a2 a3"),  # canonical (min doc id): untouched
+            (2, shared + " b1 b2 b3"),  # loses positions 0..21
+            (3, " ".join(f"z{i}" for i in range(25))),  # disjoint: untouched
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        import instacart_medallion_lakehouse_spark.queries_text  # noqa: F401
+        fn = _QUERIES["dedup_spans_text"]
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.parquet(os.path.join(d, "documents.parquet"))
+            out = {r["doc_id"]: r for r in fn(spark, d).collect()}
+
+        def h(text):
+            return hashlib.md5(text.encode()).hexdigest()
+
+        assert out[1]["n_kept"] == 25
+        assert out[1]["kept_md5"] == h(rows[0][1])  # canonical untouched
+        assert out[2]["n_kept"] == 3
+        assert out[2]["kept_md5"] == h("b1 b2 b3")  # span removed, tail kept
+        assert out[3]["n_kept"] == 25 and out[3]["kept_md5"] == h(rows[2][1])
