@@ -200,6 +200,7 @@ def append_versioned(
     df: DataFrame,
     root: str,
     validate=None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` APPENDED to the latest snapshot as the next version,
     writing ONLY ``df``'s rows — the new manifest references the prior
@@ -222,20 +223,53 @@ def append_versioned(
     data first, manifest last, orphans invisible. The appended batch
     inherits the table's recorded partition layout so partition pruning
     keeps working across constituent dirs.
+
+    ``merge_schema=True`` is Delta's mergeSchema contract: the batch may
+    ADD columns (the new manifest's schema is table fields + new fields,
+    in that order) and may OMIT existing ones (read back as NULL). Old
+    versions keep their own recorded schema — time travel sees the
+    table as it was. A column present on both sides must keep its exact
+    type; widening casts are the caller's job (an implicit cast here
+    would silently rewrite history's semantics).
     """
     versions = list_versions(root)
     if not versions:
         return write_versioned(df, root, validate=validate)
     with open(_manifest_path(root, versions[-1])) as f:
         prior = json.load(f)
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     table_schema = StructType.fromJson(prior["schema"])
-    if set(df.columns) != set(table_schema.fieldNames()):
+    schema_json = prior["schema"]
+    if merge_schema:
+        table_fields = {f.name: f for f in table_schema.fields}
+        for bf in df.schema.fields:
+            tf = table_fields.get(bf.name)
+            if tf is not None and tf.dataType != bf.dataType:
+                raise ValueError(
+                    f"append type conflict on '{bf.name}': table has "
+                    f"{tf.dataType.simpleString()}, batch has "
+                    f"{bf.dataType.simpleString()} — cast explicitly"
+                )
+        merged = StructType(
+            list(table_schema.fields)
+            + [bf for bf in df.schema.fields if bf.name not in table_fields]
+        )
+        df = df.select(
+            *[
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged.fields
+            ]
+        )
+        table_schema, schema_json = merged, merged.jsonValue()
+    elif set(df.columns) != set(table_schema.fieldNames()):
         raise ValueError(
             f"append schema mismatch: table has "
             f"{sorted(table_schema.fieldNames())}, batch has "
-            f"{sorted(df.columns)}"
+            f"{sorted(df.columns)} (merge_schema=True to evolve)"
         )
     df = df.select(*table_schema.fieldNames())
     partition_by = prior.get("partition_by") or None
@@ -253,7 +287,7 @@ def append_versioned(
         "version": version,
         "data": [*_manifest_dirs(prior), os.path.relpath(data, root)],
         "committed_at": time.time(),
-        "schema": prior["schema"],
+        "schema": schema_json,
         "partition_by": list(partition_by) if partition_by else [],
     }
     _publish_manifest(root, version, manifest)

@@ -532,3 +532,40 @@ class TestStreamToVersionedScale:
             V.read_versioned(spark, root, version=v).count() for v in versions
         ]
         assert counts == sorted(counts) and counts[-1] == base.count()
+
+
+class TestAppendSchemaEvolution:
+    def test_merge_schema_adds_columns_nulls_old_rows(
+        self, spark, sf_dir, root
+    ):
+        from pyspark.sql import functions as F
+
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        batch = region.limit(2).withColumn("r_tier", F.lit("gold"))
+        with pytest.raises(ValueError, match="merge_schema=True to evolve"):
+            V.append_versioned(batch, root)
+        V.append_versioned(batch, root, merge_schema=True)
+        latest = V.read_versioned(spark, root)
+        assert latest.columns == [*region.columns, "r_tier"]
+        tiers = [r["r_tier"] for r in latest.collect()]
+        assert tiers.count("gold") == 2  # the evolved batch
+        assert tiers.count(None) == region.count()  # pre-evolution rows
+        # time travel sees the table AS IT WAS
+        assert "r_tier" not in V.read_versioned(spark, root, version=1).columns
+        # a later batch may OMIT the evolved column (reads back NULL)
+        V.append_versioned(region.limit(1), root, merge_schema=True)
+        assert V.read_versioned(spark, root).filter(
+            "r_tier IS NULL"
+        ).count() == region.count() + 1
+
+    def test_merge_schema_rejects_type_conflict(self, spark, sf_dir, root):
+        from pyspark.sql import functions as F
+
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        bad = region.limit(1).withColumn(
+            "r_regionkey", F.col("r_regionkey").cast("string")
+        )
+        with pytest.raises(ValueError, match="type conflict"):
+            V.append_versioned(bad, root, merge_schema=True)
