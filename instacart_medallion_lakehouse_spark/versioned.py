@@ -252,9 +252,19 @@ def append_versioned(
                     f"{tf.dataType.simpleString()}, batch has "
                     f"{bf.dataType.simpleString()} — cast explicitly"
                 )
+        from pyspark.sql.types import StructField
+
+        # an evolution-added column MUST be recorded nullable whatever
+        # the batch says: every pre-evolution dir reads it back as NULL,
+        # and a non-nullable declaration over those NULLs crashes the
+        # scan (observed: UTF8String NPE in the arrow source)
         merged = StructType(
             list(table_schema.fields)
-            + [bf for bf in df.schema.fields if bf.name not in table_fields]
+            + [
+                StructField(bf.name, bf.dataType, nullable=True)
+                for bf in df.schema.fields
+                if bf.name not in table_fields
+            ]
         )
         df = df.select(
             *[

@@ -1,0 +1,149 @@
+"""Streaming SOURCE over versioned tables (Spark 4 Python DataSource
+API): version-number offsets, per-added-dir partitions, rewrite
+handling — the Delta streaming-table-read contract on the manifest
+store (streaming/versioned_source.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from instacart_medallion_lakehouse_spark import versioned as V
+from instacart_medallion_lakehouse_spark.streaming.versioned_source import (
+    VersionedStreamDataSource,
+    _added_dirs,
+)
+
+
+@pytest.fixture(scope="module")
+def vsource_spark(spark):
+    spark.dataSource.register(VersionedStreamDataSource)
+    return spark
+
+
+def _drain(sdf, out, ckpt, timeout=180):
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout), "drain did not finish"
+
+
+class TestVersionedStreamSource:
+    def test_full_then_incremental_drain(self, vsource_spark, sf_dir, tmp_path):
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        V.append_versioned(region.limit(2), root)
+        sdf = spark.readStream.format("versioned").option("path", root).load()
+        assert sdf.schema == region.schema  # pinned from the manifest
+        _drain(sdf, out, ckpt)
+        n = region.count()
+        assert spark.read.parquet(out).count() == n + 2
+        # a new append is picked up INCREMENTALLY (checkpointed offsets:
+        # only version 3's added dir is read, never a re-scan)
+        V.append_versioned(region.limit(3), root)
+        _drain(sdf, out, ckpt)
+        assert spark.read.parquet(out).count() == n + 5
+        # fully drained: another trigger commits nothing new
+        _drain(sdf, out, ckpt)
+        assert spark.read.parquet(out).count() == n + 5
+
+    def test_rewrite_raises_by_default_and_skips_on_option(
+        self, vsource_spark, sf_dir, tmp_path
+    ):
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        sdf = spark.readStream.format("versioned").option("path", root).load()
+        _drain(sdf, out, ckpt)
+        V.append_versioned(region.limit(1), root)
+        V.compact_versioned(spark, root)  # a row-preserving REWRITE
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException, match="snapshot\\s+rewrite"):
+            _drain(sdf, out, ckpt)
+        skip = (
+            spark.readStream.format("versioned")
+            .option("path", root)
+            .option("on_rewrite", "skip")
+            .load()
+        )
+        _drain(skip, out, ckpt)
+        # the append's row arrived once; the compaction emitted nothing
+        assert spark.read.parquet(out).count() == region.count() + 1
+
+    def test_starting_version_skips_history(
+        self, vsource_spark, sf_dir, tmp_path
+    ):
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)  # v1: history to skip
+        V.append_versioned(region.limit(2), root)  # v2
+        sdf = (
+            spark.readStream.format("versioned")
+            .option("path", root)
+            .option("starting_version", "2")
+            .load()
+        )
+        _drain(sdf, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 2
+
+    def test_partitioned_dirs_and_schema_nulls(
+        self, vsource_spark, sf_dir, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        V.write_versioned(orders, root, partition_by=["o_orderstatus"])
+        V.append_versioned(
+            orders.limit(5).withColumn("o_note", F.lit("late-col")),
+            root,
+            merge_schema=True,
+        )
+        sdf = spark.readStream.format("versioned").option("path", root).load()
+        assert "o_note" in sdf.columns
+        _drain(sdf, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+        got = spark.read.parquet(str(tmp_path / "out"))
+        # Hive partition columns recovered from dir names
+        assert got.filter("o_orderstatus IS NULL").count() == 0
+        # pre-evolution dirs read back typed NULLs for the late column
+        assert got.filter("o_note IS NULL").count() == orders.count()
+        assert got.filter("o_note = 'late-col'").count() == 5
+
+    def test_batch_read_matches_read_versioned(
+        self, vsource_spark, sf_dir, tmp_path
+    ):
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        V.append_versioned(region.limit(2), root)
+        got = spark.read.format("versioned").option("path", root).load()
+        assert got.count() == V.read_versioned(spark, root).count()
+        assert got.columns == region.columns
+
+    def test_added_dirs_classification(self, vsource_spark, sf_dir, tmp_path):
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        V.append_versioned(region.limit(1), root)
+        V.write_versioned(region, root)  # full snapshot = rewrite
+        assert len(_added_dirs(root, 1)) == 1  # bootstrap: all new
+        assert len(_added_dirs(root, 2)) == 1  # append: the batch dir
+        assert _added_dirs(root, 3) is None  # rewrite detected
