@@ -6,6 +6,8 @@ Imported for its registration side effects at the bottom of queries.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -184,6 +186,50 @@ def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion — must equal the batch windowed_events byte for byte."""
     stream = read_events_stream(spark, sf_dir)
     return drain_to_batch(tumbling_counts_stream(stream), output_mode="complete")
+
+
+@_register(
+    "stream_versioned_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned store's full streaming loop under the cross-engine
+    gate: events land in a versioned table via three manifest-level
+    APPEND commits, ``format('versioned')`` streams the table back out
+    (offsets = committed version numbers, one executor partition per
+    added dir — streaming/versioned_source.py), and a grouped aggregate
+    drains to completion. The oracle aggregates the raw events table
+    directly, so a row lost or duplicated anywhere in the sink->source
+    loop — a dir read twice, an offset skipped, a null-splitting bug in
+    the append split — is a value mismatch."""
+    import shutil
+    import tempfile
+
+    from .streaming.versioned_source import VersionedStreamDataSource
+    from .versioned import append_versioned
+
+    spark.dataSource.register(VersionedStreamDataSource)
+    tmp = tempfile.mkdtemp(prefix="spark_graft_vsrc_")
+    root = os.path.join(tmp, "events_v")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    split = F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0))
+    for i in range(3):
+        append_versioned(ev.filter(split == i), root)
+    sdf = spark.readStream.format("versioned").option("path", root).load()
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.sum("value"), 2).alias("total_value"),
+    )
+    out = drain_to_batch(agg, output_mode="complete")
+    # the memory sink holds the drained rows; the staging table can go
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 @_register(
