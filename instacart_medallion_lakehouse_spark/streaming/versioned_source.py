@@ -30,6 +30,17 @@ Delta raises on such commits unless told otherwise; same here:
   right setting when the only rewrites are ``compact_versioned``
   maintenance (same rows, new layout — re-emitting would duplicate).
 
+``option("mode", "cdc")`` turns the stream into a CHANGE-DATA FEED:
+every row carries ``_op`` and ``_commit_version``. Appends synthesize
+``_op='insert'`` straight from their added dirs (no stored change
+data); upserts committed with
+``upsert_versioned(change_data_feed=True)`` stream the change rows the
+WRITER materialized — Delta's CDF architecture, where the committer
+(who has the cluster) pays for change computation once and readers
+never diff snapshots. Rewrites without recorded change data follow the
+same on_rewrite policy. ``versioned.read_change_feed`` is the batch
+face of the same contract.
+
 Schema is pinned at stream start from the latest manifest (evolution
 mid-stream follows the usual Structured Streaming rule: restart to
 pick up new columns); constituent dirs missing a pinned column yield
@@ -52,19 +63,37 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..versioned import _manifest_dirs, _manifest_path, list_versions
+from ..versioned import (
+    _manifest_dirs,
+    _manifest_path,
+    added_dirs as _added_dirs,
+    list_versions,
+)
 
 
 class _DirPartition(InputPartition):
-    def __init__(self, path: str, schema_json: str):
+    def __init__(
+        self,
+        path: str,
+        schema_json: str,
+        cdc_version: int | None = None,
+        cdc_op: str | None = None,
+    ):
         self.path = path
         self.schema_json = schema_json
+        # cdc mode: the commit version this dir belongs to, and the op
+        # to SYNTHESIZE for plain data dirs (a materialized change dir
+        # carries its own _op column and sets cdc_op=None)
+        self.cdc_version = cdc_version
+        self.cdc_op = cdc_op
 
 
 def _read_dir_as_arrow(partition: _DirPartition):
     """Executor-side: scan one data dir with pyarrow, align to the
-    pinned schema (missing columns -> typed NULLs, Hive partition
-    columns cast to their recorded types), yield Arrow batches."""
+    pinned BASE schema (missing columns -> typed NULLs, Hive partition
+    columns cast to their recorded types), yield Arrow batches. In cdc
+    mode two columns ride along: ``_op`` (from the materialized change
+    dir, or synthesized for append dirs) and ``_commit_version``."""
     import pyarrow as pa
     import pyarrow.dataset as pads
 
@@ -75,36 +104,32 @@ def _read_dir_as_arrow(partition: _DirPartition):
     )
     dset = pads.dataset(partition.path, format="parquet", partitioning="hive")
     tbl = dset.to_table()
+    n = len(tbl)
     cols = []
     for field in target:
         if field.name in tbl.column_names:
             cols.append(tbl[field.name].cast(field.type))
         else:
-            cols.append(pa.nulls(len(tbl), field.type))
-    aligned = pa.table(cols, schema=target)
+            cols.append(pa.nulls(n, field.type))
+    fields = list(target)
+    if partition.cdc_version is not None:
+        if partition.cdc_op is not None:
+            op = pa.array([partition.cdc_op] * n, type=pa.string())
+        else:
+            op = tbl["_op"].cast(pa.string()).combine_chunks()
+        cols.append(op)
+        cols.append(pa.array([partition.cdc_version] * n, type=pa.int64()))
+        fields += [pa.field("_op", pa.string()), pa.field("_commit_version", pa.int64())]
+    aligned = pa.table(cols, schema=pa.schema(fields))
     yield from aligned.to_batches()
 
 
-def _added_dirs(root: str, version: int) -> list[str] | None:
-    """Data dirs version ``version`` ADDED over its parent, or None if
-    the commit was a REWRITE (dropped parent dirs — not an append)."""
-    with open(_manifest_path(root, version)) as f:
-        cur = set(_manifest_dirs(json.load(f)))
-    prior_versions = [v for v in list_versions(root) if v < version]
-    if not prior_versions:
-        return sorted(cur)  # the bootstrap commit: everything is new
-    with open(_manifest_path(root, max(prior_versions))) as f:
-        parent = set(_manifest_dirs(json.load(f)))
-    if not parent <= cur:
-        return None  # rewrite: parent data replaced, not extended
-    return sorted(cur - parent)
-
-
 class _VersionedStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, schema_json: str, options):
+    def __init__(self, root: str, base_schema_json: str, options):
         self._root = root
-        self._schema_json = schema_json
+        self._schema_json = base_schema_json
         self._start = int(options.get("starting_version", 1)) - 1
+        self._cdc = (options.get("mode") or "append").lower() == "cdc"
         self._on_rewrite = (options.get("on_rewrite") or "error").lower()
         if self._on_rewrite not in ("error", "skip"):
             raise ValueError(
@@ -121,19 +146,46 @@ class _VersionedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         parts: list[_DirPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
+            if self._cdc:
+                with open(_manifest_path(self._root, v)) as f:
+                    changes = json.load(f).get("changes")
+                if changes:
+                    # the committer materialized this version's change
+                    # rows (upsert_versioned(change_data_feed=True)):
+                    # read them verbatim, _op included
+                    parts.append(
+                        _DirPartition(
+                            os.path.join(self._root, changes),
+                            self._schema_json,
+                            cdc_version=v,
+                        )
+                    )
+                    continue
             added = _added_dirs(self._root, v)
             if added is None:
                 if self._on_rewrite == "error":
                     raise RuntimeError(
                         f"version {v} of {self._root} is a snapshot "
-                        "rewrite, not an append — a streaming read "
-                        "cannot express it as new rows. Pass "
-                        "option('on_rewrite', 'skip') if rewrites here "
-                        "are row-preserving maintenance (compaction)."
+                        "rewrite, not an append"
+                        + (
+                            " with recorded change data — commit upserts "
+                            "with change_data_feed=True"
+                            if self._cdc
+                            else " — a streaming read cannot express it "
+                            "as new rows"
+                        )
+                        + ". Pass option('on_rewrite', 'skip') if "
+                        "rewrites here are row-preserving maintenance "
+                        "(compaction)."
                     )
                 continue
             parts.extend(
-                _DirPartition(os.path.join(self._root, rel), self._schema_json)
+                _DirPartition(
+                    os.path.join(self._root, rel),
+                    self._schema_json,
+                    cdc_version=v if self._cdc else None,
+                    cdc_op="insert" if self._cdc else None,
+                )
                 for rel in added
             )
         # Spark requires >= 1 partition per micro-batch; an all-skip
@@ -194,11 +246,28 @@ class VersionedStreamDataSource(DataSource):
             return json.dumps(json.load(f)["schema"])
 
     def schema(self) -> StructType:
-        return StructType.fromJson(json.loads(self._latest_schema_json()))
+        base = StructType.fromJson(json.loads(self._latest_schema_json()))
+        if (self.options.get("mode") or "append").lower() == "cdc":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                [
+                    *base.fields,
+                    StructField("_op", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> _VersionedStreamReader:
+        base = schema
+        if (self.options.get("mode") or "append").lower() == "cdc":
+            base = StructType(
+                [f for f in schema.fields
+                 if f.name not in ("_op", "_commit_version")]
+            )
         return _VersionedStreamReader(
-            self._root(), json.dumps(schema.jsonValue()), self.options
+            self._root(), json.dumps(base.jsonValue()), self.options
         )
 
     def reader(self, schema: StructType) -> _VersionedBatchReader:

@@ -98,12 +98,21 @@ def _manifest_dirs(manifest: dict) -> list[str]:
     return [data] if isinstance(data, str) else list(data)
 
 
+def _manifest_all_dirs(manifest: dict) -> list[str]:
+    """Data dirs PLUS the change-data dir (if the commit recorded one)
+    — everything on disk a manifest keeps alive."""
+    out = _manifest_dirs(manifest)
+    if manifest.get("changes"):
+        out = [*out, manifest["changes"]]
+    return out
+
+
 def _committed_data_dirs(root: str) -> set[str]:
     """Absolute data-dir paths referenced by any committed manifest."""
     out = set()
     for v in list_versions(root):
         with open(_manifest_path(root, v)) as f:
-            for rel in _manifest_dirs(json.load(f)):
+            for rel in _manifest_all_dirs(json.load(f)):
                 out.add(os.path.normpath(os.path.join(root, rel)))
     return out
 
@@ -132,6 +141,7 @@ def write_versioned(
     root: str,
     partition_by: list[str] | None = None,
     validate=None,
+    _changes_df: DataFrame | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its number.
 
@@ -160,6 +170,20 @@ def write_versioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data)
+    changes_rel = None
+    if _changes_df is not None:
+        # change-data rides the SAME crash protocol: written before the
+        # manifest, so a failure leaves both dirs as invisible orphans
+        # and a committed version's change feed is always complete.
+        # The cdf marker in the name keeps it v-prefixed (orphan-
+        # scannable) but visibly distinct from snapshot dirs.
+        import uuid
+
+        cdir = os.path.join(
+            root, _DATA, f"v{version:08d}cdf_{uuid.uuid4().hex[:8]}"
+        )
+        _changes_df.write.mode("errorifexists").parquet(cdir)
+        changes_rel = os.path.relpath(cdir, root)
     if validate is not None:
         validate()
 
@@ -172,6 +196,8 @@ def write_versioned(
         # disk layout instead of silently flattening it on rewrite
         "partition_by": list(partition_by) if partition_by else [],
     }
+    if changes_rel:
+        manifest["changes"] = changes_rel
     _publish_manifest(root, version, manifest)
     return version
 
@@ -372,7 +398,7 @@ def vacuum(
     still_referenced: set[str] = set()
     for v in keep:
         with open(_manifest_path(root, v)) as f:
-            for rel in _manifest_dirs(json.load(f)):
+            for rel in _manifest_all_dirs(json.load(f)):
                 still_referenced.add(os.path.normpath(os.path.join(root, rel)))
     removed = []
     for v in committed:
@@ -380,7 +406,7 @@ def vacuum(
             with open(_manifest_path(root, v)) as f:
                 dirs = [
                     os.path.normpath(os.path.join(root, rel))
-                    for rel in _manifest_dirs(json.load(f))
+                    for rel in _manifest_all_dirs(json.load(f))
                 ]
             os.unlink(_manifest_path(root, v))
             for data in dirs:
@@ -456,6 +482,7 @@ def upsert_versioned(
     root: str,
     updates: DataFrame,
     key: list[str],
+    change_data_feed: bool = False,
 ) -> int:
     """MERGE (SCD-1 upsert) against the latest snapshot, committed as a
     new version: rows matching ``key`` are replaced by the update row,
@@ -499,10 +526,114 @@ def upsert_versioned(
         )
     kept = current.join(F.broadcast(updates.select(*key)), on=key, how="left_anti")
     merged = kept.unionByName(updates)
+    changes = None
+    if change_data_feed:
+        # Delta's CDF architecture: change rows are MATERIALIZED AT
+        # WRITE TIME by the committer (who has the cluster), so readers
+        # — including the streaming source's cdc mode — never diff
+        # snapshots. An upsert's changes are exactly the update rows,
+        # op'd by whether the key existed: matched_keys is the current
+        # table semi-joined to the (small, broadcast) updates, itself
+        # at most |updates| rows, so both extra joins broadcast.
+        # Post-image only ('update' carries the new values), no deletes
+        # (MERGE-without-DELETE semantics).
+        matched_keys = current.select(*key).join(
+            F.broadcast(updates.select(*key)), on=key, how="left_semi"
+        )
+        changes = updates.join(
+            F.broadcast(matched_keys.withColumn("_m", F.lit(1))),
+            on=key,
+            how="left",
+        ).select(
+            *updates.columns,
+            F.when(F.col("_m").isNotNull(), F.lit("update"))
+            .otherwise(F.lit("insert"))
+            .alias("_op"),
+        )
     # preserve the latest snapshot's recorded disk layout across the merge
     with open(_manifest_path(root, list_versions(root)[-1])) as f:
         partition_by = json.load(f).get("partition_by") or None
-    return write_versioned(merged, root, partition_by=partition_by)
+    return write_versioned(
+        merged, root, partition_by=partition_by, _changes_df=changes
+    )
+
+
+def added_dirs(root: str, version: int) -> list[str] | None:
+    """Relative data dirs ``version`` ADDED over its committed parent,
+    or None if the commit was a REWRITE (dropped parent dirs — not an
+    append). The bootstrap commit adds everything."""
+    with open(_manifest_path(root, version)) as f:
+        cur = set(_manifest_dirs(json.load(f)))
+    prior_versions = [v for v in list_versions(root) if v < version]
+    if not prior_versions:
+        return sorted(cur)
+    with open(_manifest_path(root, max(prior_versions))) as f:
+        parent = set(_manifest_dirs(json.load(f)))
+    if not parent <= cur:
+        return None
+    return sorted(cur - parent)
+
+
+def read_change_feed(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The table_changes / CDF read: one row per change across versions
+    (``from_version``, ``to_version``], with ``_op`` ('insert' or
+    'update', post-image values) and ``_commit_version``.
+
+    Appends need no stored change data — their added dirs ARE the
+    inserts, synthesized here; upserts committed with
+    ``change_data_feed=True`` read the change dir the WRITER
+    materialized (the Delta CDF architecture — readers never diff
+    snapshots); any other rewrite has no recorded change data and
+    raises (``diff_versions`` is the explicit two-snapshot fallback).
+    Versions whose schema differs from the latest are aligned by name
+    via unionByName(allowMissingColumns) — evolution-added columns read
+    NULL before they existed.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    versions = [
+        v
+        for v in list_versions(root)
+        if from_version < v <= (to_version if to_version is not None else 1 << 62)
+    ]
+    parts: list[DataFrame] = []
+    for v in versions:
+        with open(_manifest_path(root, v)) as f:
+            manifest = json.load(f)
+        if manifest.get("changes"):
+            df = spark.read.parquet(os.path.join(root, manifest["changes"]))
+        else:
+            added = added_dirs(root, v)
+            if added is None:
+                raise ValueError(
+                    f"version {v} of {root} is a snapshot rewrite with no "
+                    "recorded change data; commit it with "
+                    "change_data_feed=True or diff_versions() explicitly"
+                )
+            if not added:
+                continue
+            from pyspark.sql.types import StructType
+
+            reader = spark.read.schema(StructType.fromJson(manifest["schema"]))
+            df = reader.parquet(
+                *[os.path.join(root, rel) for rel in added]
+            ).withColumn("_op", F.lit("insert"))
+        parts.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+    if not parts:
+        raise ValueError(
+            f"no committed versions of {root} in ({from_version}, "
+            f"{to_version}]"
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
 
 
 def diff_versions(

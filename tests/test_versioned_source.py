@@ -147,3 +147,111 @@ class TestVersionedStreamSource:
         assert len(_added_dirs(root, 1)) == 1  # bootstrap: all new
         assert len(_added_dirs(root, 2)) == 1  # append: the batch dir
         assert _added_dirs(root, 3) is None  # rewrite detected
+
+
+class TestChangeDataFeed:
+    def test_upsert_cdf_batch_and_streaming(
+        self, vsource_spark, sf_dir, tmp_path
+    ):
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)  # v1
+        V.append_versioned(
+            region.limit(2).selectExpr(
+                "r_regionkey + 100 as r_regionkey", "r_name"
+            ),
+            root,
+        )  # v2
+        updates = spark.createDataFrame(
+            [(0, "RENAMED"), (999, "BRAND_NEW")],
+            "r_regionkey long, r_name string",
+        )
+        V.upsert_versioned(
+            spark, root, updates, key=["r_regionkey"], change_data_feed=True
+        )  # v3: 1 update + 1 insert, materialized at write time
+
+        # batch CDF: full history
+        cf = V.read_change_feed(spark, root, 0)
+        by_v = {
+            (r["_commit_version"], r["_op"]): r["r_name"]
+            for r in cf.collect()
+        }
+        n = region.count()
+        assert cf.count() == n + 2 + 2
+        assert by_v[(3, "update")] == "RENAMED"
+        assert by_v[(3, "insert")] == "BRAND_NEW"
+        assert cf.filter("_commit_version <= 2").filter(
+            "_op != 'insert'"
+        ).count() == 0
+        # CDF from a later version: only the upsert's changes
+        assert V.read_change_feed(spark, root, 2).count() == 2
+
+        # streaming cdc mode sees the identical change stream
+        sdf = (
+            spark.readStream.format("versioned")
+            .option("path", root)
+            .option("mode", "cdc")
+            .load()
+        )
+        assert sdf.columns == [*region.columns, "_op", "_commit_version"]
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        _drain(sdf, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == n + 4
+        assert got.filter("_op = 'update'").count() == 1
+        # incremental: the next upsert's changes arrive alone
+        V.upsert_versioned(
+            spark,
+            root,
+            spark.createDataFrame([(1, "AGAIN")], "r_regionkey long, r_name string"),
+            key=["r_regionkey"],
+            change_data_feed=True,
+        )
+        _drain(sdf, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == n + 5
+        assert got.filter("_commit_version = 4").collect()[0]["_op"] == "update"
+
+    def test_rewrite_without_cdf_raises_in_cdc_mode(
+        self, vsource_spark, sf_dir, tmp_path
+    ):
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        # an upsert WITHOUT change_data_feed has no recorded change rows
+        V.upsert_versioned(
+            spark,
+            root,
+            spark.createDataFrame([(0, "X")], "r_regionkey long, r_name string"),
+            key=["r_regionkey"],
+        )
+        with pytest.raises(ValueError, match="change_data_feed=True"):
+            V.read_change_feed(spark, root, 1)
+
+    def test_vacuum_protects_then_reclaims_change_dirs(
+        self, vsource_spark, sf_dir, tmp_path
+    ):
+        import glob
+        import json as _json
+
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        V.upsert_versioned(
+            spark,
+            root,
+            spark.createDataFrame([(0, "X")], "r_regionkey long, r_name string"),
+            key=["r_regionkey"],
+            change_data_feed=True,
+        )
+        with open(V._manifest_path(root, 2)) as f:
+            cdir = os.path.join(root, _json.load(f)["changes"])
+        assert os.path.isdir(cdir)
+        V.vacuum(root, keep_last=1)  # v2 retained: its change dir stays
+        assert os.path.isdir(cdir)
+        V.write_versioned(region, root)  # v3
+        V.vacuum(root, keep_last=1)  # v2 dropped: change dir reclaimed
+        assert not os.path.isdir(cdir)
