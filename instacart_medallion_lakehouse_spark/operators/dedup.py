@@ -225,6 +225,7 @@ def shingle_containment_pairs(
     n: int = 3,
     threshold: float = 0.6,
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: ordered pairs where containment
     C(A in B) = |A ∩ B| / |A| >= threshold — "most of A's shingles also
@@ -243,8 +244,11 @@ def shingle_containment_pairs(
     for C(A in B) >= t, A must share one of its first
     |A| - ceil(t*|A|) + 1 rarity-ordered shingles with B, so the same
     PPJoin-style pruning applies (on the contained side only).
+
+    ``shingles``: a precomputed (id, _sh) table (e.g. the persisted
+    shingle-layer asset) — skips the explode entirely.
     """
-    ex = pin(shingle_table(docs, n, id_col))
+    ex = pin(shingles if shingles is not None else shingle_table(docs, n, id_col))
     ex.count()  # materialize before the self-join (see ngram_jaccard_pairs)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     common = _attach_sizes(_pair_intersections(ex, id_col), sizes, id_col)

@@ -286,6 +286,26 @@ def _minhash_sql(num_hashes: int, band_rows: int) -> str:
     """
 
 
+def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus DISTINCT (doc_id, 3-shingle) table as a persisted
+    store asset — the inverted-index layer every text-dedup family
+    starts from (MinHash signatures, Jaccard/containment verifies,
+    benchmark decontamination, cross-source matrices). One
+    posexplode+window pass per corpus generation; consumers scan
+    parquet. At 100 TB this is the committed inverted index, a standard
+    stored artifact, not a subquery."""
+    return shared_table(
+        spark,
+        sf_dir,
+        "shingles_n3",
+        lambda: dedup.shingle_table(
+            _t(spark, sf_dir, "documents"), 3, "doc_id"
+        ),
+        # bump when tokens()/shingle_table change
+        token="tok-ws-3shingle-v1",
+    )
+
+
 def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents MinHash SIGNATURE table (n=3, k=16) from the
     persisted signature store — built once per testdata generation,
@@ -298,9 +318,10 @@ def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "minhash_sigs_n3_h16",
+        # chained store build: the signature layer derives from the
+        # committed shingle layer instead of re-exploding the corpus
         lambda: dedup.minhash_signatures(
-            dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id"),
-            num_hashes=16,
+            shared_shingles(spark, sf_dir), num_hashes=16
         ),
         # bump when tokens()/shingle_table/minhash hash-family change
         token="md5-seeded-16x-3shingle-v1",
@@ -398,7 +419,7 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("minhash_lsh_dedup", _minhash_sql(num_hashes=16, band_rows=2))
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = pin(dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id"))
+    ex = pin(shared_shingles(spark, sf_dir))
     ex.count()  # materialize before multi-consumer reuse (dedup.py note)
     bands = shared_minhash_bands(spark, sf_dir)
     return dedup.minhash_lsh_pairs_from(ex, bands, threshold=0.5)
@@ -897,7 +918,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-(doc, bench) counts collapse map-side. Asymmetric by
     construction — unlike dedup there is no corpus self-join anywhere.
     """
-    ex = dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id")
+    ex = shared_shingles(spark, sf_dir)
     bench = ex.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("bench_id"), F.col("_sh")
     )
@@ -1688,7 +1709,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). est is an exact k/16 rational on both engines; the error is
     computed from the two ROUNDED columns so the subtraction sees
     identical doubles."""
-    ex = pin(dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id"))
+    ex = pin(shared_shingles(spark, sf_dir))
     ex.count()  # materialize: feeds the candidate verify twice
     sig = shared_minhash_sigs(spark, sf_dir)  # stored asset, cheap scan
     bands = dedup.bands_from_signatures(sig, 16, 2, "doc_id")
@@ -1787,7 +1808,7 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     bands.count()  # feeds both sides of the band-bucket join
     cand = dedup.lsh_candidate_pairs(bands.filter(~gate), bands.filter(gate))
-    ex = pin(dedup.shingle_table(docs, 3, "doc_id"))
+    ex = pin(shared_shingles(spark, sf_dir))
     ex.count()  # verify consumes it from two join sides
     return (
         dedup._verify_jaccard(cand, ex, "doc_id", threshold=0.5)
@@ -1829,7 +1850,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits the LSH candidate budget. avg_jaccard aggregates exact-integer
     micro-units so summation order cannot flip the rounding."""
     docs = _t(spark, sf_dir, "documents")
-    ex = pin(dedup.shingle_table(docs, 3, "doc_id"))
+    ex = pin(shared_shingles(spark, sf_dir))
     ex.count()  # materialize before multi-consumer reuse (dedup.py note)
     pairs = dedup.minhash_lsh_pairs_from(
         ex, shared_minhash_bands(spark, sf_dir), threshold=0.5
@@ -2160,5 +2181,6 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin-style scale path."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.shingle_containment_pairs(
-        docs, n=3, threshold=0.6, id_col="doc_id"
+        docs, n=3, threshold=0.6, id_col="doc_id",
+        shingles=shared_shingles(spark, sf_dir),
     ).orderBy("contained_id", "container_id")

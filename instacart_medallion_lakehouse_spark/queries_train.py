@@ -388,10 +388,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus against a label table bounded by the paired-node count
     (ids only — text never shuffles). 3 rounds bound the diameter;
     convergence is asserted in tests."""
-    from .queries_text import shared_minhash_bands
+    from .queries_text import shared_minhash_bands, shared_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    ex = pin(dedup.shingle_table(docs, 3, "doc_id"))
+    ex = pin(shared_shingles(spark, sf_dir))
     ex.count()  # materialize before multi-consumer reuse (dedup.py note)
     pairs = dedup.minhash_lsh_pairs_from(
         ex, shared_minhash_bands(spark, sf_dir), threshold=0.5
