@@ -197,14 +197,27 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ri_orphans",
     "rollup_revenue",
     "sessionize",
-    # The window is exactly 50 pins. ROTATION PLAN for round 8:
-    # continue the least-recently-checked backfill — the remaining r2
-    # cohort (simhash_dedup, star_enriched, stream_interval_join,
-    # stream_sessionize, stream_windowed_events, text_stats,
-    # token_count, top_k, union_all, windowed_events), then the r3
-    # cohort (ann_ivf_topk, ann_sq8_topk, bloom_pruned_join,
-    # cube_revenue, curated_docs_v2, daily_orders_zerofilled,
-    # dsir_weights, ...), plus anything round 8 rewrites.
+    # The window is exactly 50 pins. ROTATION PLAN for round 8, in
+    # priority order:
+    # 1. the FIVE round-7 additions with no driver row yet (each green
+    #    at sf0.001/0.01/0.1 + plain session on registration):
+    #    audio_durations, dup_span_coverage, dedup_spans_text,
+    #    stream_versioned_roundtrip, and ngram_jaccard_dedup (rewired
+    #    to the shared shingle asset this round — fresh signal needed);
+    # 2. round-7 REWRITES whose old driver rows describe old plans:
+    #    ann_ivf_topk (fused pass), curated_docs_v2 /
+    #    source_quality_profile (staged silver assets),
+    #    minhash_signature_table + every shingle-layer consumer
+    #    (benchmark_contamination, minhash_estimate_error,
+    #    cross_source_dup_matrix, incremental_minhash_dedup,
+    #    dedup_clusters, cluster_canonicals, containment_pairs,
+    #    long_run_overlap [new pin]);
+    # 3. backfill with the remaining r2 cohort (simhash_dedup,
+    #    star_enriched, stream_interval_join, stream_sessionize,
+    #    stream_windowed_events, text_stats, token_count, top_k,
+    #    union_all, windowed_events), then the r3 cohort
+    #    (ann_sq8_topk, bloom_pruned_join, cube_revenue,
+    #    daily_orders_zerofilled, dsir_weights, ...).
 )
 
 
