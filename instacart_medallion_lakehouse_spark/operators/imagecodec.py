@@ -11,6 +11,14 @@ pipeline actually controls for its own intermediate assets:
   ``zlib`` and reverses the per-row filters (None/Sub/Up/Average/Paeth)
   row-at-a-time over numpy vectors; encode writes filter-0 rows through
   ``zlib.compress`` with genuine CRC32s. Round-trips bit-exactly.
+  Throughput caveat: None/Up/Sub unfilter fully vectorized (Sub is an
+  exact per-channel-lane cumsum mod 256), but Average and Paeth are
+  inherently sequential in x (the predictor needs the RECONSTRUCTED
+  left pixel, and floor/branching break the prefix-sum identity), so
+  those rows fall back to a per-pixel Python loop. Self-produced assets
+  (encode_png writes filter 0) never hit it; foreign Paeth-heavy PNGs
+  decode correctly but slowly — route bulk foreign-image ingest to an
+  environment with a real codec library, same as JPEG.
 - BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up or top-down,
   4-byte row padding, BGR<->RGB handled.
 - PPM (P6) / PGM (P5): binary netpbm, maxval 255.
@@ -95,10 +103,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         f = filters[y]
         if f == 0:
             line = cur
-        elif f == 1:  # Sub: left neighbor (same channel) — sequential
-            line = cur.copy()
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]. Addition
+            # commutes with the &0xFF modulus, so the recurrence is an
+            # exact per-channel-lane prefix sum — one vectorized cumsum
+            # over the (w, ch) view instead of a per-pixel Python loop.
+            line = (np.cumsum(cur.reshape(w, ch), axis=0) & 0xFF).ravel()
         elif f == 2:  # Up
             line = (cur + prev) & 0xFF
         elif f == 3:  # Average

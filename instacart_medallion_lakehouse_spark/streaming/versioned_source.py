@@ -144,8 +144,29 @@ class _VersionedStreamReader(DataSourceStreamReader):
         return {"version": max(list_versions(self._root), default=self._start)}
 
     def partitions(self, start: dict, end: dict):
+        # Delta's "versions have been vacuumed" contract: if any version
+        # in (start, end] no longer has a manifest (vacuumed table with
+        # starting_version below retention, or a checkpoint restarted
+        # after vacuum), fail with the earliest retained version instead
+        # of a raw FileNotFoundError from a manifest open below.
+        retained = set(list_versions(self._root))
+        wanted = range(start["version"] + 1, end["version"] + 1)
+        gone = [v for v in wanted if v not in retained]
+        if gone:
+            earliest = min(retained) if retained else None
+            raise RuntimeError(
+                f"versions {gone[0]}..{gone[-1]} of {self._root} have "
+                "been vacuumed and cannot be streamed"
+                + (
+                    f"; earliest retained version is {earliest} — "
+                    f"restart with option('starting_version', {earliest}) "
+                    "and a fresh checkpoint"
+                    if earliest is not None
+                    else "; the table has no retained versions"
+                )
+            )
         parts: list[_DirPartition] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        for v in wanted:
             if self._cdc:
                 with open(_manifest_path(self._root, v)) as f:
                     changes = json.load(f).get("changes")
@@ -271,6 +292,15 @@ class VersionedStreamDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> _VersionedBatchReader:
+        if (self.options.get("mode") or "append").lower() == "cdc":
+            # the batch face reads the LATEST SNAPSHOT's dirs, which
+            # carry no per-version change data — silently null-filled
+            # _op/_commit_version columns would masquerade as a feed
+            raise ValueError(
+                "mode='cdc' is a streaming-only option; for a batch "
+                "change feed use versioned.read_change_feed(spark, "
+                "path, from_version[, to_version])"
+            )
         return _VersionedBatchReader(
             self._root(), json.dumps(schema.jsonValue())
         )

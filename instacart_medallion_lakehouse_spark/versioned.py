@@ -537,8 +537,14 @@ def upsert_versioned(
         # at most |updates| rows, so both extra joins broadcast.
         # Post-image only ('update' carries the new values), no deletes
         # (MERGE-without-DELETE semantics).
-        matched_keys = current.select(*key).join(
-            F.broadcast(updates.select(*key)), on=key, how="left_semi"
+        # distinct: a bootstrap write_versioned may have committed
+        # duplicate keys; without it the left join below would multiply
+        # update rows in the recorded change feed. Bounded by |updates|
+        # after the semi join, so the dedup is on an already-small set.
+        matched_keys = (
+            current.select(*key)
+            .join(F.broadcast(updates.select(*key)), on=key, how="left_semi")
+            .distinct()
         )
         changes = updates.join(
             F.broadcast(matched_keys.withColumn("_m", F.lit(1))),

@@ -329,6 +329,31 @@ class TestUpsertDuplicateKeys:
         # table unchanged: the rejected merge committed nothing
         assert V.list_versions(root) == [1]
 
+    def test_duplicate_snapshot_keys_do_not_multiply_change_feed(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A bootstrap write_versioned may commit duplicate keys (no
+        MERGE ran, so nothing validated them). An upsert's recorded
+        change feed must still emit exactly ONE row per update row —
+        the matched-keys join dedups the snapshot side."""
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region.union(region.limit(1)), root)  # key 0 twice
+        cols = region.columns
+        upd = spark.createDataFrame(
+            [tuple([0] + ["upd"] * (len(cols) - 1))],
+            ", ".join(
+                f"{c} long" if c == "r_regionkey" else f"{c} string"
+                for c in cols
+            ),
+        )
+        V.upsert_versioned(
+            spark, root, upd, key=["r_regionkey"], change_data_feed=True
+        )
+        feed = V.read_change_feed(spark, root, from_version=1).collect()
+        assert len(feed) == 1
+        assert feed[0]["_op"] == "update"
+
 
 class TestDiffVersions:
     def test_cdc_classifies_insert_update_delete(self, spark, tmp_path):

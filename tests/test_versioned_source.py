@@ -255,3 +255,49 @@ class TestChangeDataFeed:
         V.write_versioned(region, root)  # v3
         V.vacuum(root, keep_last=1)  # v2 dropped: change dir reclaimed
         assert not os.path.isdir(cdir)
+
+    def test_stream_below_retention_raises_named_error(
+        self, vsource_spark, sf_dir, tmp_path
+    ):
+        """A start offset below the vacuum retention window must fail
+        with the earliest retained version (Delta's 'versions have been
+        vacuumed' contract), not a raw FileNotFoundError from a manifest
+        open."""
+        import json as _json
+
+        from instacart_medallion_lakehouse_spark.streaming.versioned_source import (
+            _VersionedStreamReader,
+        )
+
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        V.append_versioned(region.limit(2), root)
+        V.append_versioned(region.limit(1), root)
+        V.vacuum(root, keep_last=1)  # v1, v2 manifests gone
+        schema_json = _json.dumps(region.schema.jsonValue())
+        rdr = _VersionedStreamReader(root, schema_json, {})
+        with pytest.raises(RuntimeError, match="vacuumed"):
+            rdr.partitions({"version": 0}, {"version": 3})
+        with pytest.raises(RuntimeError, match="earliest retained version is 3"):
+            rdr.partitions({"version": 1}, {"version": 3})
+        # restarting at the earliest retained version works
+        assert rdr.partitions({"version": 2}, {"version": 3})
+
+    def test_batch_cdc_mode_raises(self, vsource_spark, sf_dir, tmp_path):
+        """The batch face has no per-version change data — mode='cdc'
+        must fail loudly (pointing at read_change_feed), never return
+        null-filled _op/_commit_version columns."""
+        spark = vsource_spark
+        root = str(tmp_path / "tbl")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        V.write_versioned(region, root)
+        with pytest.raises(Exception, match="streaming-only"):
+            (
+                spark.read.format("versioned")
+                .option("path", root)
+                .option("mode", "cdc")
+                .load()
+                .collect()
+            )
