@@ -1070,7 +1070,15 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex.count()  # verify consumes it from two join sides
     pairs = dedup.minhash_lsh_pairs_from(ex, bands, threshold=0.8)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    curated = exact.join(losers, "doc_id", "left_anti")
+    # broadcast the loser-id set: it is the near-dup DETECTION OUTPUT
+    # (ids only, bounded by the duplicate fraction of the corpus), so
+    # the final anti-join should stream the cleaned set past a hashed
+    # id set instead of sort-merge-exchanging both sides on doc_id —
+    # without the hint Catalyst cannot size the deep pair plan and
+    # falls back to SMJ. At a duplicate fraction where the loser ids
+    # themselves outgrow executor memory, drop the hint and let AQE
+    # pick the join (the ids are 8 bytes/row — that point is ~1e9 dups).
+    curated = exact.join(F.broadcast(losers), "doc_id", "left_anti")
     return curated.select("doc_id", "predicted_lang", "quality_score")
 
 
