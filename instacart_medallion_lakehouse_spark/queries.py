@@ -142,9 +142,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "audio_durations",
     "stream_versioned_roundtrip",
     # the span-dedup trio is ALSO rewritten this round onto a shared
-    # staged run-table (VERDICT r7 item #4), so these rows double as
-    # fresh signal for the new plans; keep the detect pass ahead of its
-    # consumers so the staged asset's build cost lands on one entry.
+    # staged run-table (VERDICT r7 item #4); span_run_index is that
+    # asset's first-class BUILD entry (same convention as
+    # minhash_signature_table above) and must precede its consumers so
+    # the one-per-corpus build cost is attributed to it.
+    "span_run_index",
     "long_run_overlap",
     "dup_span_coverage",
     "dedup_spans_text",
@@ -174,8 +176,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "top_k",
     "union_all",
     "windowed_events",
-    # then the r3 cohort (last row round 3), alphabetical — 27 fit;
-    # the remaining 14 (q3_shipping_priority .. union_by_name_drift)
+    # then the r3 cohort (last row round 3), alphabetical — 26 fit
+    # (one slot went to the new span_run_index build entry); the
+    # remaining 15 (q22_prospect_balances .. union_by_name_drift)
     # are round 9's backfill:
     "ann_sq8_topk",
     "bloom_pruned_join",
@@ -203,13 +206,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_orders",
-    "q22_prospect_balances",
     # The window is exactly 50 pins; NO no-oracle entries
     # (region_performance_approx / price_percentiles_approx /
     # stream_running_totals) — they would burn a slot on an
     # `err: no_oracle` row (VERDICT r7 item #2). ROTATION PLAN for
-    # round 9, in priority order: (1) anything round 8 rewrites,
-    # (2) the remaining 14 of the r3 cohort (q3_shipping_priority,
+    # round 9, in priority order: (1) anything round 9 rewrites,
+    # (2) the remaining 15 of the r3 cohort (q22_prospect_balances,
+    # q3_shipping_priority,
     # q5_local_supplier, q7_volume_shipping, q8_market_share,
     # revenue_anomalies, rolling_user_value, salted_join_rollup,
     # semdedup_docs, set_ops_users, stream_dedup, tfidf_top_terms,
@@ -321,10 +324,16 @@ def shared_table(
     fp = hashlib.md5()
     fp.update(sf_dir.encode())
     fp.update(f"|{token}|".encode())
-    for s in sources:
-        p = os.path.join(sf_dir, s)
-        st = os.stat(p)
-        fp.update(f"{s}:{st.st_mtime_ns}:{st.st_size}".encode())
+    try:
+        for s in sources:
+            p = os.path.join(sf_dir, s)
+            st = os.stat(p)
+            fp.update(f"{s}:{st.st_mtime_ns}:{st.st_size}".encode())
+    except FileNotFoundError:
+        # no fingerprintable source (synthetic/in-memory input, e.g. a
+        # test stubbing the table reader): persistence is only an
+        # optimization — build fresh rather than cache unkeyed
+        return builder()
     path = os.path.join(root, f"{name}-{fp.hexdigest()[:16]}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp-{os.getpid()}"

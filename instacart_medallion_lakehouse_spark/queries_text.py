@@ -395,6 +395,48 @@ def shared_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_positioned_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _pos, h): every 20-token contiguous run, md5'd, with its
+    starting token position — the substring-dedup index (Lee et al.)
+    as a persisted store asset. One posexplode + lead-window pass over
+    the corpus serves all three span queries (long_run_overlap detects
+    pairs, dup_span_coverage measures damage, dedup_spans_text removes
+    spans) instead of each rebuilding and pinning its own run table —
+    at 100 TB the run index is built once per corpus snapshot, exactly
+    like the MinHash signature layer above."""
+    from .functions.text import tokens
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        ex = docs.select(
+            "doc_id",
+            F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok"),
+        )
+        w_ord = Window.partitionBy("doc_id").orderBy("_pos")
+        parts = [F.col("_tok")] + [
+            F.lead("_tok", i).over(w_ord) for i in range(1, _RUN_N)
+        ]
+        return (
+            ex.select(
+                "doc_id",
+                "_pos",
+                F.md5(F.concat_ws(" ", *parts)).alias("h"),
+                parts[-1].alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .drop("_last")
+        )
+
+    return shared_table(
+        spark,
+        sf_dir,
+        "positioned_runs",
+        build,
+        # bump when tokens() or the run length change
+        token=f"ws-tokens-n{_RUN_N}-v1",
+    )
+
+
 def _sig_table_sql() -> str:
     cols = ", ".join(f"sig_{i}" for i in range(16))
     return f"""
@@ -1194,6 +1236,33 @@ _RUN_N = 20  # tokens per run
 
 
 @_register(
+    "span_run_index",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           md5(array_to_string(list_slice(t, i, i + {_RUN_N - 1}), ' ')) AS h
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_RUN_N - 2})) AS i
+          FROM t)
+    """,
+)
+def span_run_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup run INDEX itself: every {_RUN_N}-token
+    contiguous run md5'd with its starting token position — the
+    corpus-level build the whole span family (long_run_overlap,
+    dup_span_coverage, dedup_spans_text) consumes. Registered exactly
+    like minhash_signature_table: the persisted store asset
+    (shared_positioned_runs) is a first-class queryable table, so in
+    ordered multi-query runs — the bench included — the one-per-corpus
+    build cost is attributed to this entry rather than to whichever
+    consumer happens to run first, and the index is itself
+    oracle-verified end to end (position base, run length, hash input
+    framing)."""
+    return shared_positioned_runs(spark, sf_dir).select(
+        "doc_id", F.col("_pos").alias("pos"), "h"
+    )
+
+
+@_register(
     "long_run_overlap",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
@@ -1222,19 +1291,16 @@ def long_run_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the run table is an inverted index of md5'd runs (the
     hash, never the 20-token text, is what shuffles), the self-join
     meets only inside a run bucket, and the pair aggregate is the
-    candidate count a downstream span-removal pass would consume. Runs
-    are built from ONE posexplode + lead() window pass (codegen'd), the
-    same relational shingle shape as dedup.shingle_table with n={_RUN_N}."""
-    from .operators.dedup import shingle_table
-
-    docs = _t(spark, sf_dir, "documents")
-    # pin: the two self-join sides project DIFFERENT aliases, so
-    # ReuseExchange cannot serve them from one shuffle — uncached, the
-    # whole posexplode+window run-build pipeline executes twice
+    candidate count a downstream span-removal pass would consume. The
+    run index comes from the persisted store (shared_positioned_runs
+    — one posexplode + lead() pass per corpus snapshot, shared with
+    dup_span_coverage / dedup_spans_text); only the distinct
+    (doc, hash) projection is pinned here because the self-join's two
+    differently-aliased sides cannot share one exchange."""
     runs = pin(
-        shingle_table(docs, _RUN_N, "doc_id").select(
-            "doc_id", F.md5(F.col("_sh")).alias("h")
-        )
+        shared_positioned_runs(spark, sf_dir)
+        .select("doc_id", "h")
+        .distinct()
     )
     runs.count()  # materialize before the self-join (lazy-cache race)
     a = runs.select(F.col("doc_id").alias("id_a"), "h")
@@ -1289,26 +1355,13 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keeps only duplicated runs, and coverage is explode(sequence)
     -> distinct positions -> count. The sequence explode is x{_RUN_N}
     on DUPLICATED runs only — at 100 TB the duplicated set is the
-    small output of the dedup index, not the corpus."""
+    small output of the dedup index, not the corpus. The positioned
+    run table comes from the persisted store (shared_positioned_runs);
+    its two consumers here are two scans of the staged parquet — no
+    pin — and the token count is a scan-local size() over the token
+    array rather than a shuffle of the exploded token stream."""
     docs = _t(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok")
-    )
-    w_ord = Window.partitionBy("doc_id").orderBy("_pos")
-    parts = [F.col("_tok")] + [
-        F.lead("_tok", i).over(w_ord) for i in range(1, _RUN_N)
-    ]
-    runs = pin(
-        ex.select(
-            "doc_id",
-            "_pos",
-            F.md5(F.concat_ws(" ", *parts)).alias("h"),
-            parts[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
-    runs.count()  # two consumers: the dup-hash aggregate and the semi join
+    runs = shared_positioned_runs(spark, sf_dir)
     duph = (
         runs.select("doc_id", "h")
         .distinct()
@@ -1329,7 +1382,9 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
     )
-    n_tok = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
     return n_tok.join(cov, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
@@ -1402,31 +1457,19 @@ def dedup_spans_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. A doc whose every token is covered comes back n_kept=0,
     kept_md5 NULL.
 
-    Shape: the same positioned run table as dup_span_coverage (pinned),
-    a min-doc-per-hash aggregate to pick canonicals (hash shuffles,
+    Shape: the same persisted run table as dup_span_coverage
+    (shared_positioned_runs — built once per corpus snapshot), a
+    min-doc-per-hash aggregate to pick canonicals (hash shuffles,
     never text), coverage explode on the non-canonical duplicated runs
-    only, an anti join from the token stream, and one ordered
+    only, an anti join from the token stream (the one posexplode this
+    query still pays — it is the rewrite source), and one ordered
     collect_list per doc — the per-doc sort rides the final groupBy
     shuffle, no global sort."""
     docs = _t(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok")
     )
-    w_ord = Window.partitionBy("doc_id").orderBy("_pos")
-    parts = [F.col("_tok")] + [
-        F.lead("_tok", i).over(w_ord) for i in range(1, _RUN_N)
-    ]
-    runs = pin(
-        ex.select(
-            "doc_id",
-            "_pos",
-            F.md5(F.concat_ws(" ", *parts)).alias("h"),
-            parts[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
-    runs.count()  # consumers: per-hash min-doc aggregate + coverage join
+    runs = shared_positioned_runs(spark, sf_dir)
     # per-hash canonical owner and cross-doc-dup flag in ONE aggregate
     hstat = runs.groupBy("h").agg(
         F.min("doc_id").alias("_min_doc"),
@@ -1458,7 +1501,9 @@ def dedup_spans_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
-    n_tok = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
     return n_tok.join(agg, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
