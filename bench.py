@@ -69,6 +69,19 @@ def main() -> None:
     )
     drain_to_batch(_ws, output_mode="complete", timeout_sec=60)
 
+    # Representative warmup, untimed: range() warms the JVM but not the
+    # parquet reader, broadcast machinery, window codegen, or the Python
+    # worker pool — the fixed costs that otherwise land on whichever
+    # early query first touches each path and show up as round-over-
+    # round "regressions" on plan-unchanged queries (VERDICT r7 #5).
+    # One star join (scan + broadcast + agg) and one Arrow GEMM query
+    # (Python worker pool + Arrow serde) cover those paths; pins and any
+    # store asset they build are dropped before the timed passes.
+    reg = q.queries()
+    materialize(reg["region_performance"](spark, SF_DIR))
+    materialize(reg["ann_topk"](spark, SF_DIR))
+    q.release_pins()
+
     # Two passes, per-query MIN: pass 1 doubles as warmup (JIT, python
     # worker pool, page cache — this host faults memory lazily and
     # stalls unpredictably, so any single observation can be 10x off);

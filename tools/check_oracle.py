@@ -115,9 +115,30 @@ def main():
         else:
             print(f"{name:28s} PASS  rows={len(s_rows)}")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    # Post-sweep cache audit (VERDICT r7 #8): after releasing the last
+    # query's registered pins, NOTHING may remain in executor storage.
+    # pinned_count() must be 0 (registry drained) AND the Spark storage
+    # listing must be empty — the latter catches an operator that
+    # cached WITHOUT registering through pins.pin, which a long sweep
+    # would silently re-accumulate until executors spill or OOM.
+    from instacart_medallion_lakehouse_spark.pins import (
+        pinned_count,
+        release_pins,
+    )
+
+    release_pins()
+    leaked_pins = pinned_count()
+    leaked_rdds = [
+        f"{i.name()} ({i.memSize()}b)"
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only; "
+          f"post-release pins={leaked_pins} cached_rdds={len(leaked_rdds)}")
+    if leaked_rdds:
+        print("CACHE LEAK (cached outside the pin registry): "
+              + "; ".join(leaked_rdds[:5]))
     spark.stop()
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if (n_fail or leaked_pins or leaked_rdds) else 0)
 
 
 if __name__ == "__main__":
