@@ -25,10 +25,11 @@ pipeline actually controls for its own intermediate assets:
 
 ``resize`` is deterministic nearest-neighbor (pixel-center sampling) —
 the thumbnail/frame-sample planning math in multimodal.py picks the
-targets; this executes them. JPEG/video stay out of scope on purpose:
-DCT entropy decoding is a codec library's job, and those entry points
-keep their explicit NotImplementedError so callers can route
-JPEG-bearing rows to an environment that has one.
+targets; this executes them. BASELINE JPEG decode/encode lives in the
+sibling jpegcodec.py (pure numpy Huffman+DCT from the T.81 spec) and is
+dispatched from ``decode``/``encode_like`` here; progressive JPEG and
+video demux keep their explicit NotImplementedError so callers can
+route those rows to an environment with a real codec library.
 
 The functions are scalar (payload -> array -> payload) by design: they
 run INSIDE mapInPandas batches (multimodal.materialize_thumbnails), so
@@ -278,7 +279,14 @@ def decode(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_pnm(payload)
-    raise ValueError("unsupported image container (supported: png/bmp/pnm)")
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        arr = decode_jpeg(payload)
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    raise ValueError(
+        "unsupported image container (supported: png/bmp/pnm/baseline jpeg)"
+    )
 
 
 def encode_like(arr: np.ndarray, payload: bytes) -> bytes:
@@ -287,6 +295,10 @@ def encode_like(arr: np.ndarray, payload: bytes) -> bytes:
         return encode_png(arr)
     if payload[:2] == b"BM":
         return encode_bmp(arr)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import encode_jpeg
+
+        return encode_jpeg(arr)
     return encode_pnm(arr)
 
 

@@ -22,15 +22,16 @@ decoding:
   recomputes the same values arithmetically from doc_id, so a parser
   bug is a cross-engine mismatch.
 - ``decode_image`` / ``resize_image`` are REAL for PNG / 24-bit BMP /
-  binary PPM+PGM — pure numpy + stdlib zlib codecs in
-  operators/imagecodec.py — and ``materialize_thumbnails`` executes the
-  thumbnail plan over those codecs as one mapInPandas pass with
-  quarantine semantics (undecodable rows carry the error, never kill
-  the stage). JPEG decode and video frame extraction
-  (``sample_frames``) remain explicit NotImplementedError: DCT entropy
-  coding and container demux need a codec library this environment
-  doesn't have, and the Spark-side contract (schemas, batching,
-  partitioning) is identical once one is plugged in.
+  binary PPM+PGM / BASELINE JPEG — pure numpy + stdlib codecs in
+  operators/imagecodec.py and jpegcodec.py — and
+  ``materialize_thumbnails`` executes the thumbnail plan over those
+  codecs as one mapInPandas pass with quarantine semantics
+  (undecodable rows carry the error, never kill the stage).
+  Progressive JPEG (SOF2) and video frame extraction
+  (``sample_frames``) remain explicit NotImplementedError: progressive
+  scans and container demux belong to a real codec library, and the
+  Spark-side contract (schemas, batching, partitioning) is identical
+  once one is plugged in.
 
 Scale notes: mapInPandas streams Arrow record batches through one
 Python worker per core with no shuffle; partition sizing is inherited
@@ -294,20 +295,22 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
 
 # --- deep-codec entry points ------------------------------------------------
-# PNG/BMP/PPM/PGM decode + resize are REAL (pure numpy + stdlib zlib —
-# operators/imagecodec.py implements the format specs directly). JPEG
-# and video frame extraction stay explicit NotImplementedError: DCT
-# entropy decoding and container demuxing are a codec library's job
-# (no PIL/cv2/ffmpeg in this environment), and a loud error beats
-# silently-wrong pixels — route JPEG-bearing rows to an environment
-# that has one.
+# PNG/BMP/PPM/PGM/baseline-JPEG decode + resize are REAL (pure numpy +
+# stdlib — operators/imagecodec.py and jpegcodec.py implement the
+# format specs directly). Progressive JPEG and video frame extraction
+# stay explicit NotImplementedError: progressive entropy scans and
+# container demuxing are a codec library's job (no PIL/cv2/ffmpeg in
+# this environment), and a loud error beats silently-wrong pixels —
+# the quarantine path routes those rows.
 
 
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to HxWxC uint8 pixels (numpy). Supports
-    PNG (8-bit ct 0/2/4/6 non-interlaced), 24-bit BMP, binary PPM/PGM;
-    raises ValueError for other containers (JPEG included) and for
-    header-only payloads with no pixel data."""
+    PNG (8-bit ct 0/2/4/6 non-interlaced), 24-bit BMP, binary PPM/PGM,
+    and baseline JPEG (grayscale/YCbCr, 4:4:4/4:2:2/4:2:0, restart
+    markers); raises NotImplementedError for progressive JPEG and
+    ValueError for other containers and for header-only payloads with
+    no pixel data."""
     from .imagecodec import decode
 
     return decode(bytes(payload))
@@ -418,9 +421,9 @@ def materialize_thumbnails(
     production shape for pixel work at scale (Arrow batches through
     Python workers, no shuffle, no driver collection).
 
-    Rows whose container the pure-numpy codec can't decode (the
-    synthetic JPEGs, header-only payloads, audio/video) come back with
-    a NULL thumbnail and the decode error string — a corrupt or
+    Rows whose container the pure-numpy codecs can't decode
+    (progressive JPEGs, header-only payloads, audio/video) come back
+    with a NULL thumbnail and the decode error string — a corrupt or
     unsupported payload must not kill a 100 TB pass, it must land in a
     quarantine bucket the pipeline can route on.
     """
@@ -449,6 +452,7 @@ def materialize_thumbnails(
                     rec["format"] = (
                         "png" if payload[:8] == b"\x89PNG\r\n\x1a\n"
                         else "bmp" if payload[:2] == b"BM"
+                        else "jpeg" if payload[:2] == b"\xff\xd8"
                         else "pnm"
                     )
                     rec["target_w"], rec["target_h"] = tw, th

@@ -1,0 +1,107 @@
+"""Baseline JPEG codec (operators/jpegcodec.py): spec-conformance by
+round-trip at bounded error (JPEG is lossy by construction — the bound
+is the quantization error budget, not bit-exactness), plus the decoder
+paths the encoder can exercise deliberately: 4:2:0 subsampling, restart
+markers, grayscale, odd dimensions, and the loud progressive rejection
+that keeps the multimodal quarantine contract honest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from instacart_medallion_lakehouse_spark.operators.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=-1
+    ).astype(np.uint8)
+
+
+class TestRoundTrip:
+    def test_color_gradient_tight_bound(self):
+        img = _gradient(40, 56)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_flat_color_is_exact(self):
+        img = np.full((16, 24, 3), 130, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, 90)), img)
+
+    def test_grayscale(self):
+        g = (np.mgrid[0:32, 0:40][0] * 255 / 32).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, 95))
+        assert out.shape == g.shape  # HxW, no channel axis
+        assert np.abs(out.astype(int) - g.astype(int)).max() <= 3
+
+    def test_noise_q100_near_lossless(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 100))
+        # Q100 quant tables are all ones: only colorspace rounding left
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    def test_odd_dimensions_cropped_back(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(img, 95)).shape == (17, 19, 3)
+
+    def test_quality_degrades_monotonically_in_size(self):
+        img = _gradient(48, 48)
+        sizes = [len(encode_jpeg(img, q)) for q in (30, 60, 90)]
+        assert sizes == sorted(sizes)
+
+
+class TestDecoderPaths:
+    def test_420_subsampling(self):
+        img = _gradient(40, 56)
+        out = decode_jpeg(encode_jpeg(img, 95, subsample=True))
+        assert out.shape == img.shape
+        # chroma is box-averaged + replicated: looser but bounded
+        assert np.abs(out.astype(float) - img).mean() <= 4
+
+    def test_420_odd_dimensions(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(img, 95, subsample=True)).shape == (
+            19, 21, 3,
+        )
+
+    def test_restart_markers(self):
+        img = _gradient(40, 56)
+        enc = encode_jpeg(img, 95, restart_interval=3)
+        assert any(
+            bytes([0xFF, 0xD0 + i]) in enc for i in range(8)
+        )  # RSTn actually emitted
+        out = decode_jpeg(enc)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_restart_plus_subsampling(self):
+        img = _gradient(32, 48)
+        out = decode_jpeg(encode_jpeg(img, 90, subsample=True,
+                                      restart_interval=2))
+        assert np.abs(out.astype(float) - img).mean() <= 5
+
+
+class TestRejections:
+    def test_progressive_raises_not_implemented(self):
+        enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8), 90))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(enc))
+
+    def test_bad_soi_raises(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x00\x01notajpeg")
+
+    def test_truncated_entropy_raises(self):
+        enc = encode_jpeg(_gradient(24, 24), 90)
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[: len(enc) // 2])

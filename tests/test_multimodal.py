@@ -251,12 +251,17 @@ class TestMaterializeThumbnails:
         arr = np.stack([(x % 256), (y % 256), ((x + y) % 256)], axis=2).astype(
             np.uint8
         )
+        from instacart_medallion_lakehouse_spark.operators.jpegcodec import (
+            encode_jpeg,
+        )
+
         rows = [
             (1, bytearray(ic.encode_png(arr))),
             (2, bytearray(ic.encode_bmp(arr))),
             (3, bytearray(ic.encode_pnm(arr))),
             (4, bytearray(b"\xff\xd8\xff\xc0 not decodable")),
             (5, None),
+            (6, bytearray(encode_jpeg(arr, quality=95))),
         ]
         media = spark.createDataFrame(rows, "doc_id long, payload binary")
         out = {
@@ -264,15 +269,18 @@ class TestMaterializeThumbnails:
             for r in multimodal.materialize_thumbnails(media, max_dim=16)
             .collect()
         }
-        assert len(out) == 5
-        for i, fmt in ((1, "png"), (2, "bmp"), (3, "pnm")):
+        assert len(out) == 6
+        for i, fmt in ((1, "png"), (2, "bmp"), (3, "pnm"), (6, "jpeg")):
             r = out[i]
             assert r["decode_error"] is None and r["format"] == fmt
             # 64x40 -> max dim 16 keeps aspect: 16x10
             assert (r["target_w"], r["target_h"]) == (16, 10)
             thumb = ic.decode(bytes(r["thumbnail"]))
             assert thumb.shape[:2] == (10, 16)
+        # the jpeg thumbnail stays in its container family
+        assert bytes(out[6]["thumbnail"])[:2] == b"\xff\xd8"
         # quarantine rows: null thumbnail + the error, stage survived
+        # (a TRUNCATED jpeg quarantines; a well-formed one decodes)
         assert out[4]["thumbnail"] is None and out[4]["decode_error"]
         assert out[5]["thumbnail"] is None and out[5]["decode_error"]
 
