@@ -49,36 +49,41 @@ class TestDriverWindow:
         # registry entries that did not fit)
         assert len(q._WINDOW_PRIORITY) == 50
 
-    def test_never_driver_checked_queries_fill_round7_window(self):
-        """Round 7's rotation contract (VERDICT r5/r6 item #1): every
-        query with no driver CORRECTNESS row in rounds 1-6 must sit
-        inside the 50-entry driver window this round."""
-        never_checked = (
-            "cross_source_dup_matrix",
-            "source_quality_profile",
-            "q2_min_cost_supplier",
-            "q4_priority_exists",
-            "q9_profit_by_nation_year",
-            "q11_important_parts",
-            "q12_priority_by_flag",
-            "q16_supplier_part_counts",
-            "q19_disjunctive_revenue",
-            "q20_excess_suppliers",
-            "q21_waiting_suppliers",
-            "events_near_errors",
-            "blocklist_filter",
-            "hash_shuffled_export",
-            "cms_heavy_hitters",
-            "zipf_slope",
-            "stream_hopping_events",
-            "top_brands_per_nation",
-            "containment_pairs",
-            "rolling_active_users",
-            "winsorized_order_stats",
+    def test_never_driver_checked_queries_fill_round8_window(self):
+        """Round 8's rotation contract (VERDICT r7 item #1): every query
+        with no driver CORRECTNESS row in rounds 1-7 must sit inside the
+        50-entry driver window this round, together with this round's
+        rewrites (the span family) and the store build entries."""
+        must_be_in = (
+            # no lifetime driver row after r7
+            "audio_durations",
+            "stream_versioned_roundtrip",
+            "dup_span_coverage",
+            "dedup_spans_text",
+            # round-8 additions/rewrites
+            "span_run_index",
+            "long_run_overlap",
+            "curated_docs_v2",
+            "ann_ivf_topk",
+            "ngram_jaccard_dedup",
+            # store builders precede their consumers (bench attribution)
         )
-        window = set(list(q.queries())[:50])
-        for name in never_checked:
+        names = list(q.queries())
+        window = set(names[:50])
+        for name in must_be_in:
             assert name in window, name
+        # build entries come before every consumer in execution order
+        assert names.index("minhash_signature_table") < names.index(
+            "minhash_estimate_error"
+        )
+        assert names.index("span_run_index") < names.index(
+            "long_run_overlap"
+        )
+        # no-oracle entries stay OUT of the window (VERDICT r7 item #2)
+        for no_oracle in ("region_performance_approx",
+                          "price_percentiles_approx",
+                          "stream_running_totals"):
+            assert no_oracle not in window, no_oracle
 
 class TestTfidfRoundingMargin:
     def test_unrounded_scores_clear_the_4dp_boundary(self, spark, sf_dir):
