@@ -27,11 +27,13 @@ decoding:
   ``materialize_thumbnails`` executes the thumbnail plan over those
   codecs as one mapInPandas pass with quarantine semantics
   (undecodable rows carry the error, never kill the stage).
-  Progressive JPEG (SOF2) and video frame extraction
-  (``sample_frames``) remain explicit NotImplementedError: progressive
-  scans and container demux belong to a real codec library, and the
-  Spark-side contract (schemas, batching, partitioning) is identical
-  once one is plugged in.
+  ``sample_frames`` REALLY demuxes uncompressed YUV4MPEG2 video
+  (operators/y4mcodec.py) and PNG-encodes the sampled frames.
+  Progressive JPEG (SOF2) and COMPRESSED video containers remain
+  explicit NotImplementedError: progressive scans and mp4/mkv demux
+  belong to a real codec library, and the Spark-side contract
+  (schemas, batching, partitioning) is identical once one is plugged
+  in.
 
 Scale notes: mapInPandas streams Arrow record batches through one
 Python worker per core with no shuffle; partition sizing is inherited
@@ -181,10 +183,11 @@ def parse_media_header(payload: bytes) -> dict:
     """REAL header decode with stdlib ``struct`` — no codec libraries.
 
     Recognizes PNG (signature + IHDR big-endian fields), JPEG (marker-
-    segment walk to the first SOF0/1/2 frame header), and RIFF/WAVE
+    segment walk to the first SOF0/1/2 frame header), YUV4MPEG2 (ASCII
+    stream header + FRAME walk for a real frame count), and RIFF/WAVE
     (little-endian fmt fields). Anything else is an opaque payload:
     format 'raw' with the n_bytes%30 pseudo frame count standing in for
-    the ffmpeg-dependent video probe (see sample_frames).
+    the ffmpeg-dependent compressed-video probe (see sample_frames).
     """
     n = len(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and n >= 26:
@@ -214,6 +217,22 @@ def parse_media_header(payload: bytes) -> dict:
                     "n_frames": 1,
                 }
             i += 2 + seglen
+    if payload[:9] == b"YUV4MPEG2":
+        from .y4mcodec import parse_y4m_header
+
+        try:
+            y4m = parse_y4m_header(payload)
+        except ValueError:
+            pass  # magic-prefixed but not a stream: opaque 'raw' below
+        else:
+            return {
+                "format": "y4m",
+                "width": y4m["width"],
+                "height": y4m["height"],
+                "channels": 3,
+                "sample_rate": None,
+                "n_frames": y4m["n_frames"],
+            }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and n >= 28:
         (ch,) = struct.unpack("<H", payload[22:24])
         (rate,) = struct.unpack("<I", payload[24:28])
@@ -326,10 +345,31 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 
 def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
-    """Sample every-nth frame from a video payload. Requires ffmpeg
-    bindings (container demux is out of pure-numpy scope); the planning
-    half — WHICH frames to pull — is plan_frame_samples."""
-    raise NotImplementedError("frame sampling requires ffmpeg bindings")
+    """Sample every-nth frame from a video payload, PNG-encoded.
+
+    REAL for YUV4MPEG2 (.y4m) — the uncompressed interchange container
+    is pure arithmetic to demux (operators/y4mcodec.py), so frames
+    0, n, 2n, ... decode to RGB and re-encode as PNG without any codec
+    library. Compressed containers (mp4/mkv/webm) keep the explicit
+    NotImplementedError: entropy-coded video demux+decode is ffmpeg's
+    job, and the quarantine path routes those rows. The planning half —
+    WHICH frames to pull — is plan_frame_samples."""
+    p = bytes(payload)
+    if not p.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg bindings for compressed "
+            "containers (y4m is demuxed natively)"
+        )
+    from .imagecodec import encode_png
+    from .y4mcodec import iter_y4m_frames
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    return [
+        encode_png(frame)
+        for i, frame in enumerate(iter_y4m_frames(p))
+        if i % every_n == 0
+    ]
 
 
 AUDIO_STATS_SCHEMA = StructType(

@@ -105,3 +105,40 @@ class TestRejections:
         enc = encode_jpeg(_gradient(24, 24), 90)
         with pytest.raises(ValueError):
             decode_jpeg(enc[: len(enc) // 2])
+
+
+class TestPropertyRoundTrip:
+    def test_random_shapes_and_qualities_round_trip_bounded(self):
+        """Property sweep: any shape/quality/subsampling combination
+        must decode to the original dimensions with error bounded by
+        the quantization budget (smooth content, so the bound is
+        tight). Deterministic seeds — no flaky tolerance hunting."""
+        import itertools
+
+        for seed, (hh, ww), q, sub in itertools.product(
+            (0, 1), ((8, 8), (9, 15), (33, 17), (64, 48)),
+            (60, 90), (False, True),
+        ):
+            rng = np.random.default_rng(seed)
+            base = rng.integers(0, 256, (2, 2, 3))
+            # smooth content: upsample a 2x2 seed bilinearly-ish
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            fy, fx = yy / max(hh - 1, 1), xx / max(ww - 1, 1)
+            img = np.zeros((hh, ww, 3))
+            for c in range(3):
+                img[:, :, c] = (
+                    base[0, 0, c] * (1 - fy) * (1 - fx)
+                    + base[0, 1, c] * (1 - fy) * fx
+                    + base[1, 0, c] * fy * (1 - fx)
+                    + base[1, 1, c] * fy * fx
+                )
+            img = img.astype(np.uint8)
+            out = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+            assert out.shape == img.shape, (hh, ww, q, sub)
+            err = np.abs(out.astype(float) - img).mean()
+            # 4:2:0 error is dominated by chroma box-average+replicate,
+            # which on a steep tiny-image gradient dwarfs quantization
+            # (measured worst cases: 4:4:4 Q60 3.7 / Q90 1.5; 4:2:0
+            # ~10 at either quality on the 8x8 gradient)
+            bound = 13 if sub else (6 if q == 60 else 3)
+            assert err <= bound, (hh, ww, q, sub, err)
