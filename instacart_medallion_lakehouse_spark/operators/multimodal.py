@@ -106,10 +106,12 @@ def with_media(docs: DataFrame) -> DataFrame:
     type; CRC zeroed — dimension parsers don't checksum) and JPEG (SOI
     + SOF0 with height-before-width per the JFIF spec, 3 components);
     audio is a 44-byte canonical WAVE header (PCM, doc-id-derived
-    channel count and sample rate, little-endian fields). Video stays a
-    bare payload (no container — frame metadata needs ffmpeg, see
-    sample_frames). The document's utf-8 bytes follow the header as
-    body bytes, so payloads are content-sized, not toy constants.
+    channel count and sample rate, little-endian fields); video is a
+    complete YUV4MPEG2 stream (doc-id-derived even dimensions and frame
+    count, constant-byte C444 planes) that parse_media_header probes
+    and sample_frames really demuxes. Image/audio payloads carry the
+    document's utf-8 bytes after the header as body bytes, so those are
+    content-sized, not toy constants.
     """
     body = F.encode("text", "UTF-8")
     blen = F.octet_length(body)
@@ -163,12 +165,38 @@ def with_media(docs: DataFrame) -> DataFrame:
         )
     )
 
+    # video: a REAL YUV4MPEG2 stream — even doc-id-derived dimensions,
+    # C444, 1 + d%12 frames whose planes are one doc-id-derived byte
+    # value (hex-repeat builds the exact frame bytes JVM-side; the SQL
+    # oracle rebuilds the identical blob with the same repeat())
+    y4m_w = F.lit(2) * (F.lit(2) + d % 16)  # 4..34, even
+    y4m_h = F.lit(2) * (F.lit(2) + d % 12)  # 4..26, even
+    y4m_n = (F.lit(1) + d % 12).cast("int")
+    y4m_hdr = F.encode(
+        F.concat(
+            F.lit("YUV4MPEG2 W"),
+            y4m_w.cast("string"),
+            F.lit(" H"),
+            y4m_h.cast("string"),
+            F.lit(" F25:1 Ip A1:1 C444\n"),
+        ),
+        "UTF-8",
+    )
+    y4m_unit_hex = F.concat(
+        F.lit("4652414D450A"),  # "FRAME\n"
+        F.repeat(
+            F.lpad(F.hex(d % 256), 2, "0"),
+            (y4m_w * y4m_h * 3).cast("int"),
+        ),
+    )
+    y4m_payload = F.concat(y4m_hdr, F.unhex(F.repeat(y4m_unit_hex, y4m_n)))
+
     mt = (d % 3).cast("int")
     payload = (
         F.when((mt == 0) & (d % 6 == 0), F.concat(png_hdr, body))
         .when(mt == 0, F.concat(jpg_hdr, body))
         .when(mt == 1, F.concat(wav_hdr, body))
-        .otherwise(body)
+        .otherwise(y4m_payload)
     )
     return docs.select(
         "doc_id",

@@ -532,8 +532,7 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_frame_samples",
     """
     WITH v AS (
-      SELECT doc_id,
-             CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
+      SELECT doc_id, CAST(1 + doc_id % 12 AS INT) AS n_frames
       FROM documents WHERE doc_id % 3 = 2
     )
     SELECT doc_id, n_frames,
@@ -545,10 +544,10 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan: one output row per sampled frame index
     (every 5th) of each video payload — the one-row-in/many-rows-out
     batch-explode contract of a real frame extractor, run through
-    mapInPandas with the deterministic pseudo frame probe (payload
-    bytes %% 30; the ffmpeg swap-in changes only the probe). Videos
-    with zero probed frames emit nothing, matching the oracle's empty
-    range()."""
+    mapInPandas. Since round 8 the video payloads are complete
+    YUV4MPEG2 streams, so the probe is a REAL container walk
+    (parse_media_header counts actual FRAME units) and the oracle
+    recomputes the same 1 + doc_id%12 count arithmetically."""
     from .operators.multimodal import plan_frame_samples, with_media
 
     docs = _t(spark, sf_dir, "documents")

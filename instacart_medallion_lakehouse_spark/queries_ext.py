@@ -51,7 +51,10 @@ from .streaming.events import (
              1 + doc_id % 512 AS jw,
              1 + doc_id % 384 AS jh,
              1 + doc_id % 2 AS wch,
-             8000 * (1 + doc_id % 4) AS wrate
+             8000 * (1 + doc_id % 4) AS wrate,
+             2 * (2 + doc_id % 16) AS vw,
+             2 * (2 + doc_id % 12) AS vh,
+             CAST(1 + doc_id % 12 AS INT) AS vn
       FROM documents
     ),
     pay AS (
@@ -90,7 +93,13 @@ from .streaming.events import (
                   || substr(lpad(hex(blen), 8, '0'), 5, 2)
                   || substr(lpad(hex(blen), 8, '0'), 3, 2)
                   || substr(lpad(hex(blen), 8, '0'), 1, 2)) || body
-          ELSE body
+          ELSE
+            encode('YUV4MPEG2 W' || vw || ' H' || vh
+                   || ' F25:1 Ip A1:1 C444' || chr(10))
+            || unhex(repeat('4652414D450A'
+                            || repeat(lpad(hex(doc_id % 256), 2, '0'),
+                                      vw * vh * 3),
+                            vn))
         END AS payload
       FROM dims
     )
@@ -99,32 +108,37 @@ from .streaming.events import (
                 ELSE 'video' END AS media_type,
            CASE WHEN mt = 0 AND m6 = 0 THEN 'png'
                 WHEN mt = 0 THEN 'jpeg'
-                WHEN mt = 1 THEN 'wav' ELSE 'raw' END AS format,
+                WHEN mt = 1 THEN 'wav' ELSE 'y4m' END AS format,
            octet_length(payload) AS n_bytes,
            md5(base64(payload)) AS checksum,
            CAST(CASE WHEN mt = 0 AND m6 = 0 THEN pw
-                     WHEN mt = 0 THEN jw END AS INT) AS width,
+                     WHEN mt = 0 THEN jw
+                     WHEN mt = 2 THEN vw END AS INT) AS width,
            CAST(CASE WHEN mt = 0 AND m6 = 0 THEN ph
-                     WHEN mt = 0 THEN jh END AS INT) AS height,
+                     WHEN mt = 0 THEN jh
+                     WHEN mt = 2 THEN vh END AS INT) AS height,
            CAST(CASE WHEN mt = 0 AND m6 = 0 THEN
                        CASE pct WHEN 0 THEN 1 WHEN 2 THEN 3 ELSE 4 END
                      WHEN mt = 0 THEN 3
+                     WHEN mt = 2 THEN 3
                      WHEN mt = 1 THEN wch END AS INT) AS channels,
            CAST(CASE WHEN mt = 1 THEN wrate END AS INT) AS sample_rate,
-           CAST(CASE WHEN mt = 2 THEN blen % 30
+           CAST(CASE WHEN mt = 2 THEN vn
                      WHEN mt = 0 THEN 1 END AS INT) AS n_frames
     FROM pay
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode end-to-end: fabricate (doc_id, media_type,
-    payload binary) whose payloads carry REAL PNG/JPEG/WAV headers,
-    then extract features via mapInPandas, where width/height/channels/
-    sample_rate are struct-PARSED from the payload bytes
-    (operators/multimodal.parse_media_header). The oracle rebuilds the
-    identical payload blob in SQL and derives the same features
-    arithmetically from doc_id — a parser bug or a malformed header
-    surfaces as a cross-engine mismatch."""
+    payload binary) whose payloads carry REAL containers — PNG/JPEG/WAV
+    headers and complete YUV4MPEG2 video streams — then extract
+    features via mapInPandas, where width/height/channels/sample_rate/
+    n_frames are PARSED from the payload bytes
+    (operators/multimodal.parse_media_header; the y4m frame count walks
+    actual FRAME units). The oracle rebuilds the identical payload blob
+    in SQL and derives the same features arithmetically from doc_id — a
+    parser bug or a malformed header surfaces as a cross-engine
+    mismatch."""
     docs = _t(spark, sf_dir, "documents")
     return extract_media_features(with_media(docs))
 

@@ -69,10 +69,18 @@ class TestMediaPlumbing:
                 assert r["sample_rate"] == 8000 * (1 + doc_id % 4)
                 assert r["width"] is None and r["height"] is None
             else:
-                assert r["format"] == "raw"
-                assert r["n_frames"] == len(payload) % 30
+                # video rows are complete YUV4MPEG2 streams: the frame
+                # count comes from a REAL FRAME-unit walk and the dims
+                # from the stream header, both matching the fabrication
+                # arithmetic
+                assert r["format"] == "y4m"
+                assert payload[:9] == b"YUV4MPEG2"
+                assert r["width"] == 2 * (2 + doc_id % 16)
+                assert r["height"] == 2 * (2 + doc_id % 12)
+                assert r["channels"] == 3
+                assert r["n_frames"] == 1 + doc_id % 12
         # the 60-doc sample must exercise every branch
-        assert seen == {"png", "jpeg", "wav", "raw"}
+        assert seen == {"png", "jpeg", "wav", "y4m"}
 
     def test_batch_iterator_sees_multiple_partitions(self, media):
         # repartition and confirm every partition's rows survive the
