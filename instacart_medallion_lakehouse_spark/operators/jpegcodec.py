@@ -498,8 +498,9 @@ def encode_jpeg(
 ) -> bytes:
     """HxW or HxWx3 uint8 -> baseline JFIF (Annex K tables).
 
-    ``subsample=True`` emits 4:2:0 chroma (2x2 box-averaged Cb/Cr, the
-    web default); otherwise 4:4:4. ``restart_interval`` > 0 emits a DRI
+    ``subsample`` selects the chroma layout: False/'444' full
+    resolution, True/'420' 2x2 box-averaged (the web default), '422'
+    horizontal-only 2x1 averaging. ``restart_interval`` > 0 emits a DRI
     segment and RSTn markers every that many MCUs (resync points a
     corruption-tolerant reader can restart from)."""
     arr = np.asarray(arr, dtype=np.float64)
@@ -525,7 +526,8 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
+        mode = {False: "444", True: "420"}.get(subsample, subsample)
+        if mode == "420":
             # 2x2 box average on an even-padded plane
             def _half(p):
                 p = _pad_to(p, -(-h // 2) * 2, -(-w // 2) * 2)
@@ -535,8 +537,18 @@ def encode_jpeg(
                 )
 
             comps = [(y, 2, 2), (_half(cb), 1, 1), (_half(cr), 1, 1)]
-        else:
+        elif mode == "422":
+            # horizontal-only 2x1 average
+            def _hhalf(p):
+                p = _pad_to(p, h, -(-w // 2) * 2)
+                return 0.5 * (p[:, 0::2] + p[:, 1::2])
+
+            comps = [(y, 2, 1), (_hhalf(cb), 1, 1), (_hhalf(cr), 1, 1)]
+        elif mode == "444":
             comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+        else:
+            raise ValueError(f"jpeg: subsample mode {subsample!r} "
+                             "unsupported (444/420/422)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))

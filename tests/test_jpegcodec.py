@@ -66,6 +66,22 @@ class TestDecoderPaths:
         # chroma is box-averaged + replicated: looser but bounded
         assert np.abs(out.astype(float) - img).mean() <= 4
 
+    def test_422_subsampling(self):
+        img = _gradient(40, 56)
+        out = decode_jpeg(encode_jpeg(img, 95, subsample="422"))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(float) - img).mean() <= 3
+        # odd dims crop back exactly
+        rng = np.random.default_rng(3)
+        odd = rng.integers(0, 256, (23, 25, 3), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(odd, 95, subsample="422")).shape == (
+            23, 25, 3,
+        )
+
+    def test_unknown_subsample_mode_rejected(self):
+        with pytest.raises(ValueError, match="subsample"):
+            encode_jpeg(_gradient(8, 8), 90, subsample="411")
+
     def test_420_odd_dimensions(self):
         rng = np.random.default_rng(3)
         img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
