@@ -88,6 +88,51 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "unigram_entropy",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+    a AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                 sum(c * log2(c)) AS slc
+          FROM c GROUP BY 1)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(nd AS BIGINT) AS n_distinct_tokens,
+           round(log2(n) - slc / n, 4) AS unigram_entropy
+    FROM a
+    """,
+)
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (bits)
+    — the vocabulary-diversity quality signal: boilerplate and
+    keyword-stuffed spam score low, natural prose scores near
+    log2(n_distinct). Computed via the identity
+    H = log2(n) - (sum c*log2 c)/n so each engine sums integer-count
+    terms rather than per-token probabilities.
+
+    Shape: explode -> two hash aggregates (token counts, then per-doc
+    rollup), entirely codegen'd — the same one-shuffle-per-grain form
+    as bigram_topk, no windows, no arrays held in memory per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    c = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("c") * F.log2("c")).alias("slc"),
+    )
+    return a.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("nd").cast("long").alias("n_distinct_tokens"),
+        dround(F.log2("n") - F.col("slc") / F.col("n"), 4).alias(
+            "unigram_entropy"
+        ),
+    )
+
+
+@_register(
     "token_count",
     f"""
     SELECT source,
