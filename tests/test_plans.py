@@ -138,3 +138,26 @@ class TestTpchPlans:
         p = plans3["q7_volume_shipping"]
         assert p.count("BroadcastHashJoin") >= 4
         assert "PushedFilters" in p and "l_shipdate" in p
+
+
+class TestRound8Plans:
+    def test_curated_docs_v2_has_no_sort_merge_join(self, spark, sf_dir):
+        """Round-8 invariant: the final anti-join broadcasts the
+        near-dup loser-id set (detection output, ids only), so the
+        deepest plan in the registry carries ZERO sort-merge joins —
+        a silent fallback to SMJ here means Catalyst lost the hint."""
+        df = q.queries()["curated_docs_v2"](spark, sf_dir)
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan
+        q.release_pins()
+
+    def test_span_run_index_is_a_store_scan(self, spark, sf_dir):
+        """The substring-dedup index is served from the persisted
+        store: once built, the registry entry plans as a parquet scan
+        with no shuffle (the posexplode+window build pipeline must not
+        re-run per consumer)."""
+        q.queries()["span_run_index"](spark, sf_dir).count()  # build
+        plan = _plan(q.queries()["span_run_index"](spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "window" not in plan.lower()
+        q.release_pins()
