@@ -150,6 +150,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "long_run_overlap",
     "dup_span_coverage",
     "dedup_spans_text",
+    "span_dup_clusters",
     # --- round 8, part 2: round-7 REWRITES whose newest driver row
     # (r3/r6) predates the current plan: the fused-GEMM IVF pass, the
     # store-staged curation pipeline (also rewritten again this round:
@@ -176,11 +177,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "top_k",
     "union_all",
     "windowed_events",
-    # then the r3 cohort (last row round 3), alphabetical — 24 fit
-    # (slots went to the new span_run_index build entry and to the
-    # round-8 additions below); the remaining 17 (q17, q18, q22,
-    # q3_shipping_priority .. union_by_name_drift) are round 9's
-    # backfill:
+    # then the r3 cohort (last row round 3), alphabetical — 23 fit
+    # (slots went to the new span_run_index / span_dup_clusters
+    # entries and the round-8 additions below); the remaining 18
+    # (q15, q17, q18, q22, q3_shipping_priority ..
+    # union_by_name_drift) are round 9's backfill:
     "ann_sq8_topk",
     "bloom_pruned_join",
     "cube_revenue",
@@ -204,7 +205,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "price_percentiles",
     "profile_orders",
     "q10_returned_items",
-    "q15_top_supplier",
     # round-8 jumps over the alphabetical backfill: media_frame_samples
     # got a REWRITTEN oracle this round (real Y4M probed frame counts —
     # its r6 row describes the old pseudo-probe contract) and
@@ -216,7 +216,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # stream_running_totals) — they would burn a slot on an
     # `err: no_oracle` row (VERDICT r7 item #2). ROTATION PLAN for
     # round 9, in priority order: (1) anything round 9 rewrites,
-    # (2) the remaining 17 of the r3 cohort (q17_small_quantity_revenue,
+    # (2) the remaining 18 of the r3 cohort (q15_top_supplier,
+    # q17_small_quantity_revenue,
     # q18_large_orders, q22_prospect_balances, q3_shipping_priority,
     # q5_local_supplier, q7_volume_shipping, q8_market_share,
     # revenue_anomalies, rolling_user_value, salted_join_rollup,

@@ -1358,6 +1358,99 @@ def long_run_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_cluster_sql(iterations: int = 3) -> str:
+    """Min-label propagation unrolled as CTEs over the shared-run pair
+    graph — the substring-family analog of queries_train._cluster_sql
+    (same round count, so the two engines compute the identical
+    fixed-iteration labeling whatever the true graph diameter is)."""
+    ctes = [
+        f"""t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)""",
+        f"""sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + {_RUN_N - 1}), ' '))
+               AS h
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {_RUN_N - 2})) AS i
+            FROM t)
+    )""",
+        """pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )""",
+        """sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    )""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+      SELECT n.node,
+             least(n.label, coalesce(min(m.label), n.label)) AS label
+      FROM l{i - 1} n
+      LEFT JOIN sym e ON e.src = n.node
+      LEFT JOIN l{i - 1} m ON e.dst = m.node
+      GROUP BY n.node, n.label
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT d.doc_id,
+           CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster
+    FROM documents d
+    LEFT JOIN l{iterations} l ON l.node = d.doc_id
+    """
+
+
+@_register("span_dup_clusters", _span_cluster_sql(3))
+def span_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap dedup CLUSTERS: documents sharing at least one
+    verbatim {_RUN_N}-token run collapse into transitive components
+    labeled by their minimum member — the span family's analog of
+    dedup_clusters, closing the detect -> measure -> remove -> CLUSTER
+    loop so a keep-one-per-cluster policy (doc_id = cluster) works at
+    the substring level too.
+
+    Scale: pairs come from the persisted run index's bucketed
+    self-join (hashes shuffle, never text), propagation is the
+    one-join-one-aggregate round from operators/graph.py over an
+    id-only edge list, and the fixed 3-round unroll is what BOTH
+    engines compute, so the comparison is exact whatever the true
+    component diameter is."""
+    from .operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    runs = pin(
+        shared_positioned_runs(spark, sf_dir)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    runs.count()  # two differently-aliased self-join sides
+    a = runs.select(F.col("doc_id").alias("id_a"), "h")
+    b = runs.select(F.col("doc_id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    labels = label_propagation(
+        pairs, iterations=3, edges_unique=True, cache_every=0
+    )
+    return docs.select("doc_id").join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("cluster"),
+    )
+
+
 @_register(
     "dup_span_coverage",
     f"""
