@@ -25,11 +25,13 @@ pipeline actually controls for its own intermediate assets:
 
 ``resize`` is deterministic nearest-neighbor (pixel-center sampling) —
 the thumbnail/frame-sample planning math in multimodal.py picks the
-targets; this executes them. BASELINE JPEG decode/encode lives in the
-sibling jpegcodec.py (pure numpy Huffman+DCT from the T.81 spec) and is
-dispatched from ``decode``/``encode_like`` here; progressive JPEG and
-video demux keep their explicit NotImplementedError so callers can
-route those rows to an environment with a real codec library.
+targets; this executes them. JPEG decode/encode — baseline AND
+progressive — lives in the sibling jpegcodec.py (pure numpy
+Huffman+DCT from the T.81 spec) and is dispatched from
+``decode``/``encode_like`` here; lossless/hierarchical JPEG and
+compressed-video demux keep their explicit NotImplementedError so
+callers can route those rows to an environment with a real codec
+library.
 
 The functions are scalar (payload -> array -> payload) by design: they
 run INSIDE mapInPandas batches (multimodal.materialize_thumbnails), so

@@ -1,19 +1,27 @@
-"""Pure numpy + stdlib baseline JPEG codec (ITU-T T.81 / JFIF).
+"""Pure numpy + stdlib JPEG codec (ITU-T T.81 / JFIF), baseline +
+progressive.
 
 Closes the one codec gap a real web corpus hits first (reference has no
 media at all; VERDICT r7 queue item #7): baseline sequential DCT with
 Huffman entropy coding, written from the public spec.
 
-Decoder coverage: SOF0 baseline, 8-bit, 1 component (grayscale) or 3
-components (JFIF YCbCr) at any of the common sampling factors (4:4:4,
-4:2:2, 4:2:0), restart markers, multi-table DQT/DHT segments. Loud
-``NotImplementedError`` for progressive (SOF2) and the exotic SOFs so
-the multimodal quarantine path keeps routing those rows, and
-``ValueError`` for malformed streams.
+Decoder coverage: baseline sequential (SOF0/1) AND progressive (SOF2
+— spectral selection + successive approximation, EOB runs, all four
+scan modes), 8-bit, 1 component (grayscale) or 3 components (JFIF
+YCbCr) at any of the common sampling factors (4:4:4, 4:2:2, 4:2:0),
+restart markers, multi-scan coefficient assembly, multi-table DQT/DHT
+segments. Loud ``NotImplementedError`` only for the
+lossless/hierarchical/arithmetic SOFs so the multimodal quarantine
+path keeps routing those rows, and ``ValueError`` for malformed
+streams.
 
-Encoder: baseline 4:4:4 (grayscale or color), Annex K quantization
-tables scaled by the usual IJG quality curve, Annex K Huffman tables.
-Not bit-identical to any other encoder (no encoder pair is), but
+Encoder: baseline or progressive (four-phase scan script over the
+same quantized coefficients, so the two forms decode bit-identically —
+the round-trip invariant the tests pin), 4:4:4 / 4:2:0 / 4:2:2, Annex
+K quantization tables scaled by the usual IJG quality curve, Annex K
+Huffman tables for baseline and flat custom tables for the progressive
+scans (which need EOBn symbols Annex K does not define). Not
+bit-identical to any other encoder (no encoder pair is), but
 spec-conformant — decodable by this decoder and any other.
 
 Performance posture: the DCT/IDCT, dequantize, level shift, upsample
@@ -222,15 +230,217 @@ def _extend(v: int, t: int) -> int:
 # --- decoder -----------------------------------------------------------------
 
 
+def _slice_entropy(payload: bytes, pos: int):
+    """Slice one scan's entropy-coded bytes starting at ``pos``:
+    un-stuff FF00, split on restart markers, stop at any other marker.
+    Returns (intervals, next_marker_pos)."""
+    n = len(payload)
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:  # stuffed FF
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI / next segment ends the scan
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals, i
+
+
+class _ScanState:
+    """Mutable per-interval entropy state: bit reader, DC predictors,
+    and the EOB run counter (progressive AC scans)."""
+
+    def __init__(self, interval: bytes, cids):
+        self.br = _BitReader(interval)
+        self.pred = {cid: 0 for cid in cids}
+        self.eobrun = 0
+
+
+def _decode_dc(st, dc_dec, cid, b, ah, al):
+    if ah == 0:  # first pass
+        t = dc_dec.decode(st.br)
+        st.pred[cid] += _extend(st.br.receive(t), t)
+        b[0] = st.pred[cid] << al
+    else:  # refinement: one bit per block
+        if st.br.read_bit():
+            b[0] |= 1 << al
+
+
+def _decode_ac_first(st, ac_dec, b, ss, se, al):
+    """AC first pass (also the baseline AC path: ss=1, al=0, where
+    encoders only ever emit EOB runs of length 1)."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac_dec.decode(st.br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            st.eobrun = (1 << r) - 1
+            if r:
+                st.eobrun += st.br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC run overflow")
+        b[k] = _extend(st.br.receive(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(st, ac_dec, b, ss, se, al):
+    """AC successive-approximation refinement (T.81 G.1.2.3 /
+    libjpeg's decode_mcu_AC_refine structure): newly significant
+    coefficients arrive as (run, 1) symbols + sign, every nonzero
+    coefficient passed on the way emits a correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        while k <= se:
+            if b[k] != 0:
+                if st.br.read_bit() and not (b[k] & p1):
+                    b[k] += p1 if b[k] >= 0 else m1
+            k += 1
+
+    if st.eobrun > 0:
+        # block fully inside an EOB run: corrections only
+        st.eobrun -= 1
+        correct(ss)
+        return
+    k = ss
+    in_run = False
+    while k <= se:
+        rs = ac_dec.decode(st.br)
+        r, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if r != 15:
+                # EOBn: run of 2^r + ext blocks, INCLUDING this one —
+                # st.eobrun stores only the extra blocks; this block's
+                # tail is corrected unconditionally below
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += st.br.receive(r)
+                in_run = True
+                break
+            # r == 15 (ZRL): skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("jpeg: AC refine magnitude != 1")
+            newval = p1 if st.br.read_bit() else m1
+        while k <= se:
+            if b[k] != 0:
+                if st.br.read_bit() and not (b[k] & p1):
+                    b[k] += p1 if b[k] >= 0 else m1
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            b[k] = newval
+        k += 1
+    if in_run:
+        correct(k)  # this block ENTERED the run: correct its tail
+
+
+def _scan_units(scan_comps, geom):
+    """Enumerate the scan's data units as (cid, by, bx) in spec order.
+    Interleaved (multi-component): MCU raster, vs*hs blocks per comp
+    per MCU, one MCU per restart unit. Non-interleaved: the single
+    component's own block raster, one BLOCK per restart unit. Yields
+    (restart_boundary, cid, by, bx)."""
+    hmax, vmax, mcux, mcuy, dims = geom
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                first = True
+                for cid, hs, vs in scan_comps:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield first, cid, my * vs + by, mx * hs + bx
+                            first = False
+    else:
+        cid, hs, vs = scan_comps[0]
+        nby, nbx = dims[cid][:2]
+        for by in range(nby):
+            for bx in range(nbx):
+                yield True, cid, by, bx
+
+
+def _decode_scan(payload, pos, scan, ss, se, ah, al, huff, coeff, geom,
+                 restart_interval):
+    """Decode one SOS's entropy data into the coefficient store.
+    Returns the position of the next marker."""
+    intervals, nxt = _slice_entropy(payload, pos)
+    dc_dec, ac_dec = {}, {}
+    for cs, td, ta in scan:
+        if ss == 0 and (0, td) not in huff:
+            raise ValueError("jpeg: scan references missing DC table")
+        if se > 0 and (1, ta) not in huff:
+            raise ValueError("jpeg: scan references missing AC table")
+        dc_dec[cs] = huff.get((0, td))
+        ac_dec[cs] = huff.get((1, ta))
+    comp_geom = [(cs, *geom[4][cs][2:]) for cs, _, _ in scan]
+    # comp_geom entries: (cid, hs, vs)
+    cids = [c[0] for c in comp_geom]
+    st = _ScanState(intervals[0], cids)
+    interval_idx = 0
+    units_done = 0
+    for boundary, cid, by, bx in _scan_units(comp_geom, geom):
+        if (
+            boundary
+            and restart_interval
+            and units_done
+            and units_done % restart_interval == 0
+        ):
+            interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise ValueError("jpeg: missing restart interval data")
+            st = _ScanState(intervals[interval_idx], cids)
+        if boundary:
+            units_done += 1
+        b = coeff[cid][by, bx]
+        if ss == 0:
+            _decode_dc(st, dc_dec[cid], cid, b, ah, al)
+        if se > 0:
+            start = max(ss, 1)
+            if ah == 0:
+                _decode_ac_first(st, ac_dec[cid], b, start, se, al)
+            else:
+                _decode_ac_refine(st, ac_dec[cid], b, start, se, al)
+    return nxt
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> HxW (grayscale) or HxWx3 (RGB) uint8."""
+    """Baseline OR progressive JPEG -> HxW (grayscale) / HxWx3 (RGB)
+    uint8. Sequential (SOF0/1) and progressive (SOF2) with spectral
+    selection + successive approximation; lossless/hierarchical SOFs
+    stay NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
-    frame = None  # (h, w, comps) ; comps: (cid, hs, vs, tq)
+    frame = None  # (h, w, comps, progressive); comps: (cid, hs, vs, tq)
     restart_interval = 0
-    scan = None
+    coeff = None  # cid -> (nby, nbx, 64) int64, ZIGZAG order
+    geom = None
+    saw_scan = False
     pos = 2
     n = len(payload)
     while pos < n:
@@ -272,138 +482,78 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[o + 17 : o + 17 + nv])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 o += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"jpeg: {prec}-bit precision unsupported")
             comps = []
             for i in range(nc):
-                cid, hv, tq_id = struct.unpack_from(">BBB", seg, 3 + 5 + i * 3 - 2)
+                cid, hv, tq_id = struct.unpack_from(">BBB", seg, 6 + i * 3)
                 comps.append((cid, hv >> 4, hv & 0xF, tq_id))
-            frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "jpeg: progressive (SOF2) unsupported — baseline only; "
-                "route to a codec-library environment"
-            )
+            frame = (h, w, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            dims = {}
+            for cid, hs, vs, tq_id in comps:
+                cw = -(-(w * hs) // hmax)
+                ch = -(-(h * vs) // vmax)
+                dims[cid] = (-(-ch // 8), -(-cw // 8), hs, vs)
+            geom = (hmax, vmax, mcux, mcuy, dims)
+            coeff = {
+                cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                for cid, hs, vs, _ in comps
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: SOF{marker - 0xC0} coding process unsupported"
+                f"jpeg: SOF{marker - 0xC0} coding process unsupported "
+                "(lossless/hierarchical/arithmetic — codec-library "
+                "territory)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tds = seg[1 + i * 2], seg[2 + i * 2]
                 scan.append((cs, tds >> 4, tds & 0xF))
-            pos += seglen
-            break
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            ahal = seg[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not frame[3]:  # baseline scans are always full-band
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                payload, pos + seglen, scan, ss, se, ah, al, huff,
+                coeff, geom, restart_interval,
+            )
+            saw_scan = True
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("jpeg: missing SOF/SOS")
 
-    # slice the entropy-coded stream (byte-stuffed) up to EOI / next marker,
-    # splitting on restart markers
-    intervals: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:  # stuffed FF
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or another marker ends the scan
-        cur.append(b)
-        i += 1
-    intervals.append(bytes(cur))
-
-    h, w, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    dc_dec = {}
-    ac_dec = {}
-    for cs, td, ta in scan:
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("jpeg: scan references missing Huffman table")
-        dc_dec[cs] = huff[(0, td)]
-        ac_dec[cs] = huff[(1, ta)]
-
-    # coefficient planes per component, in 8x8 block units
-    coeff = {
-        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8)) for cid, hs, vs, _ in comps
-    }
-    pred = {cid: 0 for cid, *_ in comps}
-    br = _BitReader(intervals[0])
-    interval_idx = 0
-    mcus_done = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcus_done
-                and mcus_done % restart_interval == 0
-            ):
-                interval_idx += 1
-                if interval_idx >= len(intervals):
-                    raise ValueError("jpeg: missing restart interval data")
-                br = _BitReader(intervals[interval_idx])
-                pred = {cid: 0 for cid, *_ in comps}
-            for cid, hs, vs, tq_id in comps:
-                q = qt[tq_id]
-                dch, ach = dc_dec[cid], ac_dec[cid]
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = np.zeros(64)
-                        t = dch.decode(br)
-                        diff = _extend(br.receive(t), t)
-                        pred[cid] += diff
-                        blk[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = ach.decode(br)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC run overflow")
-                            blk[k] = _extend(br.receive(s), s)
-                            k += 1
-                        # DQT stores the table in zigzag order (B.2.4.1),
-                        # the same order blk is in — scatter both to
-                        # natural order together
-                        out = np.zeros(64)
-                        out[ZIGZAG] = blk * q
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        coeff[cid][y0 : y0 + 8, x0 : x0 + 8] = out.reshape(8, 8)
-            mcus_done += 1
-
-    # IDCT every block of every plane at once (vectorized numpy)
+    h, w, comps, _prog = frame
+    hmax, vmax, mcux, mcuy, dims = geom
     planes = {}
-    for cid, hs, vs, _ in comps:
-        c = coeff[cid]
-        ph, pw = c.shape
-        blocks = c.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    for cid, hs, vs, tq_id in comps:
+        if tq_id not in qt:
+            raise ValueError("jpeg: missing quantization table")
+        zz = coeff[cid].astype(np.float64)  # (nby, nbx, 64) zigzag
+        # DQT stores tables in zigzag order too — dequantize in place,
+        # then scatter both to natural order together
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz * qt[tq_id][None, None, :]
+        nby, nbx = nat.shape[:2]
+        blocks = nat.reshape(nby, nbx, 8, 8)
         pix = np.einsum("xu,mnuv,vy->mnxy", _A.T, blocks, _A)
-        plane = pix.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
-        # upsample to full MCU-padded resolution by sample replication
+        plane = (
+            pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+        )
         if hs != hmax or vs != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
@@ -413,6 +563,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(comps) == 1:
         return np.clip(planes[comps[0][0]] + 0.5, 0, 255).astype(np.uint8)
     if len(comps) == 3:
+
         y, cb, cr = (planes[c[0]] for c in comps)
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -490,19 +641,243 @@ def _encode_block(bw, zz, pred, ci, dc_codes, ac_codes, ti):
         bw.write(code, ln)
 
 
+def _flat_table(symbols):
+    """All-same-length canonical Huffman table: the smallest length L
+    with 2^L > len(symbols) leaves the all-ones code unused (required
+    by the spec). Deliberately non-optimal — the progressive scans
+    need EOBn symbols that Annex K's baseline tables do not define, and
+    a flat table is trivially correct."""
+    L = len(symbols).bit_length()
+    bits = [0] * 16
+    bits[L - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+_HUFF_DC_PROG = _flat_table(list(range(12)))
+_HUFF_AC_PROG = _flat_table(
+    [r << 4 for r in range(15)]                      # EOB0..EOB14
+    + [0xF0]                                         # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+class _ProgAC:
+    """Per-scan AC state shared across blocks: the EOB run counter and
+    the correction bits buffered inside it (emitted right after the
+    EOBn symbol, T.81 G.1.2.3)."""
+
+    def __init__(self, bw, codes):
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def sym(self, s):
+        code, ln = self.codes[s]
+        self.bw.write(code, ln)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            for bit in self.pending:
+                self.bw.write(bit, 1)
+            self.pending = []
+
+    def bump_eobrun(self, bits):
+        self.eobrun += 1
+        self.pending.extend(bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _emit_ac_first(st: _ProgAC, zz, ss, se, al):
+    """One block of an AC first-pass scan: band values are the point
+    transform trunc(coef / 2^al); all-zero bands fold into EOB runs."""
+    c = zz[ss : se + 1]
+    vals = np.sign(c) * (np.abs(c) >> al)
+    nz = np.nonzero(vals)[0]
+    if not len(nz):
+        st.bump_eobrun([])
+        return
+    st.flush_eobrun()
+    last = nz[-1]
+    r = 0
+    for i in range(last + 1):
+        v = int(vals[i])
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            st.sym(0xF0)
+            r -= 16
+        s, mag = _magnitude(v)
+        st.sym((r << 4) | s)
+        st.bw.write(mag, s)
+        r = 0
+    if last < se - ss:
+        st.bump_eobrun([])
+
+
+def _emit_ac_refine(st: _ProgAC, zz, ss, se, al):
+    """One block of an AC refinement scan (T.81 G.1.2.3): newly
+    significant coefficients as (run, 1) + sign, correction bits for
+    every already-significant coefficient passed, tails folded into
+    the shared EOB run."""
+    c = zz[ss : se + 1]
+    absv = np.abs(c) >> al
+    ones = np.nonzero(absv == 1)[0]
+    eob = ones[-1] if len(ones) else -1
+    r = 0
+    br: list[int] = []
+    for i in range(len(absv)):
+        t = int(absv[i])
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            st.flush_eobrun()
+            st.sym(0xF0)
+            r -= 16
+            for bit in br:
+                st.bw.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush_eobrun()
+        st.sym((r << 4) | 1)
+        st.bw.write(1 if c[i] > 0 else 0, 1)
+        for bit in br:
+            st.bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.bump_eobrun(br)
+
+
+def _write_progressive(out, seg, h, w, comps_hv, quantized, gray):
+    """Emit SOF2 + the four-phase scan script: interleaved DC first
+    (Al=1), per-component AC first (spectral selection 1..63, Al=1),
+    interleaved DC refine, per-component AC refine — every scan mode
+    the progressive decoder implements, so round-trips cover all four.
+    """
+    nc = len(comps_hv)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(comps_hv):
+        sof += bytes([ci + 1, hs << 4 | vs, min(ci, 1)])
+    out += seg(0xC2, sof)
+    dc_codes = _canonical_codes(*_HUFF_DC_PROG)
+    ac_codes = _canonical_codes(*_HUFF_AC_PROG)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_HUFF_DC_PROG[0]) + bytes(_HUFF_DC_PROG[1]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes(_HUFF_AC_PROG[0]) + bytes(_HUFF_AC_PROG[1]),
+    )
+    hmax = max(hs for hs, _ in comps_hv)
+    vmax = max(vs for _, vs in comps_hv)
+    mcuy = quantized[0].shape[0] // comps_hv[0][1]
+    mcux = quantized[0].shape[1] // comps_hv[0][0]
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x00])  # Td=0, Ta=0
+        return seg(0xDA, body + bytes([ss, se, ah << 4 | al]))
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(comps_hv):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, my * vs + by, mx * hs + bx
+
+    # scan 1: DC first, interleaved, Al=1 (point transform = dc >> 1)
+    out += sos(list(range(nc)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for ci, by, bx in mcu_blocks():
+        dc = int(quantized[ci][by, bx, 0]) >> 1
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t, mag = _magnitude(diff)
+        code, ln = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(mag, t)
+    bw.flush()
+    out += bw.out
+
+    # per-comp block grids for the NON-interleaved AC scans: only the
+    # component's own sampling region, not the MCU-padded grid
+    grids = []
+    for hs, vs in comps_hv:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        grids.append((-(-ch // 8), -(-cw // 8)))
+
+    # scans 2..: AC first per component (Ss=1..63, Al=1)
+    for ci in range(nc):
+        out += sos([ci], 1, 63, 0, 1)
+        bw = _BitWriter()
+        st = _ProgAC(bw, ac_codes)
+        nby, nbx = grids[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                _emit_ac_first(st, quantized[ci][by, bx], 1, 63, 1)
+        st.flush_eobrun()
+        bw.flush()
+        out += bw.out
+
+    # DC refine: one raw bit per block, interleaved
+    out += sos(list(range(nc)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for ci, by, bx in mcu_blocks():
+        bw.write(int(quantized[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # AC refine per component (Ah=1, Al=0)
+    for ci in range(nc):
+        out += sos([ci], 1, 63, 1, 0)
+        bw = _BitWriter()
+        st = _ProgAC(bw, ac_codes)
+        nby, nbx = grids[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                _emit_ac_refine(st, quantized[ci][by, bx], 1, 63, 0)
+        st.flush_eobrun()
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """HxW or HxWx3 uint8 -> baseline JFIF (Annex K tables).
+    """HxW or HxWx3 uint8 -> JFIF. Baseline (SOF0, Annex K Huffman
+    tables) by default; ``progressive=True`` emits SOF2 with the
+    four-phase spectral-selection + successive-approximation scan
+    script (see _write_progressive) — same quantized coefficients, so
+    both forms decode bit-identically.
 
     ``subsample`` selects the chroma layout: False/'444' full
     resolution, True/'420' 2x2 box-averaged (the web default), '422'
     horizontal-only 2x1 averaging. ``restart_interval`` > 0 emits a DRI
-    segment and RSTn markers every that many MCUs (resync points a
-    corruption-tolerant reader can restart from)."""
+    segment and RSTn markers every that many MCUs (baseline only)."""
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2 or arr.shape[2] == 1
     if arr.ndim == 3 and arr.shape[2] == 1:
@@ -578,6 +953,25 @@ def encode_jpeg(
         zz = qz.reshape(ph // 8, pw // 8, 64)[:, :, ZIGZAG]
         quantized.append(zz)
 
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qtab in enumerate(qts):
+        out += seg(0xDB, bytes([ti]) + bytes(qtab.astype(np.uint8)[ZIGZAG]))
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "jpeg: restart markers not supported with progressive "
+                "encoding here"
+            )
+        return _write_progressive(
+            out, seg, h, w, [(hs, vs) for _, hs, vs in comps],
+            quantized, gray,
+        )
+
     bw = _BitWriter()
     pred = [0] * len(comps)
     mcus_done = 0
@@ -601,16 +995,6 @@ def encode_jpeg(
             mcus_done += 1
     bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for ti, q in enumerate(qts):
-        out += seg(
-            0xDB,
-            bytes([ti]) + bytes(q.astype(np.uint8)[ZIGZAG]),
-        )
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):

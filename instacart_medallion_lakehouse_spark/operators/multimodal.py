@@ -28,12 +28,12 @@ decoding:
   codecs as one mapInPandas pass with quarantine semantics
   (undecodable rows carry the error, never kill the stage).
   ``sample_frames`` REALLY demuxes uncompressed YUV4MPEG2 video
-  (operators/y4mcodec.py) and PNG-encodes the sampled frames.
-  Progressive JPEG (SOF2) and COMPRESSED video containers remain
-  explicit NotImplementedError: progressive scans and mp4/mkv demux
-  belong to a real codec library, and the Spark-side contract
-  (schemas, batching, partitioning) is identical once one is plugged
-  in.
+  (operators/y4mcodec.py) and PNG-encodes the sampled frames. JPEG
+  covers baseline AND progressive (jpegcodec.py). Only COMPRESSED
+  video containers and the exotic JPEG SOFs (lossless/hierarchical)
+  remain explicit NotImplementedError: mp4/mkv demux belongs to a real
+  codec library, and the Spark-side contract (schemas, batching,
+  partitioning) is identical once one is plugged in.
 
 Scale notes: mapInPandas streams Arrow record batches through one
 Python worker per core with no shuffle; partition sizing is inherited
@@ -342,20 +342,21 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
 
 # --- deep-codec entry points ------------------------------------------------
-# PNG/BMP/PPM/PGM/baseline-JPEG decode + resize are REAL (pure numpy +
-# stdlib — operators/imagecodec.py and jpegcodec.py implement the
-# format specs directly). Progressive JPEG and video frame extraction
-# stay explicit NotImplementedError: progressive entropy scans and
-# container demuxing are a codec library's job (no PIL/cv2/ffmpeg in
-# this environment), and a loud error beats silently-wrong pixels —
-# the quarantine path routes those rows.
+# PNG/BMP/PPM/PGM/JPEG (baseline + progressive) decode + resize are
+# REAL (pure numpy + stdlib — operators/imagecodec.py and jpegcodec.py
+# implement the format specs directly), as is uncompressed Y4M video
+# demux. Compressed-video demux stays explicit NotImplementedError:
+# it is a codec library's job (no PIL/cv2/ffmpeg in this environment),
+# and a loud error beats silently-wrong pixels — the quarantine path
+# routes those rows.
 
 
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to HxWxC uint8 pixels (numpy). Supports
     PNG (8-bit ct 0/2/4/6 non-interlaced), 24-bit BMP, binary PPM/PGM,
-    and baseline JPEG (grayscale/YCbCr, 4:4:4/4:2:2/4:2:0, restart
-    markers); raises NotImplementedError for progressive JPEG and
+    and JPEG — baseline and progressive (grayscale/YCbCr,
+    4:4:4/4:2:2/4:2:0, restart markers, successive approximation);
+    raises NotImplementedError for lossless/hierarchical JPEG and
     ValueError for other containers and for header-only payloads with
     no pixel data."""
     from .imagecodec import decode
@@ -490,7 +491,7 @@ def materialize_thumbnails(
     Python workers, no shuffle, no driver collection).
 
     Rows whose container the pure-numpy codecs can't decode
-    (progressive JPEGs, header-only payloads, audio/video) come back
+    (lossless JPEGs, header-only payloads, audio/video) come back
     with a NULL thumbnail and the decode error string — a corrupt or
     unsupported payload must not kill a 100 TB pass, it must land in a
     quarantine bucket the pipeline can route on.

@@ -105,12 +105,52 @@ class TestDecoderPaths:
         assert np.abs(out.astype(float) - img).mean() <= 5
 
 
+class TestProgressive:
+    def test_bit_identical_to_baseline(self):
+        """The progressive scan script re-orders the SAME quantized
+        coefficients, so SOF2 and SOF0 encodes of one image must decode
+        to bit-identical pixels — any desync in spectral selection,
+        successive approximation, EOB runs, or correction bits flips
+        this."""
+        rng = np.random.default_rng(42)
+        for h, w, q, sub in (
+            (8, 8, 90, False),
+            (17, 23, 60, False),
+            (40, 56, 90, True),
+            (24, 36, 30, "422"),
+            (5, 47, 100, False),
+        ):
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+            prog = decode_jpeg(
+                encode_jpeg(img, q, subsample=sub, progressive=True)
+            )
+            assert np.array_equal(base, prog), (h, w, q, sub)
+
+    def test_gray_progressive(self):
+        g = (np.mgrid[0:32, 0:40][0] * 255 / 32).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(g, 95))
+        prog = decode_jpeg(encode_jpeg(g, 95, progressive=True))
+        assert np.array_equal(base, prog)
+
+    def test_sof2_marker_emitted(self):
+        enc = encode_jpeg(np.zeros((8, 8), np.uint8), 90, progressive=True)
+        assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+
+    def test_progressive_rejects_restart_markers(self):
+        with pytest.raises(ValueError, match="restart"):
+            encode_jpeg(
+                np.zeros((8, 8), np.uint8), 90,
+                progressive=True, restart_interval=2,
+            )
+
+
 class TestRejections:
-    def test_progressive_raises_not_implemented(self):
+    def test_lossless_sof_raises_not_implemented(self):
         enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8), 90))
         i = enc.find(b"\xff\xc0")
-        enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-        with pytest.raises(NotImplementedError, match="progressive"):
+        enc[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+        with pytest.raises(NotImplementedError, match="SOF3"):
             decode_jpeg(bytes(enc))
 
     def test_bad_soi_raises(self):
