@@ -6,7 +6,8 @@ from the format specs directly — stdlib ``zlib``/``struct`` plus numpy,
 nothing else. Coverage is the uncompressed/deflate family a training
 pipeline actually controls for its own intermediate assets:
 
-- PNG (the real thing): 8-bit, colour types 0/2/4/6, non-interlaced.
+- PNG (the real thing): 8-bit, colour types 0/2/3/4/6 (palette
+  resolved through PLTE, optional tRNS alpha), non-interlaced.
   Decode walks the chunk stream, inflates the concatenated IDATs with
   ``zlib`` and reverses the per-row filters (None/Sub/Up/Average/Paeth)
   row-at-a-time over numpy vectors; encode writes filter-0 rows through
@@ -46,7 +47,7 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CT_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette index
 
 
 # --------------------------------------------------------------------------
@@ -69,27 +70,36 @@ def _png_chunks(payload: bytes):
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> HxWxC uint8. 8-bit depth, colour types 0/2/4/6, no
-    interlace. Raises ValueError on anything else (palette images,
-    16-bit, Adam7) — explicit beats silently-wrong pixels."""
+    """PNG -> HxWxC uint8. 8-bit depth, colour types 0/2/3/4/6 (3 =
+    palette, resolved through PLTE with optional tRNS alpha), no
+    interlace. Raises ValueError on anything else (16-bit, sub-byte
+    depths, Adam7) — explicit beats silently-wrong pixels."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("png: bad signature")
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     for tag, data in _png_chunks(payload):
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat.extend(data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
     if ihdr is None:
         raise ValueError("png: missing IHDR")
     w, h, depth, ct, comp, filt, interlace = ihdr
     if depth != 8 or ct not in _PNG_CT_CHANNELS or interlace != 0:
         raise ValueError(
             f"png: unsupported (depth={depth}, colour={ct}, "
-            f"interlace={interlace}); supported: 8-bit ct in {{0,2,4,6}}, "
-            "non-interlaced"
+            f"interlace={interlace}); supported: 8-bit ct in "
+            "{0,2,3,4,6}, non-interlaced"
         )
+    if ct == 3 and plte is None:
+        raise ValueError("png: palette image without PLTE")
     if not idat:
         raise ValueError("png: no IDAT (header-only payload)")
     ch = _PNG_CT_CHANNELS[ct]
@@ -132,7 +142,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"png: unknown filter {f}")
         out[y] = line.astype(np.uint8)
         prev = line
-    return out.reshape(h, w, ch)
+    arr = out.reshape(h, w, ch)
+    if ct == 3:  # palette: resolve indices through PLTE (+ tRNS alpha)
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("png: palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(256, 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return arr
 
 
 def encode_png(arr: np.ndarray) -> bytes:

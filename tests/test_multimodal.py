@@ -427,3 +427,55 @@ class TestAudioStats:
         # would read garbage here)
         assert out[2]["n_samples"] == 2000 and out[2]["duration_ms"] == 250
         assert out[3]["n_samples"] is None and out[4]["n_samples"] is None
+
+
+class TestPalettePng:
+    def test_palette_png_decodes_through_plte_and_trns(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import (
+            imagecodec as ic,
+        )
+
+        pal = np.array(
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8
+        )
+        idx = (np.add.outer(np.arange(5), np.arange(6)) % 4).astype(np.uint8)
+        h, w = idx.shape
+
+        def chunk(tag, data):
+            crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        rows = np.concatenate([np.zeros((h, 1), np.uint8), idx], axis=1)
+        body = chunk(b"IDAT", zlib.compress(rows.tobytes()))
+        png = (ic._PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", pal.tobytes()) + body + chunk(b"IEND", b""))
+        assert np.array_equal(ic.decode_png(png), pal[idx])
+        # tRNS alpha rides along as a 4th channel
+        png_a = (ic._PNG_SIG + chunk(b"IHDR", ihdr)
+                 + chunk(b"PLTE", pal.tobytes())
+                 + chunk(b"tRNS", bytes([255, 128, 0]))
+                 + body + chunk(b"IEND", b""))
+        out = ic.decode_png(png_a)
+        assert out.shape == (h, w, 4)
+        assert out[0, 1, 3] == 128  # palette entry 1's tRNS alpha
+        # out-of-range index is loud, not garbage pixels
+        bad = idx.copy()
+        bad[0, 0] = 9
+        rows_bad = np.concatenate([np.zeros((h, 1), np.uint8), bad], axis=1)
+        png_bad = (ic._PNG_SIG + chunk(b"IHDR", ihdr)
+                   + chunk(b"PLTE", pal.tobytes())
+                   + chunk(b"IDAT", zlib.compress(rows_bad.tobytes()))
+                   + chunk(b"IEND", b""))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="palette index"):
+            ic.decode_png(png_bad)
