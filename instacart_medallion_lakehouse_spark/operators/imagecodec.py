@@ -6,8 +6,9 @@ from the format specs directly — stdlib ``zlib``/``struct`` plus numpy,
 nothing else. Coverage is the uncompressed/deflate family a training
 pipeline actually controls for its own intermediate assets:
 
-- PNG (the real thing): 8-bit, colour types 0/2/3/4/6 (palette
-  resolved through PLTE, optional tRNS alpha), non-interlaced.
+- PNG (the real thing): colour types 0/2/3/4/6 (palette resolved
+  through PLTE, optional tRNS alpha), 8-bit everywhere plus 1/2/4-bit
+  gray+palette, non-interlaced AND Adam7 interlaced.
   Decode walks the chunk stream, inflates the concatenated IDATs with
   ``zlib`` and reverses the per-row filters (None/Sub/Up/Average/Paeth)
   row-at-a-time over numpy vectors; encode writes filter-0 rows through
@@ -69,11 +70,90 @@ def _png_chunks(payload: bytes):
             return
 
 
+# Adam7 pass geometry: (x_start, x_step, y_start, y_step)
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: np.ndarray, nrows: int, row_bytes: int, bpp: int,
+              pos: int) -> tuple[np.ndarray, int]:
+    """Reverse the per-row PNG filters over ``nrows`` scanlines of
+    ``row_bytes`` bytes starting at ``raw[pos]`` (``bpp`` = the filter
+    distance in BYTES). Returns (rows, next_pos)."""
+    need = nrows * (row_bytes + 1)
+    if pos + need > len(raw):
+        raise ValueError("png: decompressed data shorter than scanlines")
+    data = raw[pos : pos + need].reshape(nrows, row_bytes + 1)
+    filters, rows = data[:, 0], data[:, 1:]
+    out = np.zeros((nrows, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.intp)
+    lanes = row_bytes // bpp if row_bytes % bpp == 0 else None
+    for y in range(nrows):
+        cur = rows[y].astype(np.intp)
+        f = filters[y]
+        if f == 0:
+            line = cur
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]. Addition
+            # commutes with the &0xFF modulus, so the recurrence is an
+            # exact per-lane prefix sum — one vectorized cumsum over the
+            # (n, bpp) view instead of a per-byte Python loop.
+            if lanes is not None:
+                line = (
+                    np.cumsum(cur.reshape(lanes, bpp), axis=0) & 0xFF
+                ).ravel()
+            else:
+                line = cur.copy()
+                for x in range(bpp, row_bytes):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            line = cur.copy()
+            for x in range(row_bytes):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = cur.copy()
+            for x in range(row_bytes):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter {f}")
+        out[y] = line.astype(np.uint8)
+        prev = line
+    return out, pos + need
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, ch: int,
+                     depth: int) -> np.ndarray:
+    """Reconstructed scanline bytes -> (nrows, w, ch) uint8 samples.
+    Sub-byte depths unpack MSB-first and scale grayscale to 0..255
+    (palette indices are returned raw)."""
+    nrows = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(nrows, -1)[:, : w * ch].reshape(nrows, w, ch)
+    bits = np.unpackbits(rows, axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    samples = (
+        bits[:, : (rows.shape[1] * 8 // depth) * depth]
+        .reshape(nrows, -1, depth) * weights
+    ).sum(axis=2)[:, :w]
+    return samples.astype(np.uint8).reshape(nrows, w, 1)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> HxWxC uint8. 8-bit depth, colour types 0/2/3/4/6 (3 =
-    palette, resolved through PLTE with optional tRNS alpha), no
-    interlace. Raises ValueError on anything else (16-bit, sub-byte
-    depths, Adam7) — explicit beats silently-wrong pixels."""
+    """PNG -> HxWxC uint8. Colour types 0/2/3/4/6 (3 = palette through
+    PLTE with optional tRNS alpha), bit depths 8 everywhere plus
+    1/2/4-bit grayscale and palette, both progressive orders
+    (non-interlaced and Adam7). Raises ValueError on 16-bit depths —
+    explicit beats silently-wrong pixels."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("png: bad signature")
     ihdr = None
@@ -92,57 +172,37 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("png: missing IHDR")
     w, h, depth, ct, comp, filt, interlace = ihdr
-    if depth != 8 or ct not in _PNG_CT_CHANNELS or interlace != 0:
+    ok_depth = depth == 8 or (depth in (1, 2, 4) and ct in (0, 3))
+    if ct not in _PNG_CT_CHANNELS or not ok_depth or interlace > 1:
         raise ValueError(
             f"png: unsupported (depth={depth}, colour={ct}, "
-            f"interlace={interlace}); supported: 8-bit ct in "
-            "{0,2,3,4,6}, non-interlaced"
+            f"interlace={interlace}); supported: ct in {{0,2,3,4,6}}, "
+            "8-bit (or 1/2/4-bit gray+palette), interlace 0/1"
         )
     if ct == 3 and plte is None:
         raise ValueError("png: palette image without PLTE")
     if not idat:
         raise ValueError("png: no IDAT (header-only payload)")
     ch = _PNG_CT_CHANNELS[ct]
+    bpp = max(1, ch * depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    arr = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    if interlace == 0:
+        row_bytes = (w * ch * depth + 7) // 8
+        rows, pos = _unfilter(raw, h, row_bytes, bpp, 0)
+        arr = _rows_to_samples(rows, w, ch, depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no bytes
+            row_bytes = (pw * ch * depth + 7) // 8
+            rows, pos = _unfilter(raw, ph, row_bytes, bpp, pos)
+            arr[y0::dy, x0::dx] = _rows_to_samples(rows, pw, ch, depth)
+    if pos != len(raw):
         raise ValueError("png: decompressed size does not match IHDR dims")
-    raw = raw.reshape(h, stride + 1)
-    filters, rows = raw[:, 0], raw[:, 1:]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.intp)
-    for y in range(h):
-        cur = rows[y].astype(np.intp)
-        f = filters[y]
-        if f == 0:
-            line = cur
-        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]. Addition
-            # commutes with the &0xFF modulus, so the recurrence is an
-            # exact per-channel-lane prefix sum — one vectorized cumsum
-            # over the (w, ch) view instead of a per-pixel Python loop.
-            line = (np.cumsum(cur.reshape(w, ch), axis=0) & 0xFF).ravel()
-        elif f == 2:  # Up
-            line = (cur + prev) & 0xFF
-        elif f == 3:  # Average
-            line = cur.copy()
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            line = cur.copy()
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"png: unknown filter {f}")
-        out[y] = line.astype(np.uint8)
-        prev = line
-    arr = out.reshape(h, w, ch)
     if ct == 3:  # palette: resolve indices through PLTE (+ tRNS alpha)
         idx = arr[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
@@ -153,11 +213,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             alpha[: len(trns)] = trns
             return np.dstack([rgb, alpha[idx]])
         return rgb
+    if ct == 0 and depth < 8:  # scale sub-byte gray to full range
+        arr = (arr.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     return arr
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """HxWxC (C in 1/2/3/4) or HxW uint8 -> PNG (filter 0, real CRCs)."""
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """HxWxC (C in 1/2/3/4) or HxW uint8 -> PNG (filter 0, real CRCs).
+    ``interlace=True`` writes Adam7 pass order (7 independently-
+    filtered sub-images) — mostly useful to exercise the decoder's
+    de-interlacing path."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -165,11 +232,28 @@ def encode_png(arr: np.ndarray) -> bytes:
     ct = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if ct is None:
         raise ValueError(f"png: cannot encode {ch}-channel array")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
-    rows = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * ch)], axis=1
-    )
-    idat = zlib.compress(rows.tobytes(), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, dx, y0, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph <= 0 or pw <= 0:
+                continue
+            parts.append(
+                np.concatenate(
+                    [np.zeros((ph, 1), np.uint8),
+                     sub.reshape(ph, pw * ch)],
+                    axis=1,
+                ).tobytes()
+            )
+        idat = zlib.compress(b"".join(parts), 6)
+    else:
+        rows = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * ch)],
+            axis=1,
+        )
+        idat = zlib.compress(rows.tobytes(), 6)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(tag + data) & 0xFFFFFFFF

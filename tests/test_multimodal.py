@@ -479,3 +479,90 @@ class TestPalettePng:
 
         with _pytest.raises(ValueError, match="palette index"):
             ic.decode_png(png_bad)
+
+
+class TestPngAdam7AndSubByte:
+    def test_adam7_roundtrip_all_colour_types(self):
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import (
+            imagecodec as ic,
+        )
+
+        rng = np.random.default_rng(5)
+        for ch in (1, 2, 3, 4):
+            for h, w in ((1, 1), (3, 5), (8, 8), (13, 17)):
+                arr = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+                enc = ic.encode_png(arr, interlace=True)
+                assert enc[28] == 1  # IHDR interlace flag
+                assert np.array_equal(ic.decode_png(enc), arr), (ch, h, w)
+
+    def test_sub_byte_grayscale_depths(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import (
+            imagecodec as ic,
+        )
+
+        def chunk(tag, data):
+            crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc)
+            )
+
+        rng = np.random.default_rng(9)
+        for depth in (1, 2, 4):
+            h, w = 5, 11
+            samples = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+            # pack rows MSB-first at the given depth
+            rows = bytearray()
+            for y in range(h):
+                rows.append(0)  # filter 0
+                bits = np.zeros(((w * depth + 7) // 8) * 8, np.uint8)
+                for x in range(w):
+                    for b in range(depth):
+                        bits[x * depth + b] = (
+                            samples[y, x] >> (depth - 1 - b)
+                        ) & 1
+                rows.extend(np.packbits(bits).tobytes())
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+            png = (
+                ic._PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b"")
+            )
+            out = ic.decode_png(png)
+            scale = 255 // ((1 << depth) - 1)
+            assert np.array_equal(
+                out[:, :, 0], samples * scale
+            ), depth
+
+    def test_16_bit_still_rejected(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import (
+            imagecodec as ic,
+        )
+
+        def chunk(tag, data):
+            crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        png = (
+            ic._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(2 * (2 * 2 + 1))))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            ic.decode_png(png)
