@@ -7,8 +7,9 @@ nothing else. Coverage is the uncompressed/deflate family a training
 pipeline actually controls for its own intermediate assets:
 
 - PNG (the real thing): colour types 0/2/3/4/6 (palette resolved
-  through PLTE, optional tRNS alpha), 8-bit everywhere plus 1/2/4-bit
-  gray+palette, non-interlaced AND Adam7 interlaced.
+  through PLTE, optional tRNS alpha), 8-bit everywhere, 1/2/4-bit
+  gray+palette, 16-bit non-palette (stripped to the high byte, the
+  standard png_set_strip_16 reduction), non-interlaced AND Adam7.
   Decode walks the chunk stream, inflates the concatenated IDATs with
   ``zlib`` and reverses the per-row filters (None/Sub/Up/Average/Paeth)
   row-at-a-time over numpy vectors; encode writes filter-0 rows through
@@ -139,6 +140,13 @@ def _rows_to_samples(rows: np.ndarray, w: int, ch: int,
     nrows = rows.shape[0]
     if depth == 8:
         return rows.reshape(nrows, -1)[:, : w * ch].reshape(nrows, w, ch)
+    if depth == 16:
+        # strip to 8-bit by keeping the high byte (big-endian sample
+        # order) — the standard png_set_strip_16 reduction
+        return (
+            rows.reshape(nrows, -1)[:, : w * ch * 2]
+            .reshape(nrows, w, ch, 2)[:, :, :, 0]
+        )
     bits = np.unpackbits(rows, axis=1)
     weights = 1 << np.arange(depth - 1, -1, -1)
     samples = (
@@ -151,9 +159,10 @@ def _rows_to_samples(rows: np.ndarray, w: int, ch: int,
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> HxWxC uint8. Colour types 0/2/3/4/6 (3 = palette through
     PLTE with optional tRNS alpha), bit depths 8 everywhere plus
-    1/2/4-bit grayscale and palette, both progressive orders
-    (non-interlaced and Adam7). Raises ValueError on 16-bit depths —
-    explicit beats silently-wrong pixels."""
+    1/2/4-bit grayscale and palette, 16-bit non-palette (stripped to
+    the high byte — the standard png_set_strip_16 reduction, the one
+    DELIBERATE precision loss in this codec family, documented here),
+    both progressive orders (non-interlaced and Adam7)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("png: bad signature")
     ihdr = None
@@ -172,19 +181,24 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("png: missing IHDR")
     w, h, depth, ct, comp, filt, interlace = ihdr
-    ok_depth = depth == 8 or (depth in (1, 2, 4) and ct in (0, 3))
+    ok_depth = (
+        depth == 8
+        or (depth in (1, 2, 4) and ct in (0, 3))
+        or (depth == 16 and ct != 3)  # stripped to 8-bit on decode
+    )
     if ct not in _PNG_CT_CHANNELS or not ok_depth or interlace > 1:
         raise ValueError(
             f"png: unsupported (depth={depth}, colour={ct}, "
             f"interlace={interlace}); supported: ct in {{0,2,3,4,6}}, "
-            "8-bit (or 1/2/4-bit gray+palette), interlace 0/1"
+            "8/16-bit (16 stripped to 8) or 1/2/4-bit gray+palette, "
+            "interlace 0/1"
         )
     if ct == 3 and plte is None:
         raise ValueError("png: palette image without PLTE")
     if not idat:
         raise ValueError("png: no IDAT (header-only payload)")
     ch = _PNG_CT_CHANNELS[ct]
-    bpp = max(1, ch * depth // 8)
+    bpp = max(1, ch * depth // 8)  # 16-bit: filter distance spans 2 bytes
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     arr = np.zeros((h, w, ch), dtype=np.uint8)
     pos = 0

@@ -541,7 +541,7 @@ class TestPngAdam7AndSubByte:
                 out[:, :, 0], samples * scale
             ), depth
 
-    def test_16_bit_still_rejected(self):
+    def test_16_bit_gray_now_strips_to_8(self):
         import struct
         import zlib
 
@@ -559,9 +559,74 @@ class TestPngAdam7AndSubByte:
             )
 
         ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        raw = bytes([0, 1, 2, 3, 4, 0, 5, 6, 7, 8])  # filt0 + 2 px rows
         png = (
             ic._PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(2 * (2 * 2 + 1))))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        out = ic.decode_png(png)
+        assert out.shape == (2, 2, 1)
+        assert out[:, :, 0].tolist() == [[1, 3], [5, 7]]  # high bytes
+
+
+class TestPng16Bit:
+    def test_16_bit_strips_to_high_byte(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators import (
+            imagecodec as ic,
+        )
+
+        def chunk(tag, data):
+            crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc)
+            )
+
+        rng = np.random.default_rng(4)
+        h, w, ch = 6, 9, 3
+        hi = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        lo = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw.extend(
+                np.stack([hi[y], lo[y]], axis=-1).reshape(-1).tobytes()
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+        png = (
+            ic._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        # png_set_strip_16 semantics: the high (big-endian first) byte
+        assert np.array_equal(ic.decode_png(png), hi)
+
+    def test_16_bit_palette_still_rejected(self):
+        import struct
+        import zlib
+
+        from instacart_medallion_lakehouse_spark.operators import (
+            imagecodec as ic,
+        )
+
+        def chunk(tag, data):
+            crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+        png = (
+            ic._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", bytes(9))
+            + chunk(b"IDAT", zlib.compress(bytes(10)))
             + chunk(b"IEND", b"")
         )
         with pytest.raises(ValueError, match="unsupported"):
