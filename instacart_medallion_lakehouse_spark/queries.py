@@ -177,10 +177,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "top_k",
     "union_all",
     "windowed_events",
-    # then the r3 cohort (last row round 3), alphabetical — 23 fit
+    # then the r3 cohort (last row round 3), alphabetical — 22 fit
     # (slots went to the new span_run_index / span_dup_clusters
-    # entries and the round-8 additions below); the remaining 18
-    # (q15, q17, q18, q22, q3_shipping_priority ..
+    # entries and the round-8 additions below); the remaining 19
+    # (q10, q15, q17, q18, q22, q3_shipping_priority ..
     # union_by_name_drift) are round 9's backfill:
     "ann_sq8_topk",
     "bloom_pruned_join",
@@ -204,20 +204,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "price_histogram",
     "price_percentiles",
     "profile_orders",
-    "q10_returned_items",
     # round-8 jumps over the alphabetical backfill: media_frame_samples
     # got a REWRITTEN oracle this round (real Y4M probed frame counts —
     # its r6 row describes the old pseudo-probe contract) and
     # unigram_entropy is a brand-new round-8 query with no row at all
     "media_frame_samples",
+    "video_frame_stats",
     "unigram_entropy",
     # The window is exactly 50 pins; NO no-oracle entries
     # (region_performance_approx / price_percentiles_approx /
     # stream_running_totals) — they would burn a slot on an
     # `err: no_oracle` row (VERDICT r7 item #2). ROTATION PLAN for
     # round 9, in priority order: (1) anything round 9 rewrites,
-    # (2) the remaining 18 of the r3 cohort (q15_top_supplier,
-    # q17_small_quantity_revenue,
+    # (2) the remaining 19 of the r3 cohort (q10_returned_items,
+    # q15_top_supplier, q17_small_quantity_revenue,
     # q18_large_orders, q22_prospect_balances, q3_shipping_priority,
     # q5_local_supplier, q7_volume_shipping, q8_market_share,
     # revenue_anomalies, rolling_user_value, salted_join_rollup,

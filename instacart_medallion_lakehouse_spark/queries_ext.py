@@ -144,6 +144,52 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "video_frame_stats",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             CAST(doc_id % 256 AS DOUBLE) AS val,
+             2 * (2 + doc_id % 16) AS vw,
+             2 * (2 + doc_id % 12) AS vh,
+             CAST(1 + doc_id % 12 AS INT) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n, 5)) AS INT) AS frame_idx,
+           CAST(vw AS INT) AS width,
+           CAST(vh AS INT) AS height,
+           CAST(LEAST(255.0, GREATEST(0.0,
+                floor(val + 1.402 * (val - 128.0) + 0.5))) AS INT)
+             AS mean_r,
+           CAST(LEAST(255.0, GREATEST(0.0,
+                floor(val - 0.344136 * (val - 128.0)
+                          - 0.714136 * (val - 128.0) + 0.5))) AS INT)
+             AS mean_g,
+           CAST(LEAST(255.0, GREATEST(0.0,
+                floor(val + 1.772 * (val - 128.0) + 0.5))) AS INT)
+             AS mean_b
+    FROM v
+    """,
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL video frame extraction cross-checked against arithmetic:
+    every 5th frame of each Y4M video payload is demuxed and
+    YCbCr->RGB-decoded for real (operators/y4mcodec.py inside one
+    mapInPandas pass), and per-frame mean RGB is compared against the
+    oracle's closed-form prediction — the fabricated streams carry
+    constant planes (Y=Cb=Cr=doc_id%256), so the decoded pixel value
+    is exactly the colorspace formula the SQL twin evaluates. A
+    demux/colorspace/clipping bug anywhere in the decode path flips
+    the hash; frame_idx/width/height pin the sampling and header
+    geometry on top."""
+    from .operators.multimodal import extract_video_frame_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    media = with_media(docs).filter(F.col("media_type") == "video")
+    return extract_video_frame_stats(media, every_n=5)
+
+
+@_register(
     "audio_durations",
     """
     SELECT doc_id,
