@@ -341,6 +341,168 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(featurize, MEDIA_FEATURE_SCHEMA)
 
 
+# --- corpus triage: route every payload ok / not_implemented / corrupt /
+# unsupported_container through the REAL codecs, without ever killing the
+# pass — the per-source quarantine-rate profile a 100 TB ingest runs
+# before committing decode budget.
+
+QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+# Static quarantine-class payload fragments (hex). The lossless JPEG is
+# a real SOI + SOF3 frame header (T.81 lossless coding process — the
+# codec boundary jpegcodec.py:508 keeps loud); the corrupt PNG is a
+# valid signature + IHDR with no IDAT chunk (header-only payload); the
+# mp4 fragment is a complete 24-byte ftyp box; the mkv fragment is the
+# EBML magic plus padding.
+_HEX_JPEG_LOSSLESS = "FFD8FFC3000B080010001001011100"
+_HEX_PNG_NO_IDAT = (
+    "89504E470D0A1A0A0000000D49484452"
+    "0000001000000010080200000000000000"
+)
+_HEX_MP4_FTYP = "00000018667479706D7034320000000069736F6D6D703432"
+_HEX_MKV_EBML = "1A45DFA30000000000000000"
+
+
+def with_quarantine_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic payload drawn from SIX triage classes
+    (doc_id % 6): a VALID binary PNM image (0), a VALID PCM WAV (1), an
+    mp4 ftyp box (2), a matroska EBML stream (3), a LOSSLESS-process
+    JPEG (4), and a header-only PNG with no IDAT (5). Unlike
+    with_media, every payload is fabricated from doc_id alone (no text
+    body), so the expected (format, status) of each row is pure
+    arithmetic the SQL oracle can state in a CASE — while the Spark
+    side must actually run the codecs to agree."""
+    d = F.col("doc_id")
+    c = (d % 6).cast("int")
+    byte_hex = F.lpad(F.hex(d % 256), 2, "0")
+
+    pnm_w = (F.lit(1) + d % 8).cast("int")
+    pnm_h = (F.lit(1) + d % 6).cast("int")
+    pnm_payload = F.concat(
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                pnm_w.cast("string"),
+                F.lit(" "),
+                pnm_h.cast("string"),
+                F.lit("\n255\n"),
+            ),
+            "UTF-8",
+        ),
+        F.unhex(F.repeat(byte_hex, pnm_w * pnm_h * 3)),
+    )
+
+    wav_ch = F.lit(1) + d % 2
+    wav_rate = (F.lit(8000) * (F.lit(1) + d % 4)).cast("bigint")
+    wav_datalen = (F.lit(2) * (F.lit(1) + d % 50)).cast("bigint")
+    wav_payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # RIFF
+            _le_hex(F.lit(36) + wav_datalen, 4),
+            F.lit("57415645666D7420"),  # WAVE, "fmt "
+            F.lit("100000000100"),  # fmt size 16 (LE), PCM format 1 (LE)
+            _le_hex(wav_ch, 2),
+            _le_hex(wav_rate, 4),
+            _le_hex(wav_rate * wav_ch * 2, 4),
+            _le_hex(wav_ch * 2, 2),
+            F.lit("1000"),  # bits per sample
+            F.lit("64617461"),  # data
+            _le_hex(wav_datalen, 4),
+            F.repeat(byte_hex, wav_datalen.cast("int")),
+        )
+    )
+
+    payload = (
+        F.when(c == 0, pnm_payload)
+        .when(c == 1, wav_payload)
+        .when(c == 2, F.unhex(F.lit(_HEX_MP4_FTYP)))
+        .when(c == 3, F.unhex(F.lit(_HEX_MKV_EBML)))
+        .when(c == 4, F.unhex(F.lit(_HEX_JPEG_LOSSLESS)))
+        .otherwise(F.unhex(F.lit(_HEX_PNG_NO_IDAT)))
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def sniff_format(payload: bytes) -> str:
+    """Container sniff by magic bytes — the routing key for triage."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return "mkv"
+    return "raw"
+
+
+def triage_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, format, status): attempt the real decode path for every
+    payload and classify the outcome — ``ok``, ``not_implemented`` (a
+    loud codec boundary: lossless/hierarchical JPEG, compressed video),
+    ``corrupt`` (malformed bytes inside a supported container), or
+    ``unsupported_container`` (mp4/mkv/unknown magic — ffmpeg
+    territory, multimodal.py sample_frames contract). One Arrow
+    mapInPandas pass, no shuffle; an exception NEVER kills the stage —
+    that is the quarantine contract a 100 TB pass needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import decode
+        from .y4mcodec import parse_y4m_header
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                fmt = sniff_format(payload)
+                if fmt in ("mp4", "mkv", "raw"):
+                    status = "unsupported_container"
+                elif fmt == "wav":
+                    status = (
+                        "ok"
+                        if parse_media_header(payload)["format"] == "wav"
+                        else "corrupt"
+                    )
+                elif fmt == "y4m":
+                    try:
+                        parse_y4m_header(payload)
+                        status = "ok"
+                    except Exception:  # noqa: BLE001 — quarantine
+                        status = "corrupt"
+                else:  # png / jpeg / pnm / bmp: run the real decoder
+                    try:
+                        decode(payload)
+                        status = "ok"
+                    except NotImplementedError:
+                        status = "not_implemented"
+                    except Exception:  # noqa: BLE001 — quarantine
+                        status = "corrupt"
+                rows.append(
+                    {"doc_id": doc_id, "format": fmt, "status": status}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in QUARANTINE_SCHEMA]
+            )
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, QUARANTINE_SCHEMA
+    )
+
+
 # --- deep-codec entry points ------------------------------------------------
 # PNG/BMP/PPM/PGM/JPEG (baseline + progressive) decode + resize are
 # REAL (pure numpy + stdlib — operators/imagecodec.py and jpegcodec.py

@@ -8,14 +8,16 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.scalar import dround
 from .operators.multimodal import (
     extract_audio_stats,
     extract_media_features,
+    triage_media,
     with_media,
+    with_quarantine_media,
 )
 from .pins import pin
 from .queries import _register, _t
@@ -219,6 +221,66 @@ def audio_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = with_media(docs).filter(F.col("media_type") == "audio")
     return extract_audio_stats(media)
+
+
+@_register(
+    "media_quarantine_profile",
+    """
+    WITH cls AS (
+      SELECT CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'pnm' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4'
+               WHEN 3 THEN 'mkv' WHEN 4 THEN 'jpeg' ELSE 'png'
+             END AS format,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+               WHEN 2 THEN 'unsupported_container'
+               WHEN 3 THEN 'unsupported_container'
+               WHEN 4 THEN 'not_implemented' ELSE 'corrupt'
+             END AS status
+      FROM documents
+    ),
+    agg AS (
+      SELECT format, status, CAST(count(*) AS BIGINT) AS n_docs
+      FROM cls GROUP BY format, status
+    )
+    SELECT format, status, n_docs,
+           round(n_docs * 100.0 / sum(n_docs) OVER (), 4) AS pct
+    FROM agg
+    ORDER BY format, status
+    """,
+)
+def media_quarantine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus triage profile: per-(format, status) quarantine rates —
+    the report a 100 TB multimodal ingest runs BEFORE committing decode
+    budget, so unsupported containers (mp4/mkv — ffmpeg territory),
+    loud codec boundaries (lossless-process JPEG), and corrupt payloads
+    (header-only PNG) are sized per source rather than discovered as
+    stage failures. The Spark side actually RUNS the codecs on six
+    deterministic payload classes (operators/multimodal.triage_media
+    over with_quarantine_media): a valid PNM decodes, a valid WAV
+    header-parses, the mp4/mkv magic routes to unsupported_container,
+    SOF3 raises NotImplementedError -> not_implemented, and the
+    IDAT-less PNG raises inside decode_png -> corrupt. The oracle
+    states the expected class arithmetic — a decoder that silently
+    accepts lossless JPEG, crashes on corrupt bytes, or misroutes a
+    container flips the counts. pct is an in-plan window over the
+    6-row aggregate (A6 discipline: never collect-then-literal)."""
+    docs = _t(spark, sf_dir, "documents")
+    tri = triage_media(with_quarantine_media(docs))
+    agg = tri.groupBy("format", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return agg.select(
+        "format",
+        "status",
+        "n_docs",
+        dround(
+            F.col("n_docs")
+            * F.lit(100.0)
+            / F.sum("n_docs").over(Window.partitionBy()),
+            4,
+        ).alias("pct"),
+    ).orderBy("format", "status")
 
 
 # ---------------------------------------------------------------------------

@@ -631,3 +631,68 @@ class TestPng16Bit:
         )
         with pytest.raises(ValueError, match="unsupported"):
             ic.decode_png(png)
+
+
+class TestTriage:
+    """Corpus triage: every payload classifies without killing the
+    stage, and the six deterministic quarantine classes route to the
+    exact (format, status) the fabrication arithmetic promises."""
+
+    def test_sniff_format_magic_bytes(self):
+        cases = {
+            b"\x89PNG\r\n\x1a\x0arest": "png",
+            b"\xff\xd8\xff\xe0tail": "jpeg",
+            b"P6\n1 1\n255\nabc": "pnm",
+            b"BMxxxx": "bmp",
+            b"RIFF\x00\x00\x00\x00WAVEfmt ": "wav",
+            b"YUV4MPEG2 W2 H2": "y4m",
+            b"\x00\x00\x00\x18ftypmp42": "mp4",
+            b"\x1aE\xdf\xa3pad": "mkv",
+            b"garbage": "raw",
+            b"": "raw",
+        }
+        for payload, fmt in cases.items():
+            assert multimodal.sniff_format(payload) == fmt, payload
+
+    def test_quarantine_classes_route_exactly(self, spark):
+        docs = spark.range(0, 24).select(
+            (pytest.importorskip("pyspark.sql.functions").col("id")).alias(
+                "doc_id"
+            )
+        )
+        tri = multimodal.triage_media(
+            multimodal.with_quarantine_media(docs)
+        )
+        rows = {r["doc_id"]: r for r in tri.collect()}
+        assert len(rows) == 24
+        expect = {
+            0: ("pnm", "ok"),
+            1: ("wav", "ok"),
+            2: ("mp4", "unsupported_container"),
+            3: ("mkv", "unsupported_container"),
+            4: ("jpeg", "not_implemented"),
+            5: ("png", "corrupt"),
+        }
+        for doc_id, r in rows.items():
+            fmt, status = expect[doc_id % 6]
+            assert (r["format"], r["status"]) == (fmt, status), doc_id
+
+    def test_triage_full_decode_standard_on_header_only_media(
+        self, spark, sf_dir
+    ):
+        # with_media fabricates header-only PNG/JPEG (valid headers,
+        # text bytes for a body — probe-able, NOT decodable), so the
+        # full-decode triage standard must mark exactly those corrupt
+        # while the complete WAV and Y4M payloads triage ok. The stage
+        # itself must survive every row (quarantine contract).
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        tri = multimodal.triage_media(multimodal.with_media(docs))
+        by_fmt = {
+            (r["format"], r["status"]) for r in tri.collect()
+        }
+        assert by_fmt == {
+            ("png", "corrupt"),
+            ("jpeg", "corrupt"),
+            ("wav", "ok"),
+            ("y4m", "ok"),
+        }

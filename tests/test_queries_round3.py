@@ -49,24 +49,39 @@ class TestDriverWindow:
         # registry entries that did not fit)
         assert len(q._WINDOW_PRIORITY) == 50
 
-    def test_never_driver_checked_queries_fill_round8_window(self):
-        """Round 8's rotation contract (VERDICT r7 item #1): every query
-        with no driver CORRECTNESS row in rounds 1-7 must sit inside the
-        50-entry driver window this round, together with this round's
-        rewrites (the span family) and the store build entries."""
+    def test_round9_window_contract(self):
+        """Round 9's rotation contract (VERDICT r8 item #1): this
+        round's rewrites and brand-new entries sit inside the 50-entry
+        driver window, the entire remaining r3 cohort (the stalest
+        oracle-twinned rows) rotates in, and every persisted-store
+        BUILD entry precedes its consumers in execution order."""
         must_be_in = (
-            # no lifetime driver row after r7
-            "audio_durations",
-            "stream_versioned_roundtrip",
-            "dup_span_coverage",
+            # round-9 additions/rewrites
+            "token_table",
+            "media_quarantine_profile",
+            "lm_perplexity",
             "dedup_spans_text",
-            # round-8 additions/rewrites
-            "span_run_index",
-            "long_run_overlap",
-            "curated_docs_v2",
-            "ann_ivf_topk",
-            "ngram_jaccard_dedup",
-            # store builders precede their consumers (bench attribution)
+            "pagerank_fuzzy",
+            # the r3 cohort whose newest driver row is round 3
+            "q10_returned_items",
+            "q15_top_supplier",
+            "q17_small_quantity_revenue",
+            "q18_large_orders",
+            "q22_prospect_balances",
+            "q3_shipping_priority",
+            "q5_local_supplier",
+            "q7_volume_shipping",
+            "q8_market_share",
+            "revenue_anomalies",
+            "rolling_user_value",
+            "salted_join_rollup",
+            "semdedup_docs",
+            "set_ops_users",
+            "stream_dedup",
+            "tfidf_top_terms",
+            "trailing_7d_revenue",
+            "train_val_test_split",
+            "union_by_name_drift",
         )
         names = list(q.queries())
         window = set(names[:50])
@@ -74,11 +89,12 @@ class TestDriverWindow:
             assert name in window, name
         # build entries come before every consumer in execution order
         assert names.index("minhash_signature_table") < names.index(
-            "minhash_estimate_error"
+            "minhash_lsh_dedup"
         )
         assert names.index("span_run_index") < names.index(
-            "long_run_overlap"
+            "dedup_spans_text"
         )
+        assert names.index("token_table") < names.index("lm_perplexity")
         # no-oracle entries stay OUT of the window (VERDICT r7 item #2)
         for no_oracle in ("region_performance_approx",
                           "price_percentiles_approx",
