@@ -251,6 +251,9 @@ def _slice_entropy(payload: bytes, pos: int):
                 cur = bytearray()
                 i += 2
                 continue
+            if nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+                i += 1
+                continue
             break  # EOI / next segment ends the scan
         cur.append(b)
         i += 1
@@ -390,7 +393,11 @@ def _decode_scan(payload, pos, scan, ss, se, ah, al, huff, coeff, geom,
     intervals, nxt = _slice_entropy(payload, pos)
     dc_dec, ac_dec = {}, {}
     for cs, td, ta in scan:
-        if ss == 0 and (0, td) not in huff:
+        # DC refinement scans (Ah>0) read one raw bit per block and
+        # never touch a Huffman table (T.81 G.1.2.1), so only the FIRST
+        # DC pass may demand Td's presence — real progressive encoders
+        # routinely leave Td referencing an undefined table there.
+        if ss == 0 and ah == 0 and (0, td) not in huff:
             raise ValueError("jpeg: scan references missing DC table")
         if se > 0 and (1, ta) not in huff:
             raise ValueError("jpeg: scan references missing AC table")
@@ -446,6 +453,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8:

@@ -515,12 +515,14 @@ def triage_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to HxWxC uint8 pixels (numpy). Supports
-    PNG (8-bit ct 0/2/4/6 non-interlaced), 24-bit BMP, binary PPM/PGM,
-    and JPEG — baseline and progressive (grayscale/YCbCr,
-    4:4:4/4:2:2/4:2:0, restart markers, successive approximation);
-    raises NotImplementedError for lossless/hierarchical JPEG and
-    ValueError for other containers and for header-only payloads with
-    no pixel data."""
+    PNG (colour types 0/2/3/4/6 — palette through PLTE/tRNS — at
+    1/2/4/8-bit depth plus 16-bit stripped to the high byte, both
+    non-interlaced and Adam7), 24-bit BMP, binary PPM/PGM, and JPEG —
+    baseline and progressive (grayscale/YCbCr, 4:4:4/4:2:2/4:2:0,
+    restart markers, successive approximation); raises
+    NotImplementedError for lossless/hierarchical JPEG and ValueError
+    for other containers and for header-only payloads with no pixel
+    data."""
     from .imagecodec import decode
 
     return decode(bytes(payload))
@@ -556,10 +558,10 @@ def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
 
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+    # step-aware demux: non-sampled frames are seeked past, never
+    # YCbCr-decoded (y4mcodec.iter_y4m_frames step contract)
     return [
-        encode_png(frame)
-        for i, frame in enumerate(iter_y4m_frames(p))
-        if i % every_n == 0
+        encode_png(frame) for frame in iter_y4m_frames(p, step=every_n)
     ]
 
 
@@ -597,14 +599,16 @@ def extract_video_frame_stats(
                 payload = bytes(p) if p is not None else b""
                 if not payload.startswith(b"YUV4MPEG2"):
                     continue
-                for i, frame in enumerate(iter_y4m_frames(payload)):
-                    if i % every_n:
-                        continue
+                # step-aware demux: skipped frames are seeked past,
+                # never YCbCr-decoded; yielded frame k is index k*n
+                for k, frame in enumerate(
+                    iter_y4m_frames(payload, step=every_n)
+                ):
                     m = frame.astype(np.float64).mean(axis=(0, 1))
                     rows.append(
                         {
                             "doc_id": doc_id,
-                            "frame_idx": i,
+                            "frame_idx": k * every_n,
                             "width": frame.shape[1],
                             "height": frame.shape[0],
                             "mean_r": int(round(m[0])),

@@ -198,3 +198,83 @@ class TestPropertyRoundTrip:
             # ~10 at either quality on the 8x8 gradient)
             bound = 13 if sub else (6 if q == 60 else 3)
             assert err <= bound, (hh, ww, q, sub, err)
+
+
+def _scan_segments(payload: bytes):
+    """(marker, seg_start, seg_end) for every lengthed segment; skips
+    entropy data the way the decoder does (FF00 stuffing, RSTn)."""
+    segs = []
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            if marker == 0xD9:
+                break
+            continue
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        segs.append((marker, pos, pos + seglen))
+        pos += seglen
+        if marker == 0xDA:  # skip entropy bytes to the next real marker
+            while pos < n:
+                if payload[pos] == 0xFF and pos + 1 < n:
+                    nxt = payload[pos + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        pos += 2
+                        continue
+                    if nxt == 0xFF:
+                        pos += 1
+                        continue
+                    break
+                pos += 1
+    return segs
+
+
+class TestForeignStreamTolerance:
+    """T.81 quirks real encoders emit that a strict parser rejects."""
+
+    def test_dc_refinement_scan_with_undefined_td(self):
+        """A DC refinement scan (Ss=0, Ah>0) reads one raw bit per
+        block and needs NO DC table — patching its Td to an undefined
+        table id must not change the decode (T.81 G.1.2.1)."""
+        img = _gradient(24, 16)
+        enc = bytearray(encode_jpeg(img, 90, progressive=True))
+        baseline = decode_jpeg(bytes(enc))
+        patched = 0
+        for marker, s, e in _scan_segments(bytes(enc)):
+            if marker != 0xDA:
+                continue
+            nc = enc[s + 2]
+            params = s + 3 + 2 * nc
+            ss, se, ahal = enc[params], enc[params + 1], enc[params + 2]
+            if ss == 0 and (ahal >> 4) > 0:  # DC refinement
+                for ci in range(nc):
+                    td_ta = enc[s + 4 + 2 * ci]
+                    enc[s + 4 + 2 * ci] = (0x3 << 4) | (td_ta & 0x0F)
+                patched += 1
+        assert patched == 1
+        assert np.array_equal(decode_jpeg(bytes(enc)), baseline)
+
+    def test_ff_fill_bytes_before_markers(self):
+        """B.1.1.2 allows any marker to be preceded by 0xFF fill bytes
+        — both between segments and at the end of entropy data."""
+        for progressive in (False, True):
+            img = _gradient(17, 23)
+            enc = encode_jpeg(img, 85, progressive=progressive)
+            baseline = decode_jpeg(enc)
+            # insert fill bytes before EVERY marker segment boundary
+            segs = _scan_segments(enc)
+            padded = bytearray()
+            prev = 0
+            for _, s, _e in segs:
+                # s-2 points at the 0xFF of this segment's marker
+                padded += enc[prev : s - 2] + b"\xff\xff"
+                prev = s - 2
+            padded += enc[prev:]
+            # and before the EOI that terminates the last entropy run
+            assert padded.endswith(b"\xff\xd9")
+            padded = padded[:-2] + b"\xff\xff\xff\xd9"
+            assert np.array_equal(decode_jpeg(bytes(padded)), baseline)

@@ -90,3 +90,54 @@ class TestSampleFrames:
     def test_magic_prefixed_garbage_stays_raw(self):
         parsed = multimodal.parse_media_header(b"YUV4MPEG2 but not really")
         assert parsed["format"] == "raw"
+
+
+class TestStepDemux:
+    def test_step_yields_exactly_the_sampled_frames(self):
+        stream = encode_y4m(_frames(13))
+        full = list(iter_y4m_frames(stream))
+        for step in (1, 2, 3, 5, 30):
+            sampled = list(iter_y4m_frames(stream, step=step))
+            want = full[::step]
+            assert len(sampled) == len(want)
+            for got, exp in zip(sampled, want):
+                assert np.array_equal(got, exp)
+
+    def test_step_seeks_past_skipped_frames_without_decoding(
+        self, monkeypatch
+    ):
+        """The skipped frames must never reach the YCbCr->RGB matrix:
+        the per-pixel float conversion is ~97% of the demux cost at
+        step=30, and the ADVICE contract is seek, not decode-discard."""
+        from instacart_medallion_lakehouse_spark.operators import y4mcodec
+
+        calls = {"n": 0}
+        real = y4mcodec._ycbcr_to_rgb
+
+        def counting(y, cb, cr):
+            calls["n"] += 1
+            return real(y, cb, cr)
+
+        monkeypatch.setattr(y4mcodec, "_ycbcr_to_rgb", counting)
+        stream = encode_y4m(_frames(12))
+        out = list(y4mcodec.iter_y4m_frames(stream, step=5))
+        assert len(out) == 3  # frames 0, 5, 10
+        assert calls["n"] == 3
+
+    def test_step_rejects_nonpositive(self):
+        stream = encode_y4m(_frames(2))
+        with pytest.raises(ValueError, match="step"):
+            list(iter_y4m_frames(stream, step=0))
+
+    def test_video_frame_stats_indices_match_stride(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(18)
+        media = multimodal.with_media(docs).filter(
+            F.col("media_type") == "video"
+        )
+        out = multimodal.extract_video_frame_stats(media, every_n=5)
+        rows = out.collect()
+        assert rows, "expected video rows"
+        for r in rows:
+            assert r["frame_idx"] % 5 == 0
