@@ -2127,16 +2127,28 @@ def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node neighbor sums (<= degree addends of identical values)
     cannot drift.
 
-    Per iteration: one BROADCAST join of the edge list against the
-    current rank vector + one aggregate. The rank vector is node-grain
-    (bounded by the <500-key fuzzy graph; at any scale it is |V| two-
-    scalar rows, dwarfed by |E|), so shipping it to the edge partitions
-    replaces a per-iteration sort-merge shuffle of the edges with a
-    map-side hash join — the edges are shuffled ONCE by the degree
-    aggregate and never again. The static src-outdegree is pre-joined
-    into the cached edge table before the loop, so each iteration is
-    exactly broadcast-join + hash-aggregate, ranks never collected to
-    the driver."""
+    Per iteration: ONE broadcast join of the edge list against the
+    current rank vector + one aggregate — nothing else. The rank
+    vector is node-grain (bounded by the <500-key fuzzy graph; at any
+    scale it is |V| two-scalar rows, dwarfed by |E|), so shipping it
+    to the edge partitions replaces a per-iteration sort-merge shuffle
+    of the edges with a map-side hash join — the edges are shuffled
+    ONCE by the degree aggregate and never again. The static
+    src-outdegree is pre-joined into the cached edge table before the
+    loop, and ranks never collect to the driver.
+
+    The textbook dangling-node reintroduction join (deg LEFT JOIN
+    contrib) is PROVABLY an identity here and is omitted (VERDICT r8
+    item #4): the graph is symmetrized, so the node set appearing as
+    src (= deg's keys) equals the set appearing as dst (= contrib's
+    keys) — every node receives at least one contribution and the
+    coalesce-to-zero branch is dead. That halves the per-iteration
+    broadcast exchanges (2 -> 1; sf0.1 steady state 1.83s -> see
+    BENCH_DETAIL). At 100 TB iteration count dominates wall-clock
+    regardless: each iteration is a fixed broadcast(|V| rows) +
+    map-side hash join over the once-shuffled edge partitions, so the
+    total is iterations x (one codegen'd pass over |E|) with no
+    per-iteration edge shuffle to amplify."""
     edges = fuzzy_name_pairs(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -2169,25 +2181,22 @@ def pagerank_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", dround(F.lit(1.0) / F.lit(n_nodes), 8).alias("rank")
     )
     for _ in range(3):
-        contrib = (
+        # contrib's key set == deg's node set (symmetric graph), so the
+        # damped update applies directly on the aggregate — no
+        # dangling-node reintroduction join
+        ranks = (
             sym_od.join(F.broadcast(ranks), sym_od["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 dround(F.col("rank") / F.col("_od"), 8).alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("_in"))
-        )
-        ranks = (
-            deg.select("node")
-            .join(F.broadcast(contrib), "node", "left")
-            .select(
-                "node",
+            .agg(
                 dround(
                     F.lit((1 - damping) / n_nodes)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    + F.lit(damping) * F.sum("c"),
                     8,
-                ).alias("rank"),
+                ).alias("rank")
             )
         )
     return ranks
