@@ -879,3 +879,73 @@ class TestUserBurstiness:
         assert got["n_gaps"] == len(gaps)
         assert abs(got["mean_gap_s"] - gaps.mean()) < 0.01
         assert abs(got["cv"] - cv) < 1e-3
+
+
+class TestRound9PlanShapes:
+    """Pin the round-9 rewrite plan shapes (VERDICT r8 items #3/#4):
+    extra exchanges here are 100 TB cost bugs even when values stay
+    right."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    @staticmethod
+    def _hash_exchanges(plan):
+        import re
+
+        return len(
+            set(
+                re.findall(
+                    r"Exchange hashpartitioning[^\n]*?\[plan_id=(\d+)\]",
+                    plan,
+                )
+            )
+        )
+
+    def test_dedup_spans_text_three_shuffles_no_smj(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark import queries_text as qx
+
+        plan = self._plan(qx.dedup_spans_text(spark, sf_dir))
+        # window on h + two doc repartitionings; the (doc,pos) dedup,
+        # the cover join, and the fused aggregate ride those
+        assert self._hash_exchanges(plan) <= 3, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_lm_perplexity_reads_persisted_token_layer(
+        self, spark, sf_dir
+    ):
+        from instacart_medallion_lakehouse_spark import queries_llm as ql
+
+        plan = self._plan(ql.lm_perplexity(spark, sf_dir))
+        # the per-doc token lead() window moved into the token_table
+        # build; the query itself must scan the asset, not re-window
+        assert "token_bigrams" in plan, plan
+        assert "Window" not in plan, plan
+
+    def test_pagerank_one_broadcast_per_iteration(self, spark, sf_dir):
+        import re
+
+        from instacart_medallion_lakehouse_spark import queries_ext as qe
+
+        plan = self._plan(qe.pagerank_fuzzy(spark, sf_dir))
+        n_bcast = len(
+            set(
+                re.findall(
+                    r"BroadcastExchange[^\n]*?\[plan_id=(\d+)\]", plan
+                )
+            )
+        )
+        # 3 rank-vector broadcasts (one per iteration) + the outdegree
+        # pre-join + the edge-builder's blocking-join broadcasts; the
+        # old dangling-node reintroduction join would add one more per
+        # iteration (10 total)
+        assert n_bcast <= 7, plan
+        # ...and that dropped join was the plan's ONLY outer join
+        assert "LeftOuter" not in plan, plan
+        try:
+            from instacart_medallion_lakehouse_spark import queries as q
+
+            q.release_pins()
+        except Exception:
+            pass
