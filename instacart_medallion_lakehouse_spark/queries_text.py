@@ -2390,3 +2390,122 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, threshold=0.6, id_col="doc_id",
         shingles=shared_shingles(spark, sf_dir),
     ).orderBy("contained_id", "container_id")
+
+
+@_register(
+    "incremental_span_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    runs AS (
+      SELECT doc_id, i AS s,
+             md5(array_to_string(list_slice(t, i, i + {_RUN_N - 1}), ' ')) AS h
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_RUN_N - 2})) AS i
+            FROM t)
+    ),
+    fl AS (
+      SELECT doc_id, s, h,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_index
+      FROM runs
+    ),
+    hstat AS (
+      SELECT h, max(CASE WHEN in_index THEN 1 ELSE 0 END) AS has_idx
+      FROM fl GROUP BY h
+    ),
+    batch AS (
+      SELECT f.doc_id, f.s, hs.has_idx
+      FROM fl f JOIN hstat hs USING (h) WHERE NOT f.in_index
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_runs, sum(has_idx) AS n_hit_runs
+      FROM batch GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT DISTINCT b.doc_id, b.s + u.j AS p
+      FROM batch b CROSS JOIN range(0, {_RUN_N}) u(j) WHERE b.has_idx = 1
+    ),
+    covagg AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(a.n_runs + {_RUN_N - 1} AS BIGINT) AS n_tokens,
+           CAST(a.n_runs AS BIGINT) AS n_runs,
+           CAST(a.n_hit_runs AS BIGINT) AS n_hit_runs,
+           CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered_tokens,
+           round(coalesce(c.n_covered, 0) * 1.0
+                 / (a.n_runs + {_RUN_N - 1}), 4) AS dup_ratio,
+           CASE WHEN coalesce(c.n_covered, 0) * 10
+                     >= (a.n_runs + {_RUN_N - 1}) * 5 THEN 'quarantine'
+                WHEN coalesce(c.n_covered, 0) * 10
+                     >= (a.n_runs + {_RUN_N - 1}) * 2 THEN 'flag'
+                ELSE 'keep' END AS action
+    FROM agg a LEFT JOIN covagg c ON a.doc_id = c.doc_id
+    """.replace("{toks}", _TOKS_SQL),
+)
+def incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SPAN-level dedup — the growing-corpus shape for the
+    substring family (Lee et al.), completing the incremental trio
+    (exact fingerprints: incremental_exact_dedup; MinHash signatures:
+    incremental_minhash_dedup; verbatim spans: this). The corpus splits
+    by the md5 doc_id hash into the accumulated index (~80%) and a new
+    batch; each batch doc with at least {_RUN_N} tokens reports how
+    much of its text is verbatim-covered by {_RUN_N}-token runs already
+    present in the index, and a triage action from integer-exact
+    thresholds (>=50% covered -> quarantine, >=20% -> flag, else keep
+    — the CASE compares n_covered*10 vs n_tokens*k so no float
+    boundary can flip cross-engine).
+
+    Shape (same discipline as dedup_spans_text): the persisted run
+    index (shared_positioned_runs) takes ONE window exchange on h that
+    marks each run with "some INDEX doc also has this hash" in place —
+    at 100 TB the index side is run hashes only, never text, and the
+    new batch never rescans old documents. Coverage positions
+    repartition by doc with the (doc,pos) dedup and count riding that
+    partitioning; the per-doc run rollup rides its own doc
+    repartition; the final doc-level join is co-partitioned and
+    exchange-free. Docs with fewer than {_RUN_N} tokens have no runs
+    and are out of scope by contract (span dedup cannot apply)."""
+    runs = shared_positioned_runs(spark, sf_dir)
+    wh = Window.partitionBy("h")
+    in_idx = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    )
+    marked = runs.select(
+        "doc_id", "_pos", "h", in_idx.alias("_in_index")
+    ).withColumn(
+        "_has_idx", F.max(F.col("_in_index").cast("int")).over(wh)
+    )
+    batch = marked.filter(~F.col("_in_index"))
+    agg = (
+        batch.repartition("doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("_has_idx").alias("n_hit_runs"),
+        )
+    )
+    cov = (
+        batch.filter(F.col("_has_idx") == 1)
+        .select(
+            F.col("doc_id").alias("_cdoc"),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(_RUN_N - 1))
+            ).alias("_p"),
+        )
+        .repartition("_cdoc")
+        .dropDuplicates(["_cdoc", "_p"])
+        .groupBy("_cdoc")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    joined = agg.join(cov, agg["doc_id"] == cov["_cdoc"], "left")
+    n_tokens = F.col("n_runs") + F.lit(_RUN_N - 1)
+    n_cov = F.coalesce(F.col("n_covered"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("n_hit_runs").cast("long").alias("n_hit_runs"),
+        n_cov.cast("long").alias("n_covered_tokens"),
+        dround(n_cov * F.lit(1.0) / n_tokens, 4).alias("dup_ratio"),
+        F.when(n_cov * 10 >= n_tokens * 5, "quarantine")
+        .when(n_cov * 10 >= n_tokens * 2, "flag")
+        .otherwise("keep")
+        .alias("action"),
+    )

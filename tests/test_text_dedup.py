@@ -306,3 +306,91 @@ class TestDedupSpansText:
         assert out[2]["n_kept"] == 3
         assert out[2]["kept_md5"] == h("b1 b2 b3")  # span removed, tail kept
         assert out[3]["n_kept"] == 25 and out[3]["kept_md5"] == h(rows[2][1])
+
+
+class TestIncrementalSpanDedup:
+    """Invariants for incremental_span_dedup (cross-engine equality is
+    the oracle gate's job; these pin the semantics the oracle can't)."""
+
+    def test_batch_scope_and_bounds(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries import _QUERIES
+
+        rows = _QUERIES["incremental_span_dedup"](spark, sf_dir).collect()
+        assert rows, "batch side must be non-empty at this sf"
+        for r in rows:
+            # batch membership: md5 split >= 'cd'
+            import hashlib
+
+            assert (
+                hashlib.md5(str(r.doc_id).encode()).hexdigest()[:2] >= "cd"
+            ), r.doc_id
+            assert r.n_tokens == r.n_runs + 19
+            assert 0 <= r.n_hit_runs <= r.n_runs
+            assert 0 <= r.n_covered_tokens <= r.n_tokens
+            # a hit run covers 20 positions, so coverage and hit count
+            # must agree on zero-ness
+            assert (r.n_hit_runs == 0) == (r.n_covered_tokens == 0)
+            ratio = r.n_covered_tokens / r.n_tokens
+            want = (
+                "quarantine"
+                if ratio >= 0.5
+                else ("flag" if ratio >= 0.2 else "keep")
+            )
+            assert r.action == want, (r.doc_id, ratio, r.action)
+
+    def test_planted_index_duplicate_is_quarantined(self, spark):
+        import unittest.mock as mock
+
+        from instacart_medallion_lakehouse_spark import queries_text as qx
+
+        # find one doc_id on each side of the md5 split
+        import hashlib
+
+        idx_id = next(
+            i for i in range(1000)
+            if hashlib.md5(str(i).encode()).hexdigest()[:2] < "cd"
+        )
+        new_id = next(
+            i for i in range(1000)
+            if hashlib.md5(str(i).encode()).hexdigest()[:2] >= "cd"
+        )
+        body = " ".join(f"w{k}" for k in range(25))
+        docs = spark.createDataFrame(
+            [(idx_id, body), (new_id, body + " fresh tail " + "x " * 5)],
+            "doc_id long, text string",
+        )
+        with mock.patch.object(qx, "shared_positioned_runs") as sr:
+            from instacart_medallion_lakehouse_spark.functions.text import (
+                tokens,
+            )
+            from pyspark.sql import Window
+
+            ex = docs.select(
+                "doc_id",
+                F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok"),
+            )
+            w = Window.partitionBy("doc_id").orderBy("_pos")
+            parts = [F.col("_tok")] + [
+                F.lead("_tok", i).over(w) for i in range(1, 20)
+            ]
+            sr.return_value = (
+                ex.select(
+                    "doc_id",
+                    "_pos",
+                    F.md5(F.concat_ws(" ", *parts)).alias("h"),
+                    parts[-1].alias("_last"),
+                )
+                .filter(F.col("_last").isNotNull())
+                .drop("_last")
+            )
+            out = {
+                r.doc_id: r
+                for r in qx.incremental_span_dedup(spark, "ignored").collect()
+            }
+        # only the NEW doc reports; its 25 planted tokens are covered
+        assert set(out) == {new_id}
+        r = out[new_id]
+        assert r.n_covered_tokens == 25
+        assert r.action in ("quarantine", "flag")
+        # 25 covered of 32 tokens -> 78% -> quarantine
+        assert r.action == "quarantine"
