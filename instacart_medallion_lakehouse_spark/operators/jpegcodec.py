@@ -162,50 +162,105 @@ def _canonical_codes(bits, values):
     return codes
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _huff_lut(bits: tuple, values: tuple):
+    """16-bit lookup tables for one canonical Huffman table: every
+    16-bit window whose prefix is a code of length L for symbol V maps
+    to lut_sym[w]=V, lut_len[w]=L (0 = no valid code has this prefix).
+    One table-driven lookup replaces the per-bit F.2.2.3 walk — the
+    decode hot path drops from ~1 Python call per BIT to ~2 per
+    SYMBOL. Cached: encoders overwhelmingly reuse the same tables
+    (ours are fixed; foreign files repeat the Annex-K ones), so the
+    65536-slot build is paid once per distinct table, not per image."""
+    lut_sym = [0] * 65536
+    lut_len = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            end = (code + 1) << (16 - length)
+            lut_sym[start:end] = [values[k]] * (end - start)
+            lut_len[start:end] = [length] * (end - start)
+            code += 1
+            k += 1
+        code <<= 1
+    return lut_sym, lut_len
+
+
 class _HuffDecoder:
-    """Canonical per-length (mincode, maxcode, valptr) decoder — the
-    F.2.2.3 DECODE procedure."""
+    """Canonical Huffman decoder, table-driven (peek-16 + skip) instead
+    of the bit-at-a-time F.2.2.3 walk — same codes, same symbols."""
 
     def __init__(self, bits, values):
-        self.values = values
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
-                self.maxcode[length] = code - 1
-            code <<= 1
+        self.lut_sym, self.lut_len = _huff_lut(
+            tuple(bits), tuple(values)
+        )
 
     def decode(self, br: "_BitReader") -> int:
-        code = br.read_bit()
-        length = 1
-        while code > self.maxcode[length]:
-            length += 1
-            if length > 16:
-                raise ValueError("jpeg: invalid Huffman code")
-            code = (code << 1) | br.read_bit()
-        return self.values[self.valptr[length] + code - self.mincode[length]]
+        w = br.peek16()
+        length = self.lut_len[w]
+        if length == 0:
+            raise ValueError("jpeg: invalid Huffman code")
+        br.skip(length)
+        return self.lut_sym[w]
+
+    def decode_rs(self, br: "_BitReader") -> tuple:
+        """(symbol, value): the per-coefficient hot path fused into ONE
+        buffer transaction — Huffman code, the SSSS (= symbol & 0xF)
+        magnitude bits, and F.2.2.1 EXTEND. Valid for any symbol whose
+        low nibble is the magnitude length: AC rrrrssss bytes and DC
+        categories (<= 15 in the 8-bit modes this decoder supports)."""
+        nb = br.nbits
+        if nb < 32:
+            br._fill(32)
+            nb = br.nbits
+        if nb >= 16:
+            w = (br.buf >> (nb - 16)) & 0xFFFF
+        else:
+            pad = 16 - nb
+            w = ((br.buf << pad) | ((1 << pad) - 1)) & 0xFFFF
+        length = self.lut_len[w]
+        if length == 0:
+            raise ValueError("jpeg: invalid Huffman code")
+        rs = self.lut_sym[w]
+        s = rs & 0xF
+        nb -= length + s
+        if nb < 0:
+            raise ValueError("jpeg: entropy data exhausted")
+        v = (br.buf >> nb) & ((1 << s) - 1)
+        br.nbits = nb
+        br.buf &= (1 << nb) - 1
+        if s and v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return rs, v
 
 
 class _BitReader:
     """MSB-first bit reader over one entropy-coded interval (stuffing
-    already stripped)."""
+    already stripped). Multi-bit buffered: peek16/skip serve the
+    table-driven Huffman decoder, receive() pulls magnitude bits in
+    one shot; read_bit remains for the refinement paths."""
 
     def __init__(self, data: bytes):
         self.data = data
+        self.n = len(data)
         self.pos = 0
         self.buf = 0
         self.nbits = 0
 
+    def _fill(self, need: int) -> None:
+        while self.nbits < need and self.pos < self.n:
+            self.buf = (self.buf << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+
     def read_bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
+            if self.pos >= self.n:
                 raise ValueError("jpeg: entropy data exhausted")
             self.buf = self.data[self.pos]
             self.pos += 1
@@ -214,20 +269,36 @@ class _BitReader:
         return (self.buf >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._fill(n)
+        if self.nbits < n:
+            raise ValueError("jpeg: entropy data exhausted")
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
         return v
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming; the tail past end-of-data is
+        padded with 1-bits (the B.1.1.5 pad convention), so a code that
+        genuinely fits the remaining bits still resolves and skip()
+        raises only when a decode would overrun the stream."""
+        self._fill(16)
+        if self.nbits >= 16:
+            return (self.buf >> (self.nbits - 16)) & 0xFFFF
+        pad = 16 - self.nbits
+        return ((self.buf << pad) | ((1 << pad) - 1)) & 0xFFFF
 
-def _extend(v: int, t: int) -> int:
-    """F.2.2.1 EXTEND: map the t-bit magnitude to its signed value."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+    def skip(self, n: int) -> None:
+        if self.nbits < n:
+            raise ValueError("jpeg: entropy data exhausted")
+        self.nbits -= n
+        self.buf &= (1 << self.nbits) - 1
 
 
 # --- decoder -----------------------------------------------------------------
+# (F.2.2.1 EXTEND is fused into _HuffDecoder.decode_rs)
 
 
 def _slice_entropy(payload: bytes, pos: int):
@@ -273,8 +344,8 @@ class _ScanState:
 
 def _decode_dc(st, dc_dec, cid, b, ah, al):
     if ah == 0:  # first pass
-        t = dc_dec.decode(st.br)
-        st.pred[cid] += _extend(st.br.receive(t), t)
+        _t, v = dc_dec.decode_rs(st.br)
+        st.pred[cid] += v
         b[0] = st.pred[cid] << al
     else:  # refinement: one bit per block
         if st.br.read_bit():
@@ -289,7 +360,7 @@ def _decode_ac_first(st, ac_dec, b, ss, se, al):
         return
     k = ss
     while k <= se:
-        rs = ac_dec.decode(st.br)
+        rs, v = ac_dec.decode_rs(st.br)
         r, s = rs >> 4, rs & 0xF
         if s == 0:
             if r == 15:  # ZRL
@@ -302,7 +373,7 @@ def _decode_ac_first(st, ac_dec, b, ss, se, al):
         k += r
         if k > se:
             raise ValueError("jpeg: AC run overflow")
-        b[k] = _extend(st.br.receive(s), s) << al
+        b[k] = v << al
         k += 1
 
 
