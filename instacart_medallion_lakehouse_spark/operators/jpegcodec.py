@@ -354,27 +354,63 @@ def _decode_dc(st, dc_dec, cid, b, ah, al):
 
 def _decode_ac_first(st, ac_dec, b, ss, se, al):
     """AC first pass (also the baseline AC path: ss=1, al=0, where
-    encoders only ever emit EOB runs of length 1)."""
+    encoders only ever emit EOB runs of length 1).
+
+    The bit cache lives in LOCALS for the whole block (the libjpeg
+    structure): the per-coefficient path — Huffman code + SSSS
+    magnitude + EXTEND — runs with zero method calls, and the reader
+    state syncs back once per block. Semantics identical to
+    _HuffDecoder.decode_rs."""
     if st.eobrun > 0:
         st.eobrun -= 1
         return
+    br = st.br
+    data, n = br.data, br.n
+    pos, buf, nbits = br.pos, br.buf, br.nbits
+    lut_sym, lut_len = ac_dec.lut_sym, ac_dec.lut_len
     k = ss
     while k <= se:
-        rs, v = ac_dec.decode_rs(st.br)
-        r, s = rs >> 4, rs & 0xF
+        if nbits < 32:
+            while nbits < 32 and pos < n:
+                buf = (buf << 8) | data[pos]
+                pos += 1
+                nbits += 8
+        if nbits >= 16:
+            w = (buf >> (nbits - 16)) & 0xFFFF
+        else:
+            pad = 16 - nbits
+            w = ((buf << pad) | ((1 << pad) - 1)) & 0xFFFF
+        length = lut_len[w]
+        if length == 0:
+            raise ValueError("jpeg: invalid Huffman code")
+        rs = lut_sym[w]
+        r = rs >> 4
+        s = rs & 0xF
+        nbits -= length + s
+        if nbits < 0:
+            raise ValueError("jpeg: entropy data exhausted")
+        v = (buf >> nbits) & ((1 << s) - 1)
+        buf &= (1 << nbits) - 1
         if s == 0:
             if r == 15:  # ZRL
                 k += 16
                 continue
             st.eobrun = (1 << r) - 1
-            if r:
-                st.eobrun += st.br.receive(r)
+            if r:  # EOBn extra bits, straight off the local cache
+                if nbits < r:
+                    raise ValueError("jpeg: entropy data exhausted")
+                nbits -= r
+                st.eobrun += (buf >> nbits) & ((1 << r) - 1)
+                buf &= (1 << nbits) - 1
             break
         k += r
         if k > se:
             raise ValueError("jpeg: AC run overflow")
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
         b[k] = v << al
         k += 1
+    br.pos, br.buf, br.nbits = pos, buf, nbits
 
 
 def _decode_ac_refine(st, ac_dec, b, ss, se, al):
