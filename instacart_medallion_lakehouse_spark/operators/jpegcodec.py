@@ -303,33 +303,46 @@ class _BitReader:
 
 def _slice_entropy(payload: bytes, pos: int):
     """Slice one scan's entropy-coded bytes starting at ``pos``:
-    un-stuff FF00, split on restart markers, stop at any other marker.
-    Returns (intervals, next_marker_pos)."""
+    un-stuff FF00, split on restart markers (skipping T.81 B.1.1.2
+    fill bytes), stop at any other marker. Returns
+    (intervals, next_marker_pos).
+
+    Walks only the 0xFF positions (one numpy scan; ~1/256 of entropy
+    bytes) and assembles intervals from clean-run slices instead of a
+    per-byte Python append."""
     n = len(payload)
+    ffs = np.flatnonzero(
+        np.frombuffer(payload, np.uint8, n - pos, pos) == 0xFF
+    )
     intervals: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:  # stuffed FF
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            if nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
-                i += 1
-                continue
-            break  # EOI / next segment ends the scan
-        cur.append(b)
-        i += 1
-    intervals.append(bytes(cur))
-    return intervals, i
+    parts: list[bytes] = []
+    start = pos  # start of the current clean (marker-free) run
+    for off in ffs.tolist():
+        i = pos + off
+        if i < start:  # consumed by a previous FF00 skip
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed FF: keep the FF, drop the 00
+            parts.append(payload[start : i + 1])
+            start = i + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: close this interval
+            parts.append(payload[start:i])
+            intervals.append(b"".join(parts))
+            parts = []
+            start = i + 2
+            continue
+        if nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            parts.append(payload[start:i])
+            start = i + 1
+            continue
+        # EOI / next segment ends the scan
+        parts.append(payload[start:i])
+        intervals.append(b"".join(parts))
+        return intervals, i
+    parts.append(payload[start:n])
+    intervals.append(b"".join(parts))
+    return intervals, n
 
 
 class _ScanState:
