@@ -278,3 +278,61 @@ class TestForeignStreamTolerance:
             assert padded.endswith(b"\xff\xd9")
             padded = padded[:-2] + b"\xff\xff\xff\xd9"
             assert np.array_equal(decode_jpeg(bytes(padded)), baseline)
+
+
+class TestSliceEntropyEquivalence:
+    """The vectorized FF-position slicer must match the per-byte spec
+    walker on randomized stuffing/RST/fill/EOI streams."""
+
+    @staticmethod
+    def _reference(payload, pos):
+        n = len(payload)
+        intervals = []
+        cur = bytearray()
+        i = pos
+        while i < n:
+            b = payload[i]
+            if b == 0xFF:
+                nxt = payload[i + 1] if i + 1 < n else 0xD9
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    intervals.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                if nxt == 0xFF:
+                    i += 1
+                    continue
+                break
+            cur.append(b)
+            i += 1
+        intervals.append(bytes(cur))
+        return intervals, i
+
+    def test_randomized_equivalence(self):
+        from instacart_medallion_lakehouse_spark.operators.jpegcodec import (
+            _slice_entropy,
+        )
+
+        rng = np.random.RandomState(4)
+        special = [
+            b"\xff\x00", b"\xff\xd0", b"\xff\xd7", b"\xff\xff\xd9",
+            b"\xff\xd9", b"\xff", b"\x00", b"\xab",
+        ]
+        for trial in range(500):
+            parts = [
+                bytes(rng.randint(0, 256, rng.randint(0, 12), dtype=np.uint8))
+            ]
+            for _ in range(rng.randint(0, 8)):
+                parts.append(special[rng.randint(0, len(special))])
+                parts.append(
+                    bytes(rng.randint(0, 256, rng.randint(0, 6), dtype=np.uint8))
+                )
+            payload = b"".join(parts)
+            pos = rng.randint(0, max(1, len(payload)))
+            assert self._reference(payload, pos) == _slice_entropy(
+                payload, pos
+            ), (trial, payload.hex(), pos)

@@ -823,3 +823,58 @@ class TestPaethWavefront:
                 out[y, x] = v & 0xFF
         assert pf == (rb + 1) * h
         assert np.array_equal(fast, out.astype(np.uint8))
+
+
+class TestUnfilterEquivalence:
+    """The wavefront (and every row-wise fast path) must match the
+    brute-force spec recurrences on randomized filter mixes, shapes,
+    and filter distances."""
+
+    def test_randomized_equivalence(self):
+        import numpy as np
+
+        from instacart_medallion_lakehouse_spark.operators.imagecodec import (
+            _unfilter,
+        )
+
+        rng = np.random.RandomState(11)
+        for trial in range(25):
+            h = rng.randint(1, 24)
+            w = rng.randint(1, 24)
+            bpp = int(rng.choice([1, 2, 3, 4, 6, 8]))
+            rb = w * bpp
+            raw = bytearray()
+            for _ in range(h):
+                raw.append(rng.randint(0, 5))
+                raw += bytes(rng.randint(0, 256, rb, dtype=np.uint8))
+            raw_np = np.frombuffer(bytes(raw), np.uint8)
+            got, endpos = _unfilter(raw_np, h, rb, bpp, 0)
+            assert endpos == h * (rb + 1)
+            data = raw_np.reshape(h, rb + 1)
+            want = np.zeros((h, rb), dtype=int)
+            for y in range(h):
+                f = data[y, 0]
+                for x in range(rb):
+                    cur = int(data[y, 1 + x])
+                    a = want[y, x - bpp] if x >= bpp else 0
+                    b = want[y - 1, x] if y else 0
+                    c = want[y - 1, x - bpp] if (y and x >= bpp) else 0
+                    if f == 0:
+                        v = cur
+                    elif f == 1:
+                        v = cur + a
+                    elif f == 2:
+                        v = cur + b
+                    elif f == 3:
+                        v = cur + ((a + b) >> 1)
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c
+                        )
+                        v = cur + pred
+                    want[y, x] = v & 0xFF
+            assert np.array_equal(got, want.astype(np.uint8)), (
+                trial, h, w, bpp,
+            )
