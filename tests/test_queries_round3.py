@@ -56,9 +56,11 @@ class TestDriverWindow:
         oracle-twinned rows) rotates in, and every persisted-store
         BUILD entry precedes its consumers in execution order."""
         must_be_in = (
-            # round-9 additions/rewrites
+            # round-9 additions/rewrites (incl. the late addition,
+            # which jumps the backfill per the round-8 precedent)
             "token_table",
             "media_quarantine_profile",
+            "incremental_span_dedup",
             "lm_perplexity",
             "dedup_spans_text",
             "pagerank_fuzzy",
