@@ -430,13 +430,17 @@ def _decode_ac_refine(st, ac_dec, b, ss, se, al):
     """AC successive-approximation refinement (T.81 G.1.2.3 /
     libjpeg's decode_mcu_AC_refine structure): newly significant
     coefficients arrive as (run, 1) symbols + sign, every nonzero
-    coefficient passed on the way emits a correction bit."""
+    coefficient passed on the way emits a correction bit. The symbol
+    + sign pair rides decode_rs (EXTEND of a 1-bit magnitude is
+    exactly the +-1 sign convention); correction bits go through a
+    hoisted bound read_bit."""
     p1, m1 = 1 << al, -(1 << al)
+    read_bit = st.br.read_bit
 
     def correct(k):
         while k <= se:
             if b[k] != 0:
-                if st.br.read_bit() and not (b[k] & p1):
+                if read_bit() and not (b[k] & p1):
                     b[k] += p1 if b[k] >= 0 else m1
             k += 1
 
@@ -448,7 +452,7 @@ def _decode_ac_refine(st, ac_dec, b, ss, se, al):
     k = ss
     in_run = False
     while k <= se:
-        rs = ac_dec.decode(st.br)
+        rs, v = ac_dec.decode_rs(st.br)
         r, s = rs >> 4, rs & 0xF
         newval = 0
         if s == 0:
@@ -465,10 +469,10 @@ def _decode_ac_refine(st, ac_dec, b, ss, se, al):
         else:
             if s != 1:
                 raise ValueError("jpeg: AC refine magnitude != 1")
-            newval = p1 if st.br.read_bit() else m1
+            newval = p1 if v > 0 else m1
         while k <= se:
             if b[k] != 0:
-                if st.br.read_bit() and not (b[k] & p1):
+                if read_bit() and not (b[k] & p1):
                     b[k] += p1 if b[k] >= 0 else m1
             else:
                 if r == 0:
@@ -550,7 +554,12 @@ def _decode_scan(payload, pos, scan, ss, se, ah, al, huff, coeff, geom,
             if ah == 0:
                 _decode_ac_first(st, ac_dec[cid], b, start, se, al)
             else:
-                _decode_ac_refine(st, ac_dec[cid], b, start, se, al)
+                # refinement reads EVERY coefficient in the band (the
+                # correction-bit walk); hand it native ints, not numpy
+                # scalar indexing, and sync the block back once
+                bl = b.tolist()
+                _decode_ac_refine(st, ac_dec[cid], bl, start, se, al)
+                b[start : se + 1] = bl[start : se + 1]
     return nxt
 
 
