@@ -37,7 +37,8 @@ the thumbnail/frame-sample planning math in multimodal.py picks the
 targets; this executes them. JPEG decode/encode — baseline AND
 progressive — lives in the sibling jpegcodec.py (pure numpy
 Huffman+DCT from the T.81 spec) and is dispatched from
-``decode``/``encode_like`` here; lossless/hierarchical JPEG and
+``decode``/``encode_like`` here (including the SOF3 LOSSLESS process,
+exact round-trip); arithmetic/hierarchical JPEG and
 compressed-video demux keep their explicit NotImplementedError so
 callers can route those rows to an environment with a real codec
 library.

@@ -1,5 +1,5 @@
-"""Pure numpy + stdlib JPEG codec (ITU-T T.81 / JFIF), baseline +
-progressive.
+"""Pure numpy + stdlib JPEG codec (ITU-T T.81 / JFIF): baseline,
+progressive, and lossless.
 
 Closes the one codec gap a real web corpus hits first (reference has no
 media at all; VERDICT r7 queue item #7): baseline sequential DCT with
@@ -10,14 +10,19 @@ Decoder coverage: baseline sequential (SOF0/1) AND progressive (SOF2
 scan modes), 8-bit, 1 component (grayscale) or 3 components (JFIF
 YCbCr) at any of the common sampling factors (4:4:4, 4:2:2, 4:2:0),
 restart markers, multi-scan coefficient assembly, multi-table DQT/DHT
-segments. Loud ``NotImplementedError`` only for the
-lossless/hierarchical/arithmetic SOFs so the multimodal quarantine
-path keeps routing those rows, and ``ValueError`` for malformed
-streams.
+segments — plus the LOSSLESS process (SOF3, T.81 Annex H: predictors
+1-7, point transform, restart resets, precisions 2-16 with >8-bit
+stripped to the high byte; components returned RAW, no color
+transform — lossless carries no JFIF color model). Loud
+``NotImplementedError`` only for the hierarchical/arithmetic SOFs so
+the multimodal quarantine path keeps routing those rows, and
+``ValueError`` for malformed streams.
 
-Encoder: baseline or progressive (four-phase scan script over the
+Encoder: baseline, progressive (four-phase scan script over the
 same quantized coefficients, so the two forms decode bit-identically —
-the round-trip invariant the tests pin), 4:4:4 / 4:2:0 / 4:2:2, Annex
+the round-trip invariant the tests pin), or lossless (SOF3, any
+predictor, optional restarts — decode returns the input EXACTLY),
+4:4:4 / 4:2:0 / 4:2:2, Annex
 K quantization tables scaled by the usual IJG quality curve, Annex K
 Huffman tables for baseline and flat custom tables for the progressive
 scans (which need EOBn symbols Annex K does not define). Not
@@ -563,11 +568,90 @@ def _decode_scan(payload, pos, scan, ss, se, ah, al, huff, coeff, geom,
     return nxt
 
 
+def _decode_lossless_scan(payload, pos, scan, predictor, pt, huff,
+                          samples, w, h, prec, restart_interval):
+    """Decode one lossless-process (SOF3) scan into ``samples`` (dict
+    cid -> h x w list-of-lists of reconstructed Rx values, still in
+    the point-transformed domain). T.81 Annex H: per sample, a DC-type
+    Huffman category + magnitude bits give the EXTENDed difference
+    (SSSS=16 encodes 32768 with no extra bits), reconstruction is
+    (prediction + diff) mod 65536, and the prediction follows H.1.2.2:
+    the first sample of the scan/each restart interval uses
+    2^(P-Pt-1), the remainder of that FIRST LINE uses Ra, the first
+    sample of every other line uses Rb, and everything else uses the
+    scan's selected predictor 1-7 (5/6 divide by arithmetic shift)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"jpeg: bad lossless predictor {predictor}")
+    intervals, nxt = _slice_entropy(payload, pos)
+    decs = []
+    for cs, td, _ta in scan:
+        if (0, td) not in huff:
+            raise ValueError("jpeg: scan references missing DC table")
+        decs.append((cs, huff[(0, td)]))
+    default = 1 << (prec - pt - 1)
+    interval_idx = 0
+    br = _BitReader(intervals[0])
+    # where the current restart interval began (shared: sampling is
+    # 1x1 so every component advances through the same raster)
+    ry, rx = 0, 0
+    mcus = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcus and mcus % restart_interval == 0:
+                interval_idx += 1
+                if interval_idx >= len(intervals):
+                    raise ValueError("jpeg: missing restart interval data")
+                br = _BitReader(intervals[interval_idx])
+                ry, rx = y, x
+            mcus += 1
+            for cs, dec in decs:
+                t = dec.decode(br)
+                if t == 16:  # H.2: SSSS=16 -> 32768, no extra bits
+                    diff = 32768
+                elif t > 16:
+                    raise ValueError("jpeg: bad lossless ssss category")
+                elif t:
+                    v = br.receive(t)
+                    diff = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                else:
+                    diff = 0
+                rows = samples[cs]
+                if y == ry:  # first line of the scan/restart interval
+                    pred = default if x == rx else rows[y][x - 1]
+                elif x == 0:
+                    pred = rows[y - 1][0]
+                else:
+                    a = rows[y][x - 1]
+                    b = rows[y - 1][x]
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = b
+                    elif predictor == 3:
+                        pred = rows[y - 1][x - 1]
+                    elif predictor == 4:
+                        pred = a + b - rows[y - 1][x - 1]
+                    elif predictor == 5:
+                        pred = a + ((b - rows[y - 1][x - 1]) >> 1)
+                    elif predictor == 6:
+                        pred = b + ((a - rows[y - 1][x - 1]) >> 1)
+                    else:
+                        pred = (a + b) >> 1
+                rows[y][x] = (pred + diff) & 0xFFFF
+    return nxt
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline OR progressive JPEG -> HxW (grayscale) / HxWx3 (RGB)
-    uint8. Sequential (SOF0/1) and progressive (SOF2) with spectral
-    selection + successive approximation; lossless/hierarchical SOFs
-    stay NotImplementedError."""
+    """Baseline, progressive, OR lossless JPEG -> HxW (grayscale) /
+    HxWx3 uint8. Sequential (SOF0/1) and progressive (SOF2) with
+    spectral selection + successive approximation decode through the
+    DCT path (3 components = JFIF YCbCr); the LOSSLESS process (SOF3,
+    T.81 Annex H — predictors 1-7, point transform, restarts,
+    precisions 2-16 with >8-bit stripped to the high byte like
+    decode_png's 16-bit rule) returns component values AS STORED (no
+    color transform: lossless carries raw components, e.g. RGB or
+    sensor planes). Hierarchical/arithmetic SOFs stay
+    NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     qt: dict[int, np.ndarray] = {}
@@ -576,6 +660,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     coeff = None  # cid -> (nby, nbx, 64) int64, ZIGZAG order
     geom = None
+    samples = None  # lossless: cid -> h x w reconstructed values
+    lossless_pt = 0
     saw_scan = False
     pos = 2
     n = len(payload)
@@ -621,35 +707,55 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[o + 17 : o + 17 + nv])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 o += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1, SOF2, SOF3
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(
+                        f"jpeg: {prec}-bit lossless precision invalid"
+                    )
+            elif prec != 8:
                 raise ValueError(f"jpeg: {prec}-bit precision unsupported")
             comps = []
             for i in range(nc):
                 cid, hv, tq_id = struct.unpack_from(">BBB", seg, 6 + i * 3)
                 comps.append((cid, hv >> 4, hv & 0xF, tq_id))
-            frame = (h, w, comps, marker == 0xC2)
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            dims = {}
-            for cid, hs, vs, tq_id in comps:
-                cw = -(-(w * hs) // hmax)
-                ch = -(-(h * vs) // vmax)
-                dims[cid] = (-(-ch // 8), -(-cw // 8), hs, vs)
-            geom = (hmax, vmax, mcux, mcuy, dims)
-            coeff = {
-                cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
-                for cid, hs, vs, _ in comps
-            }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            mode = 2 if lossless else (1 if marker == 0xC2 else 0)
+            frame = (h, w, comps, mode, prec)
+            if lossless:
+                if nc > 1 and any(
+                    c[1] != 1 or c[2] != 1 for c in comps
+                ):
+                    raise ValueError(
+                        "jpeg: lossless with subsampling unsupported"
+                    )
+                samples = {
+                    cid: [[0] * w for _ in range(h)]
+                    for cid, _hs, _vs, _tq in comps
+                }
+            else:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                dims = {}
+                for cid, hs, vs, tq_id in comps:
+                    cw = -(-(w * hs) // hmax)
+                    ch = -(-(h * vs) // vmax)
+                    dims[cid] = (-(-ch // 8), -(-cw // 8), hs, vs)
+                geom = (hmax, vmax, mcux, mcuy, dims)
+                coeff = {
+                    cid: np.zeros(
+                        (mcuy * vs, mcux * hs, 64), dtype=np.int64
+                    )
+                    for cid, hs, vs, _ in comps
+                }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: SOF{marker - 0xC0} coding process unsupported "
-                "(lossless/hierarchical/arithmetic — codec-library "
-                "territory)"
+                "(hierarchical/arithmetic — codec-library territory)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -664,7 +770,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
             ahal = seg[3 + ns * 2]
             ah, al = ahal >> 4, ahal & 0xF
-            if not frame[3]:  # baseline scans are always full-band
+            if frame[3] == 2:  # lossless: Ss = predictor, Al = Pt
+                lossless_pt = al
+                pos = _decode_lossless_scan(
+                    payload, pos + seglen, scan, ss, al, huff,
+                    samples, frame[1], frame[0], frame[4],
+                    restart_interval,
+                )
+                saw_scan = True
+                continue
+            if frame[3] == 0:  # baseline scans are always full-band
                 ss, se, ah, al = 0, 63, 0, 0
             pos = _decode_scan(
                 payload, pos + seglen, scan, ss, se, ah, al, huff,
@@ -676,7 +791,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or not saw_scan:
         raise ValueError("jpeg: missing SOF/SOS")
 
-    h, w, comps, _prog = frame
+    h, w, comps, _mode, _prec = frame
+    if _mode == 2:  # lossless: raw components, no color transform
+        planes = []
+        for cid, _hs, _vs, _tq in comps:
+            p = np.array(samples[cid], dtype=np.int64) << lossless_pt
+            if _prec > 8:  # strip to the high byte (decode_png rule)
+                p >>= _prec - 8
+            elif _prec < 8:
+                p <<= 8 - _prec
+            planes.append(np.clip(p, 0, 255).astype(np.uint8))
+        if len(planes) == 1:
+            return planes[0]
+        if len(planes) == 3:
+            return np.stack(planes, axis=-1)
+        raise ValueError(
+            f"jpeg: {len(planes)}-component images unsupported"
+        )
     hmax, vmax, mcux, mcuy, dims = geom
     planes = {}
     for cid, hs, vs, tq_id in comps:
@@ -1000,23 +1131,129 @@ def _write_progressive(out, seg, h, w, comps_hv, quantized, gray):
     return bytes(out)
 
 
+# Lossless DC table: flat canonical codes over every legal SSSS
+# category 0..16 (SSSS=16 encodes 32768 with no extra bits)
+_HUFF_DC_LOSSLESS = _flat_table(list(range(17)))
+
+
+def _write_lossless(out, seg, arr, predictor, restart_interval):
+    """Emit a complete SOF3 (T.81 Annex H) stream: 8-bit precision,
+    1x1 sampling, components stored RAW (gray or RGB — lossless
+    carries no JFIF color model), one interleaved scan with the
+    selected predictor, Pt=0, optional restart intervals. Decodes
+    bit-exactly — that round-trip equality IS the test invariant."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"jpeg: bad lossless predictor {predictor}")
+    h, w = arr.shape[:2]
+    nc = 1 if arr.ndim == 2 else arr.shape[2]
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, Tq unused
+    out += seg(0xC3, sof)
+    bits, vals = _HUFF_DC_LOSSLESS
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    codes = _canonical_codes(bits, vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=pred, Se=0, AhAl=Pt=0
+    out += seg(0xDA, sos)
+    px = [
+        [[int(v)] for v in row] for row in arr.tolist()
+    ] if nc == 1 else [
+        [list(map(int, v)) for v in row] for row in arr.tolist()
+    ]
+    bw = _BitWriter()
+    mcus = 0
+    rst = 0
+    ry = rx = 0
+    for y in range(h):
+        row = px[y]
+        above = px[y - 1] if y else None
+        for x in range(w):
+            if restart_interval and mcus and mcus % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                bw = _BitWriter()
+                ry, rx = y, x
+            mcus += 1
+            for ci in range(nc):
+                if y == ry:
+                    pred = 128 if x == rx else row[x - 1][ci]
+                elif x == 0:
+                    pred = above[0][ci]
+                else:
+                    a = row[x - 1][ci]
+                    b = above[x][ci]
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = b
+                    elif predictor == 3:
+                        pred = above[x - 1][ci]
+                    elif predictor == 4:
+                        pred = a + b - above[x - 1][ci]
+                    elif predictor == 5:
+                        pred = a + ((b - above[x - 1][ci]) >> 1)
+                    elif predictor == 6:
+                        pred = b + ((a - above[x - 1][ci]) >> 1)
+                    else:
+                        pred = (a + b) >> 1
+                t, mag = _magnitude(row[x][ci] - pred)
+                code, ln = codes[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(mag, t)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    lossless: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """HxW or HxWx3 uint8 -> JFIF. Baseline (SOF0, Annex K Huffman
     tables) by default; ``progressive=True`` emits SOF2 with the
     four-phase spectral-selection + successive-approximation scan
     script (see _write_progressive) — same quantized coefficients, so
-    both forms decode bit-identically.
+    both forms decode bit-identically. ``lossless=True`` emits the
+    SOF3 lossless process (see _write_lossless; ``predictor`` selects
+    the Annex-H predictor 1-7, ``quality``/``subsample`` are ignored,
+    components are stored raw) — decode returns the input EXACTLY.
 
     ``subsample`` selects the chroma layout: False/'444' full
     resolution, True/'420' 2x2 box-averaged (the web default), '422'
     horizontal-only 2x1 averaging. ``restart_interval`` > 0 emits a DRI
-    segment and RSTn markers every that many MCUs (baseline only)."""
+    segment and RSTn markers every that many MCUs (baseline and
+    lossless)."""
+    if lossless:
+        if progressive:
+            raise ValueError("jpeg: lossless and progressive exclusive")
+        a8 = np.asarray(arr, dtype=np.uint8)
+        if a8.ndim == 3 and a8.shape[2] == 1:
+            a8 = a8[:, :, 0]
+        if a8.ndim == 3 and a8.shape[2] != 3:
+            raise ValueError("jpeg: encode expects HxW or HxWx3")
+        return _write_lossless(
+            bytearray(b"\xff\xd8"),
+            lambda m, body: bytes([0xFF, m])
+            + struct.pack(">H", len(body) + 2)
+            + body,
+            a8,
+            predictor,
+            restart_interval,
+        )
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2 or arr.shape[2] == 1
     if arr.ndim == 3 and arr.shape[2] == 1:

@@ -30,7 +30,7 @@ decoding:
   ``sample_frames`` REALLY demuxes uncompressed YUV4MPEG2 video
   (operators/y4mcodec.py) and PNG-encodes the sampled frames. JPEG
   covers baseline AND progressive (jpegcodec.py). Only COMPRESSED
-  video containers and the exotic JPEG SOFs (lossless/hierarchical)
+  video containers and the exotic JPEG SOFs (arithmetic/hierarchical)
   remain explicit NotImplementedError: mp4/mkv demux belongs to a real
   codec library, and the Spark-side contract (schemas, batching,
   partitioning) is identical once one is plugged in.
@@ -354,13 +354,14 @@ QUARANTINE_SCHEMA = StructType(
     ]
 )
 
-# Static quarantine-class payload fragments (hex). The lossless JPEG is
-# a real SOI + SOF3 frame header (T.81 lossless coding process — the
-# codec boundary jpegcodec.py:508 keeps loud); the corrupt PNG is a
-# valid signature + IHDR with no IDAT chunk (header-only payload); the
-# mp4 fragment is a complete 24-byte ftyp box; the mkv fragment is the
+# Static quarantine-class payload fragments (hex). The arithmetic-coded
+# JPEG is a real SOI + SOF9 frame header (T.81 arithmetic sequential —
+# the QM-coder boundary decode_jpeg keeps loud now that the SOF3
+# lossless process decodes for real); the corrupt PNG is a valid
+# signature + IHDR with no IDAT chunk (header-only payload); the mp4
+# fragment is a complete 24-byte ftyp box; the mkv fragment is the
 # EBML magic plus padding.
-_HEX_JPEG_LOSSLESS = "FFD8FFC3000B080010001001011100"
+_HEX_JPEG_ARITH = "FFD8FFC9000B080010001001011100"
 _HEX_PNG_NO_IDAT = (
     "89504E470D0A1A0A0000000D49484452"
     "0000001000000010080200000000000000"
@@ -372,7 +373,7 @@ _HEX_MKV_EBML = "1A45DFA30000000000000000"
 def with_quarantine_media(docs: DataFrame) -> DataFrame:
     """Attach a deterministic payload drawn from SIX triage classes
     (doc_id % 6): a VALID binary PNM image (0), a VALID PCM WAV (1), an
-    mp4 ftyp box (2), a matroska EBML stream (3), a LOSSLESS-process
+    mp4 ftyp box (2), a matroska EBML stream (3), an ARITHMETIC-coded
     JPEG (4), and a header-only PNG with no IDAT (5). Unlike
     with_media, every payload is fabricated from doc_id alone (no text
     body), so the expected (format, status) of each row is pure
@@ -423,7 +424,7 @@ def with_quarantine_media(docs: DataFrame) -> DataFrame:
         .when(c == 1, wav_payload)
         .when(c == 2, F.unhex(F.lit(_HEX_MP4_FTYP)))
         .when(c == 3, F.unhex(F.lit(_HEX_MKV_EBML)))
-        .when(c == 4, F.unhex(F.lit(_HEX_JPEG_LOSSLESS)))
+        .when(c == 4, F.unhex(F.lit(_HEX_JPEG_ARITH)))
         .otherwise(F.unhex(F.lit(_HEX_PNG_NO_IDAT)))
     )
     return docs.select("doc_id", payload.alias("payload"))
@@ -453,7 +454,8 @@ def sniff_format(payload: bytes) -> str:
 def triage_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, format, status): attempt the real decode path for every
     payload and classify the outcome — ``ok``, ``not_implemented`` (a
-    loud codec boundary: lossless/hierarchical JPEG, compressed video),
+    loud codec boundary: arithmetic/hierarchical JPEG, compressed
+    video),
     ``corrupt`` (malformed bytes inside a supported container), or
     ``unsupported_container`` (mp4/mkv/unknown magic — ffmpeg
     territory, multimodal.py sample_frames contract). One Arrow
@@ -519,8 +521,9 @@ def decode_image(payload: bytes) -> "object":
     1/2/4/8-bit depth plus 16-bit stripped to the high byte, both
     non-interlaced and Adam7), 24-bit BMP, binary PPM/PGM, and JPEG —
     baseline and progressive (grayscale/YCbCr, 4:4:4/4:2:2/4:2:0,
-    restart markers, successive approximation); raises
-    NotImplementedError for lossless/hierarchical JPEG and ValueError
+    restart markers, successive approximation); JPEG — the SOF3
+    LOSSLESS process too (raw components, exact reconstruction); raises
+    NotImplementedError for arithmetic/hierarchical JPEG and ValueError
     for other containers and for header-only payloads with no pixel
     data."""
     from .imagecodec import decode
@@ -713,7 +716,7 @@ def materialize_thumbnails(
     Python workers, no shuffle, no driver collection).
 
     Rows whose container the pure-numpy codecs can't decode
-    (lossless JPEGs, header-only payloads, audio/video) come back
+    (arithmetic JPEGs, header-only payloads, audio/video) come back
     with a NULL thumbnail and the decode error string — a corrupt or
     unsupported payload must not kill a 100 TB pass, it must land in a
     quarantine bucket the pipeline can route on.

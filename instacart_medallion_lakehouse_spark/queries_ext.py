@@ -253,16 +253,16 @@ def media_quarantine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus triage profile: per-(format, status) quarantine rates —
     the report a 100 TB multimodal ingest runs BEFORE committing decode
     budget, so unsupported containers (mp4/mkv — ffmpeg territory),
-    loud codec boundaries (lossless-process JPEG), and corrupt payloads
+    loud codec boundaries (arithmetic-coded JPEG), and corrupt payloads
     (header-only PNG) are sized per source rather than discovered as
     stage failures. The Spark side actually RUNS the codecs on six
     deterministic payload classes (operators/multimodal.triage_media
     over with_quarantine_media): a valid PNM decodes, a valid WAV
     header-parses, the mp4/mkv magic routes to unsupported_container,
-    SOF3 raises NotImplementedError -> not_implemented, and the
+    SOF9 raises NotImplementedError -> not_implemented (the SOF3 lossless process decodes for real now), and the
     IDAT-less PNG raises inside decode_png -> corrupt. The oracle
     states the expected class arithmetic — a decoder that silently
-    accepts lossless JPEG, crashes on corrupt bytes, or misroutes a
+    accepts arithmetic JPEG, crashes on corrupt bytes, or misroutes a
     container flips the counts. pct is an in-plan window over the
     6-row aggregate (A6 discipline: never collect-then-literal)."""
     docs = _t(spark, sf_dir, "documents")

@@ -1,9 +1,10 @@
-"""Baseline JPEG codec (operators/jpegcodec.py): spec-conformance by
-round-trip at bounded error (JPEG is lossy by construction — the bound
-is the quantization error budget, not bit-exactness), plus the decoder
-paths the encoder can exercise deliberately: 4:2:0 subsampling, restart
-markers, grayscale, odd dimensions, and the loud progressive rejection
-that keeps the multimodal quarantine contract honest."""
+"""JPEG codec (operators/jpegcodec.py): spec-conformance by round-trip
+at bounded error for the DCT processes (the bound is the quantization
+error budget), EXACT round-trip for the lossless process, progressive
+decoding bit-identical to baseline, plus the decoder paths the encoder
+exercises deliberately (4:2:0/4:2:2, restart markers, grayscale, odd
+dimensions) and the loud hierarchical/arithmetic rejections that keep
+the multimodal quarantine contract honest."""
 
 from __future__ import annotations
 
@@ -146,12 +147,13 @@ class TestProgressive:
 
 
 class TestRejections:
-    def test_lossless_sof_raises_not_implemented(self):
-        enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8), 90))
-        i = enc.find(b"\xff\xc0")
-        enc[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
-        with pytest.raises(NotImplementedError, match="SOF3"):
-            decode_jpeg(bytes(enc))
+    def test_arith_and_hierarchical_sofs_raise_not_implemented(self):
+        for sof, name in ((0xC9, "SOF9"), (0xC5, "SOF5"), (0xCE, "SOF14")):
+            enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8), 90))
+            i = enc.find(b"\xff\xc0")
+            enc[i + 1] = sof
+            with pytest.raises(NotImplementedError, match=name):
+                decode_jpeg(bytes(enc))
 
     def test_bad_soi_raises(self):
         with pytest.raises(ValueError, match="SOI"):
@@ -336,3 +338,70 @@ class TestSliceEntropyEquivalence:
             assert self._reference(payload, pos) == _slice_entropy(
                 payload, pos
             ), (trial, payload.hex(), pos)
+
+
+class TestLossless:
+    """SOF3 (T.81 Annex H): decode returns the input EXACTLY — the
+    round-trip identity is the whole contract."""
+
+    def test_exact_roundtrip_all_predictors(self):
+        rng = np.random.RandomState(2)
+        for shape in [(7, 5), (16, 24, 3), (1, 1), (2, 1, 3), (3, 9, 3)]:
+            img = rng.randint(0, 256, shape, dtype=np.uint8)
+            for pred in range(1, 8):
+                out = decode_jpeg(
+                    encode_jpeg(img, lossless=True, predictor=pred)
+                )
+                assert out.shape == img.shape
+                assert np.array_equal(out, img), (shape, pred)
+
+    def test_exact_roundtrip_with_restarts(self):
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+        for ri in (1, 2, 5, 50):
+            enc = encode_jpeg(
+                img, lossless=True, predictor=4, restart_interval=ri
+            )
+            if ri < 99:
+                assert b"\xff\xd0" in enc  # RST0 actually emitted
+            assert np.array_equal(decode_jpeg(enc), img), ri
+
+    def test_gradient_compresses_under_predictor(self):
+        # a smooth ramp has tiny diffs under predictor 1: the lossless
+        # stream must be far smaller than the raw bytes
+        img = _gradient(64, 64)
+        enc = encode_jpeg(img, lossless=True, predictor=1)
+        assert len(enc) < img.size  # beats raw despite Huffman headers
+        assert np.array_equal(decode_jpeg(enc), img)
+
+    def test_components_are_raw_not_ycbcr(self):
+        # a pure-red image must come back pure red (no color transform)
+        img = np.zeros((4, 4, 3), np.uint8)
+        img[:, :, 0] = 200
+        out = decode_jpeg(encode_jpeg(img, lossless=True))
+        assert np.array_equal(out, img)
+
+    def test_bad_predictor_rejected(self):
+        img = np.zeros((4, 4), np.uint8)
+        with pytest.raises(ValueError, match="predictor"):
+            encode_jpeg(img, lossless=True, predictor=0)
+        with pytest.raises(ValueError, match="predictor"):
+            encode_jpeg(img, lossless=True, predictor=8)
+        with pytest.raises(ValueError, match="exclusive"):
+            encode_jpeg(img, lossless=True, progressive=True)
+
+    def test_truncated_lossless_raises(self):
+        enc = encode_jpeg(
+            np.full((8, 8), 200, np.uint8), lossless=True
+        )
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[: len(enc) // 2])
+
+    def test_dispatches_through_imagecodec_decode(self):
+        from instacart_medallion_lakehouse_spark.operators.imagecodec import (
+            decode,
+        )
+
+        img = _gradient(10, 12)
+        enc = encode_jpeg(img, lossless=True, predictor=7)
+        assert np.array_equal(decode(enc), img)
