@@ -369,6 +369,107 @@ _HEX_PNG_NO_IDAT = (
 _HEX_MP4_FTYP = "00000018667479706D7034320000000069736F6D6D703432"
 _HEX_MKV_EBML = "1A45DFA30000000000000000"
 
+# mvhd version-0 fixed fragments (ISO/IEC 14496-12 8.2.2): the 108-byte
+# box split around the doc-id-derived timescale/duration/next-track
+# fields. Timescale is the classic 600 units/second.
+_HEX_MVHD_PRE = (
+    "0000006C"  # size 108
+    "6D766864"  # 'mvhd'
+    "00000000"  # version 0 + flags
+    "00000000"  # creation
+    "00000000"  # modification
+    "00000258"  # timescale = 600
+)
+_HEX_MVHD_POST = (
+    "00010000"  # rate 1.0
+    "0100"      # volume 1.0
+    "0000"      # reserved
+    + "0" * 16  # reserved[2] (8 bytes)
+    # unity matrix: 0x00010000, 0,0, 0, 0x00010000, 0, 0,0, 0x40000000
+    + "00010000" + "00000000" * 3
+    + "00010000" + "00000000" * 3
+    + "40000000"
+    + "0" * 48  # pre_defined[6] (24 bytes)
+)
+_HEX_TRAK = "000000087472616B"  # minimal 8-byte 'trak' box
+
+
+MP4_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", IntegerType()),
+    ]
+)
+
+
+def with_mp4_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic, structurally-valid ISO-BMFF payload:
+    ftyp (brand mp42) + moov holding a version-0 mvhd (timescale 600,
+    duration 600*(1 + doc_id%30) + 60*(doc_id%10) units — exactly
+    1000*(1+d%30) + 100*(d%10) ms, integer-exact) and 1 + doc_id%3
+    minimal trak boxes. Every field the probe reads is pure arithmetic
+    the SQL oracle can restate, while the Spark side must actually
+    WALK the boxes to agree."""
+    d = F.col("doc_id")
+    k = (F.lit(1) + d % 3).cast("int")
+    dur = (
+        F.lit(600) * (F.lit(1) + d % 30) + F.lit(60) * (d % 10)
+    ).cast("bigint")
+    moov_size = (F.lit(8 + 108) + F.lit(8) * k).cast("bigint")
+    payload = F.unhex(
+        F.concat(
+            F.lit(_HEX_MP4_FTYP),
+            _be_hex(moov_size, 4),
+            F.lit("6D6F6F76"),  # 'moov'
+            F.lit(_HEX_MVHD_PRE),
+            _be_hex(dur, 4),
+            F.lit(_HEX_MVHD_POST),
+            _be_hex((k + 1).cast("bigint"), 4),  # next_track_id
+            F.repeat(F.lit(_HEX_TRAK), k),
+        )
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def extract_mp4_meta(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Container-level video metadata WITHOUT any codec: one Arrow
+    mapInPandas pass of operators/mp4probe.parse_mp4 over the payload
+    bytes — brand, movie timescale, duration in ms, track count. The
+    triage step a 100 TB video corpus runs before deciding what is
+    worth shipping to an ffmpeg farm (frame DECODE stays
+    NotImplementedError — sample_frames' contract is unchanged).
+    Unparseable payloads contribute no rows (quarantine by omission,
+    like extract_video_frame_stats)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4probe import parse_mp4
+
+        cols = list(MP4_PROBE_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    m = parse_mp4(bytes(p) if p is not None else b"")
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "brand": m["brand"],
+                        "timescale": m["timescale"],
+                        "duration_ms": m["duration_ms"],
+                        "n_tracks": m["n_tracks"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, MP4_PROBE_SCHEMA
+    )
+
 
 def with_quarantine_media(docs: DataFrame) -> DataFrame:
     """Attach a deterministic payload drawn from SIX triage classes

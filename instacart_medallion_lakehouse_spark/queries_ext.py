@@ -283,6 +283,39 @@ def media_quarantine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("format", "status")
 
 
+@_register(
+    "video_container_probe",
+    """
+    SELECT doc_id,
+           'mp42' AS brand,
+           CAST(600 AS INT) AS timescale,
+           CAST(1000 * (1 + doc_id % 30) + 100 * (doc_id % 10) AS BIGINT)
+             AS duration_ms,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks
+    FROM documents
+    """,
+)
+def video_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (mp4) container METADATA probe — the triage a 100 TB
+    video corpus runs before shipping anything to a decode farm: brand,
+    movie timescale, duration, track count, all from a pure box walk
+    (operators/mp4probe.py, ISO/IEC 14496-12), no codec involved.
+    Frame decode stays sample_frames' loud NotImplementedError; this is
+    the half a pure-Python engine CAN do honestly, and it is the half
+    that sizes the ffmpeg bill.
+
+    The Spark side fabricates structurally-valid ftyp+moov(mvhd,trak*)
+    payloads from doc_id arithmetic (with_mp4_media) and must actually
+    WALK the boxes inside one Arrow mapInPandas pass; the oracle
+    restates the fabricated fields in closed form — a mis-parsed
+    box size, a wrong mvhd field offset, or a broken 64-bit/size-0
+    branch flips rows."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.multimodal import extract_mp4_meta, with_mp4_media
+
+    return extract_mp4_meta(with_mp4_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming, drained with Trigger.AvailableNow to a memory sink.
 # The streaming plans are the real watermarked operators; draining yields a

@@ -878,3 +878,112 @@ class TestUnfilterEquivalence:
             assert np.array_equal(got, want.astype(np.uint8)), (
                 trial, h, w, bpp,
             )
+
+
+class TestMp4Probe:
+    """ISO-BMFF container metadata probe (operators/mp4probe.py): the
+    box-walk branches the closed-form oracle query can't exercise."""
+
+    @staticmethod
+    def _fab(d):
+        import struct
+
+        k = 1 + d % 3
+        dur = 600 * (1 + d % 30) + 60 * (d % 10)
+        ftyp = bytes.fromhex(
+            "00000018667479706D7034320000000069736F6D6D703432"
+        )
+        mvhd = (
+            struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+            + b"\x00" * 8 + struct.pack(">II", 600, dur)
+            + struct.pack(">I", 0x00010000) + b"\x01\x00" + b"\x00" * 10
+            + struct.pack(
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + b"\x00" * 24 + struct.pack(">I", k + 1)
+        )
+        trak = (struct.pack(">I", 8) + b"trak") * k
+        moov = struct.pack(">I", 8 + 108 + 8 * k) + b"moov" + mvhd + trak
+        return ftyp + moov
+
+    def test_python_fabrication_matches_probe(self):
+        from instacart_medallion_lakehouse_spark.operators.mp4probe import (
+            parse_mp4,
+        )
+
+        for d in range(40):
+            m = parse_mp4(self._fab(d))
+            assert m["brand"] == "mp42"
+            assert m["timescale"] == 600
+            assert m["duration_ms"] == 1000 * (1 + d % 30) + 100 * (d % 10)
+            assert m["n_tracks"] == 1 + d % 3
+
+    def test_v1_mvhd_largesize_and_size0(self):
+        import struct
+
+        from instacart_medallion_lakehouse_spark.operators.mp4probe import (
+            parse_mp4,
+        )
+
+        mvhd1 = (
+            struct.pack(">I", 120) + b"mvhd" + b"\x01\x00\x00\x00"
+            + b"\x00" * 16 + struct.pack(">IQ", 1000, 2500)
+            + b"\x00" * (120 - 8 - 4 - 16 - 12)
+        )
+        trak = struct.pack(">I", 8) + b"trak"
+        # largesize ftyp (size==1 + 64-bit size)
+        ftyp = (
+            struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 24)
+            + b"mp42" + b"\x00" * 4
+        )
+        # size==0 moov extends to end of file
+        moov = struct.pack(">I", 0) + b"moov" + mvhd1 + trak
+        m = parse_mp4(ftyp + moov)
+        assert m == {
+            "brand": "mp42",
+            "timescale": 1000,
+            "duration": 2500,
+            "duration_ms": 2500,
+            "n_tracks": 1,
+        }
+
+    def test_malformed_and_header_only_raise(self):
+        import pytest
+
+        from instacart_medallion_lakehouse_spark.operators.mp4probe import (
+            parse_mp4,
+        )
+
+        with pytest.raises(ValueError, match="box size"):
+            parse_mp4(b"\x00\x00\x00\x04xxxx")
+        with pytest.raises(ValueError, match="mvhd"):
+            parse_mp4(
+                bytes.fromhex(
+                    "00000018667479706D7034320000000069736F6D6D703432"
+                )
+            )
+        with pytest.raises(ValueError, match="ftyp"):
+            parse_mp4(b"")
+
+    def test_spark_fabrication_probes_and_quarantines(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        media = multimodal.with_mp4_media(docs)
+        out = {
+            r.doc_id: r
+            for r in multimodal.extract_mp4_meta(media).collect()
+        }
+        assert len(out) == 30
+        for d, r in out.items():
+            assert bytes(self._fab(d)) is not None  # fixture agrees:
+            assert r.duration_ms == 1000 * (1 + d % 30) + 100 * (d % 10)
+            assert r.n_tracks == 1 + d % 3
+        # header-only ftyp payloads quarantine by omission
+        broken = docs.select(
+            "doc_id",
+            F.unhex(
+                F.lit("00000018667479706D7034320000000069736F6D6D703432")
+            ).alias("payload"),
+        )
+        assert multimodal.extract_mp4_meta(broken).count() == 0

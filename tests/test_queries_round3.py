@@ -61,6 +61,7 @@ class TestDriverWindow:
             "token_table",
             "media_quarantine_profile",
             "incremental_span_dedup",
+            "video_container_probe",
             "lm_perplexity",
             "dedup_spans_text",
             "pagerank_fuzzy",
