@@ -434,6 +434,79 @@ def with_mp4_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", payload.alias("payload"))
 
 
+MKV_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("doctype", StringType()),
+        StructField("timestamp_scale_ns", LongType()),
+        StructField("n_tracks", IntegerType()),
+    ]
+)
+
+
+def with_mkv_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic, structurally-valid Matroska payload:
+    EBML header (DocType 'matroska') + Segment holding Info
+    (TimestampScale = 1_000_000 * (1 + doc_id%3) ns) and Tracks with
+    1 + doc_id%4 empty TrackEntry elements — every probed field is
+    doc_id arithmetic the SQL oracle can restate, while the Spark side
+    must actually WALK the EBML var-int elements to agree."""
+    d = F.col("doc_id")
+    k = (F.lit(1) + d % 4).cast("int")
+    scale = (F.lit(1_000_000) * (F.lit(1) + d % 3)).cast("bigint")
+    # EBML \x1A45DFA3, size 0x8B, DocType \x4282 size 0x88 "matroska"
+    ebml_hdr = F.lit("1A45DFA38B4282886D6174726F736B61")
+    # Info \x1549A966 size 0x88: TimestampScale \x2AD7B1 size 0x84 + u32
+    info = F.concat(F.lit("1549A966882AD7B184"), _be_hex(scale, 4))
+    # Tracks \x1654AE6B size 0x80+2k: k x (TrackEntry \xAE size 0x80)
+    tracks = F.concat(
+        F.lit("1654AE6B"),
+        _be_hex((F.lit(0x80) + k * 2).cast("bigint"), 1),
+        F.repeat(F.lit("AE80"), k),
+    )
+    # Segment \x18538067, body = Info(13) + Tracks(5 + 2k) = 18 + 2k
+    seg = F.concat(
+        F.lit("18538067"),
+        _be_hex((F.lit(0x80 + 18) + k * 2).cast("bigint"), 1),
+        info,
+        tracks,
+    )
+    payload = F.unhex(F.concat(ebml_hdr, seg))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def extract_mkv_meta(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Matroska/WebM container metadata without any codec: one Arrow
+    mapInPandas pass of operators/mkvprobe.parse_mkv over the payload
+    bytes — doctype, timestamp scale, track count. The EBML sibling of
+    extract_mp4_meta; unparseable payloads contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mkvprobe import parse_mkv
+
+        cols = list(MKV_PROBE_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    m = parse_mkv(bytes(p) if p is not None else b"")
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "doctype": m["doctype"],
+                        "timestamp_scale_ns": m["timestamp_scale_ns"],
+                        "n_tracks": m["n_tracks"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, MKV_PROBE_SCHEMA
+    )
+
+
 def extract_mp4_meta(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Container-level video metadata WITHOUT any codec: one Arrow
     mapInPandas pass of operators/mp4probe.parse_mp4 over the payload

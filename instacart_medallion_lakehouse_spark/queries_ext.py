@@ -316,6 +316,35 @@ def video_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_mp4_meta(with_mp4_media(docs))
 
 
+@_register(
+    "mkv_container_probe",
+    """
+    SELECT doc_id,
+           'matroska' AS doctype,
+           CAST(1000000 * (1 + doc_id % 3) AS BIGINT)
+             AS timestamp_scale_ns,
+           CAST(1 + doc_id % 4 AS INT) AS n_tracks
+    FROM documents
+    """,
+)
+def mkv_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM container METADATA probe — the EBML sibling of
+    video_container_probe: doctype, segment timestamp scale, track
+    count from a pure var-int element walk (operators/mkvprobe.py,
+    RFC 8794), no codec involved. With both ISO-BMFF and EBML probes
+    real, the ONLY remaining video boundary is frame decode itself.
+
+    The Spark side fabricates structurally-valid EBML+Segment(Info,
+    Tracks) payloads from doc_id arithmetic (with_mkv_media) and walks
+    them inside one Arrow mapInPandas pass; the oracle restates the
+    fabricated fields in closed form — a broken var-int reader, a
+    wrong element id, or a mis-scoped parent range flips rows."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.multimodal import extract_mkv_meta, with_mkv_media
+
+    return extract_mkv_meta(with_mkv_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming, drained with Trigger.AvailableNow to a memory sink.
 # The streaming plans are the real watermarked operators; draining yields a

@@ -987,3 +987,90 @@ class TestMp4Probe:
             ).alias("payload"),
         )
         assert multimodal.extract_mp4_meta(broken).count() == 0
+
+
+class TestMkvProbe:
+    """EBML (Matroska/WebM) metadata probe (operators/mkvprobe.py):
+    the var-int/element branches the closed-form oracle can't hit."""
+
+    @staticmethod
+    def _elem(eid_hex, body):
+        assert len(body) < 0x7F
+        return bytes.fromhex(eid_hex) + bytes([0x80 | len(body)]) + body
+
+    def test_unknown_size_segment_and_webm_default_scale(self):
+        from instacart_medallion_lakehouse_spark.operators.mkvprobe import (
+            parse_mkv,
+        )
+
+        ebml = self._elem("1A45DFA3", self._elem("4282", b"webm"))
+        seg_body = self._elem("1549A966", b"") + self._elem(
+            "1654AE6B", self._elem("AE", b"") + self._elem("AE", b"")
+        )
+        # unknown-size (all-ones vint) segment extends to end of file
+        seg = bytes.fromhex("18538067") + b"\xff" + seg_body
+        m = parse_mkv(ebml + seg)
+        assert m == {
+            "doctype": "webm",
+            "timestamp_scale_ns": 1_000_000,
+            "n_tracks": 2,
+        }
+
+    def test_multibyte_size_vint(self):
+        from instacart_medallion_lakehouse_spark.operators.mkvprobe import (
+            parse_mkv,
+        )
+
+        # 2-byte size vint (0x40xx) on the segment
+        ebml = self._elem("1A45DFA3", self._elem("4282", b"matroska"))
+        seg_body = self._elem(
+            "1549A966",
+            self._elem("2AD7B1", (2_000_000).to_bytes(4, "big")),
+        ) + self._elem("1654AE6B", self._elem("AE", b""))
+        seg = (
+            bytes.fromhex("18538067")
+            + bytes([0x40, len(seg_body)])
+            + seg_body
+        )
+        m = parse_mkv(ebml + seg)
+        assert m["timestamp_scale_ns"] == 2_000_000
+        assert m["n_tracks"] == 1
+
+    def test_malformed_raises(self):
+        import pytest
+
+        from instacart_medallion_lakehouse_spark.operators.mkvprobe import (
+            parse_mkv,
+        )
+
+        # the quarantine fixture fragment: EBML magic + zero padding
+        with pytest.raises(ValueError):
+            parse_mkv(bytes.fromhex("1A45DFA30000000000000000"))
+        with pytest.raises(ValueError):
+            parse_mkv(b"")
+        # element overrunning its parent
+        ebml = self._elem("1A45DFA3", self._elem("4282", b"matroska"))
+        bad = ebml + bytes.fromhex("18538067") + bytes([0x85]) + b"\xae\x90"
+        with pytest.raises(ValueError):
+            parse_mkv(bad)
+
+    def test_spark_fabrication_probes_and_quarantines(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(24)
+        out = {
+            r.doc_id: r
+            for r in multimodal.extract_mkv_meta(
+                multimodal.with_mkv_media(docs)
+            ).collect()
+        }
+        assert len(out) == 24
+        for d, r in out.items():
+            assert r.doctype == "matroska"
+            assert r.timestamp_scale_ns == 1_000_000 * (1 + d % 3)
+            assert r.n_tracks == 1 + d % 4
+        broken = docs.select(
+            "doc_id",
+            F.unhex(F.lit("1A45DFA30000000000000000")).alias("payload"),
+        )
+        assert multimodal.extract_mkv_meta(broken).count() == 0

@@ -62,6 +62,7 @@ class TestDriverWindow:
             "media_quarantine_profile",
             "incremental_span_dedup",
             "video_container_probe",
+            "mkv_container_probe",
             "lm_perplexity",
             "dedup_spans_text",
             "pagerank_fuzzy",
