@@ -800,6 +800,105 @@ def extract_video_frame_stats(
     )
 
 
+PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("dc_mean", LongType()),
+        StructField("mean_square", LongType()),
+    ]
+)
+
+
+def with_pcm_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic 16-bit PCM WAV whose SAMPLE VALUES are
+    doc_id arithmetic: mono, 8 kHz, 2*(1 + doc_id%40) samples
+    alternating v1 = 100*(1 + doc_id%50) and v2 = -50*(1 + doc_id%30)
+    (little-endian two's complement, built JVM-side). Both values are
+    even, so the DC mean and the mean square are INTEGER-exact — the
+    oracle restates them in closed form while the Spark side must
+    actually decode the int16 stream."""
+    d = F.col("doc_id")
+    m = (F.lit(1) + d % 40).cast("int")
+    v1 = (F.lit(100) * (F.lit(1) + d % 50)).cast("bigint")
+    v2c = (F.lit(65536) - F.lit(50) * (F.lit(1) + d % 30)).cast("bigint")
+    datalen = (m * 4).cast("bigint")  # 2 samples x 2 bytes per pair
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # RIFF
+            _le_hex(F.lit(36) + datalen, 4),
+            F.lit("57415645666D7420"),  # WAVE, "fmt "
+            F.lit("100000000100"),  # fmt size 16, PCM
+            _le_hex(F.lit(1), 2),  # mono
+            _le_hex(F.lit(8000), 4),
+            _le_hex(F.lit(16000), 4),  # byte rate
+            _le_hex(F.lit(2), 2),  # block align
+            F.lit("1000"),  # 16 bits/sample
+            F.lit("64617461"),  # data
+            _le_hex(datalen, 4),
+            F.repeat(F.concat(_le_hex(v1, 2), _le_hex(v2c, 2)), m),
+        )
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def extract_pcm_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio sample decode — the audio sibling of
+    extract_video_frame_stats' pixel path: walk the RIFF chunks to the
+    ``data`` payload, reinterpret it as little-endian int16 PCM with
+    numpy, and aggregate per clip (sample count, absolute peak, exact
+    integer DC mean and mean square — loudness/clipping triage without
+    any transcendental in the compared surface). One Arrow mapInPandas
+    pass; non-WAV / malformed / non-16-bit payloads contribute no rows
+    (quarantine by omission)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(PCM_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    continue
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
+                    if cid == b"fmt ":
+                        fmt = payload[pos + 8 : pos + 8 + clen]
+                    elif cid == b"data":
+                        data = payload[pos + 8 : pos + 8 + clen]
+                        break
+                    pos += 8 + clen + (clen & 1)
+                if fmt is None or len(fmt) < 16 or data is None:
+                    continue
+                (bits,) = struct.unpack_from("<H", fmt, 14)
+                if bits != 16 or len(data) < 2:
+                    continue
+                s = np.frombuffer(
+                    data, dtype="<i2", count=len(data) // 2
+                ).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": len(s),
+                        "peak": int(np.abs(s).max()),
+                        # exact integer stats (fabrication guarantees
+                        # divisibility; foreign audio would use the
+                        # floor, documented)
+                        "dc_mean": int(s.sum()) // len(s),
+                        "mean_square": int((s * s).sum()) // len(s),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, PCM_STATS_SCHEMA
+    )
+
+
 AUDIO_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

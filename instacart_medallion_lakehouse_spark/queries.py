@@ -178,15 +178,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # backfill (same precedent as round 8's new entries) so they earn
     # driver rows immediately instead of standing as lifetime-coverage
     # debt. They consume the slots quality_resample,
-    # q6_forecast_revenue and q14_promo_revenue (r6 cohort, can wait
-    # for round 10) would have taken.
+    # q6_forecast_revenue, q14_promo_revenue and
+    # q13_customer_distribution (r6 cohort, can wait for round 10)
+    # would have taken.
     "incremental_span_dedup",
     "video_container_probe",
     "mkv_container_probe",
+    "audio_pcm_stats",
     # --- round 9, part 3: backfill with the r6 cohort (newest row
     # round 6), alphabetical, to exactly 50 slots. lm_perplexity and
     # pagerank_fuzzy are r6-cohort members already pinned above as
-    # rewrites; the 21 below are the next-stalest. The r6 remainder
+    # rewrites; the 20 below are the next-stalest. The r6 remainder
     # (quality_resample .. winnowing_fingerprints, 16) plus the r7
     # cohort is round 10's backfill.
     "ann_pq_topk",
@@ -209,13 +211,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "lsh_bucket_profile",
     "minhash_lsh_dedup",
     "mixture_temperature_weights",
-    "q13_customer_distribution",
     # The window is exactly 50 pins; NO no-oracle entries
     # (region_performance_approx / price_percentiles_approx /
     # stream_running_totals) — they would burn a slot on an
     # `err: no_oracle` row (VERDICT r7 item #2). ROTATION PLAN for
     # round 10, in priority order: (1) anything round 10 rewrites,
-    # (2) the r6 remainder (q6_forecast_revenue, q14_promo_revenue,
+    # (2) the r6 remainder (q6_forecast_revenue,
+    # q13_customer_distribution, q14_promo_revenue,
     # quality_resample,
     # revenue_gini,
     # revenue_trend_by_nation, scd2_user_states,

@@ -224,6 +224,42 @@ def audio_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "audio_pcm_stats",
+    """
+    SELECT doc_id,
+           CAST(2 * (1 + doc_id % 40) AS BIGINT) AS n_samples,
+           CAST(greatest(100 * (1 + doc_id % 50),
+                         50 * (1 + doc_id % 30)) AS INT) AS peak,
+           CAST(50 * (1 + doc_id % 50) - 25 * (1 + doc_id % 30) AS BIGINT)
+             AS dc_mean,
+           CAST(5000 * (1 + doc_id % 50) * (1 + doc_id % 50)
+                + 1250 * (1 + doc_id % 30) * (1 + doc_id % 30) AS BIGINT)
+             AS mean_square
+    FROM documents
+    """,
+)
+def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio SAMPLE decode — completes the modality symmetry
+    (images decode to pixels, video to frames, audio now to int16 PCM
+    samples): per clip, sample count, absolute peak, exact integer DC
+    mean and mean square — the loudness/clipping/silence triage a
+    multimodal corpus runs per source, with no transcendental (the
+    mean SQUARE stands in for RMS) in the compared surface.
+
+    The Spark side fabricates 16-bit mono WAVs whose alternating
+    sample values are doc_id arithmetic (with_pcm_media, little-endian
+    two's complement built JVM-side) and must actually walk the RIFF
+    chunks and reinterpret the data bytes as int16 (extract_pcm_stats,
+    one Arrow mapInPandas pass); the oracle restates every statistic
+    in closed form — a sign error, an endianness flip, or an
+    off-by-one in the chunk walk flips rows."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.multimodal import extract_pcm_stats, with_pcm_media
+
+    return extract_pcm_stats(with_pcm_media(docs))
+
+
+@_register(
     "media_quarantine_profile",
     """
     WITH cls AS (

@@ -1074,3 +1074,66 @@ class TestMkvProbe:
             F.unhex(F.lit("1A45DFA30000000000000000")).alias("payload"),
         )
         assert multimodal.extract_mkv_meta(broken).count() == 0
+
+
+class TestPcmStats:
+    """Real int16 PCM decode (extract_pcm_stats): branches the
+    closed-form oracle can't exercise."""
+
+    def test_hand_built_wav_decodes_exactly(self, spark):
+        import struct
+
+        from pyspark.sql import functions as F
+
+        samples = [1000, -2000, 300, -300, 0, 32767, -32768, 5]
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                    16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        df = spark.createDataFrame([(1,)], "doc_id long").select(
+            "doc_id", F.lit(bytearray(wav)).alias("payload")
+        )
+        r = multimodal.extract_pcm_stats(df).collect()[0]
+        import numpy as np
+
+        s = np.array(samples, dtype=np.int64)
+        assert r.n_samples == len(s)
+        assert r.peak == 32768
+        assert r.dc_mean == int(s.sum()) // len(s)
+        assert r.mean_square == int((s * s).sum()) // len(s)
+
+    def test_non_16bit_and_malformed_quarantine(self, spark):
+        import struct
+
+        from pyspark.sql import functions as F
+
+        # 8-bit fmt -> skipped; garbage -> skipped
+        wav8 = (
+            b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                    8000, 1, 8)
+            + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+        )
+        rows = [(1, bytearray(wav8)), (2, bytearray(b"garbage"))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        assert multimodal.extract_pcm_stats(df).count() == 0
+
+    def test_fabrication_matches_arithmetic(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25)
+        out = {
+            r.doc_id: r
+            for r in multimodal.extract_pcm_stats(
+                multimodal.with_pcm_media(docs)
+            ).collect()
+        }
+        assert len(out) == 25
+        for d, r in out.items():
+            v1 = 100 * (1 + d % 50)
+            v2 = -50 * (1 + d % 30)
+            assert r.n_samples == 2 * (1 + d % 40)
+            assert r.peak == max(v1, -v2)
+            assert r.dc_mean == (v1 + v2) // 2
+            assert r.mean_square == (v1 * v1 + v2 * v2) // 2

@@ -63,6 +63,7 @@ class TestDriverWindow:
             "incremental_span_dedup",
             "video_container_probe",
             "mkv_container_probe",
+            "audio_pcm_stats",
             "lm_perplexity",
             "dedup_spans_text",
             "pagerank_fuzzy",
