@@ -543,8 +543,12 @@ def decode(payload: bytes) -> np.ndarray:
 
         arr = decode_jpeg(payload)
         return arr[:, :, None] if arr.ndim == 2 else arr
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(
-        "unsupported image container (supported: png/bmp/pnm/baseline jpeg)"
+        "unsupported image container (supported: png/bmp/pnm/gif/jpeg)"
     )
 
 

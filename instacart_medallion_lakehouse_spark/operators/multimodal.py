@@ -614,8 +614,12 @@ def sniff_format(payload: bytes) -> str:
         return "pnm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     if payload[4:8] == b"ftyp":
@@ -659,7 +663,15 @@ def triage_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         status = "ok"
                     except Exception:  # noqa: BLE001 — quarantine
                         status = "corrupt"
-                else:  # png / jpeg / pnm / bmp: run the real decoder
+                elif fmt == "avi":  # container-level triage, like y4m
+                    from .avicodec import parse_avi
+
+                    try:
+                        parse_avi(payload)
+                        status = "ok"
+                    except Exception:  # noqa: BLE001 — quarantine
+                        status = "corrupt"
+                else:  # png / jpeg / pnm / bmp / gif: the real decoder
                     try:
                         decode(payload)
                         status = "ok"
@@ -693,7 +705,9 @@ def decode_image(payload: bytes) -> "object":
     """Decode an image payload to HxWxC uint8 pixels (numpy). Supports
     PNG (colour types 0/2/3/4/6 — palette through PLTE/tRNS — at
     1/2/4/8-bit depth plus 16-bit stripped to the high byte, both
-    non-interlaced and Adam7), 24-bit BMP, binary PPM/PGM, and JPEG —
+    non-interlaced and Adam7), 24-bit BMP, binary PPM/PGM, GIF87a/89a
+    (LZW, interlace, local palettes, transparency — first composed
+    frame; animations via gifcodec.decode_gif_frames), and JPEG —
     baseline and progressive (grayscale/YCbCr, 4:4:4/4:2:2/4:2:0,
     restart markers, successive approximation); JPEG — the SOF3
     LOSSLESS process too (raw components, exact reconstruction); raises
@@ -717,29 +731,47 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
     """Sample every-nth frame from a video payload, PNG-encoded.
 
-    REAL for YUV4MPEG2 (.y4m) — the uncompressed interchange container
-    is pure arithmetic to demux (operators/y4mcodec.py), so frames
-    0, n, 2n, ... decode to RGB and re-encode as PNG without any codec
-    library. Compressed containers (mp4/mkv/webm) keep the explicit
-    NotImplementedError: entropy-coded video demux+decode is ffmpeg's
-    job, and the quarantine path routes those rows. The planning half —
-    WHICH frames to pull — is plan_frame_samples."""
-    p = bytes(payload)
-    if not p.startswith(b"YUV4MPEG2"):
-        raise NotImplementedError(
-            "frame sampling requires ffmpeg bindings for compressed "
-            "containers (y4m is demuxed natively)"
-        )
-    from .imagecodec import encode_png
-    from .y4mcodec import iter_y4m_frames
-
+    REAL for three containers: YUV4MPEG2 (.y4m — pure-arithmetic demux,
+    operators/y4mcodec.py), AVI/Motion-JPEG (RIFF chunk walk +
+    per-frame JPEG decode, operators/avicodec.py over jpegcodec.py),
+    and animated GIF (LZW + composition, operators/gifcodec.py).
+    Inter-frame-predicted codecs (H.26x/VP9/AV1 inside mp4/mkv/webm)
+    keep the explicit NotImplementedError: entropy-coded motion-
+    compensated decode is ffmpeg's job, and the quarantine path routes
+    those rows. The planning half — WHICH frames to pull — is
+    plan_frame_samples."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    # step-aware demux: non-sampled frames are seeked past, never
-    # YCbCr-decoded (y4mcodec.iter_y4m_frames step contract)
-    return [
-        encode_png(frame) for frame in iter_y4m_frames(p, step=every_n)
-    ]
+    p = bytes(payload)
+    from .imagecodec import encode_png
+
+    if p.startswith(b"YUV4MPEG2"):
+        from .y4mcodec import iter_y4m_frames
+
+        # step-aware demux: non-sampled frames are seeked past, never
+        # YCbCr-decoded (y4mcodec.iter_y4m_frames step contract)
+        return [
+            encode_png(frame) for frame in iter_y4m_frames(p, step=every_n)
+        ]
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        from .avicodec import iter_avi_frames
+
+        # same seek discipline: skipped frames are never JPEG-decoded
+        return [
+            encode_png(frame) for frame in iter_avi_frames(p, step=every_n)
+        ]
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif_frames
+
+        # GIF frames compose incrementally, so every frame must be
+        # LZW-decoded to build the canvas; sampling selects afterwards
+        frames = decode_gif_frames(p)
+        return [encode_png(f) for f in frames[::every_n]]
+    raise NotImplementedError(
+        "frame sampling requires ffmpeg bindings for inter-frame-"
+        "predicted containers (y4m, AVI/MJPEG and GIF are decoded "
+        "natively)"
+    )
 
 
 VIDEO_FRAME_STATS_SCHEMA = StructType(
@@ -896,6 +928,266 @@ def extract_pcm_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return media.select(id_col, "payload").mapInPandas(
         run, PCM_STATS_SCHEMA
+    )
+
+
+GIF_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("ywsum_r", LongType()),
+    ]
+)
+
+
+def with_gif_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic ANIMATED GIF payload, produced by the
+    engine's own real GIF89a encoder (operators/gifcodec.encode_gif —
+    genuine LZW, variable-width codes): per doc, a
+    (2 + d%24) x (2 + d%17) logical screen with 1 + d%5 full-canvas
+    frames; frame k's rows carry palette index (y + k) % 4; frames
+    where (d + k) % 2 == 0 are INTERLACED (4-pass row reorder inside
+    the LZW stream); frames where k % 3 == 2 carry a LOCAL color table
+    (q[j] formulas) instead of the global one (p[j] formulas). Every
+    decoded statistic is therefore closed-form doc_id arithmetic the
+    SQL oracle restates — but the Spark side has to run the actual
+    LZW + de-interlace + palette resolution to agree.
+
+    Fabrication is a mapInPandas stage (unlike the hex-built WAV/mp4
+    fixtures) because real LZW output is not expressible as a SQL hex
+    template — which is exactly the point: this exercises a true
+    encode -> decode round trip across executors."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gifcodec import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 2 + d % 24
+                h = 2 + d % 17
+                n = 1 + d % 5
+                gp = np.array(
+                    [
+                        [
+                            (7 * d + 53 * j) % 256,
+                            (11 * d + 29 * j) % 256,
+                            (13 * d + 17 * j) % 256,
+                        ]
+                        for j in range(4)
+                    ],
+                    np.uint8,
+                )
+                lp = np.array(
+                    [
+                        [
+                            (5 * d + 19 * j) % 256,
+                            (3 * d + 37 * j) % 256,
+                            (17 * d + 7 * j) % 256,
+                        ]
+                        for j in range(4)
+                    ],
+                    np.uint8,
+                )
+                frames = []
+                opts = []
+                for k in range(n):
+                    col = ((np.arange(h) + k) % 4).astype(np.uint8)
+                    frames.append(np.repeat(col[:, None], w, axis=1))
+                    o: dict = {
+                        "interlace": (d + k) % 2 == 0,
+                        "delay_cs": 4,
+                        "disposal": 1,
+                    }
+                    if k % 3 == 2:
+                        o["palette"] = lp
+                    opts.append(o)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": encode_gif(frames, gp, frame_opts=opts),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def extract_gif_frame_stats(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame statistics from ANIMATED GIF payload bytes: a real
+    LZW decode + de-interlace + palette resolution + animation
+    composition (operators/gifcodec.decode_gif_frames), one Arrow
+    mapInPandas pass. Emits exact integer channel sums plus a
+    row-position-weighted sum (ywsum_r = sum over pixels of y * R) —
+    the weighted term breaks permutation invariance, so a broken
+    4-pass de-interlace flips rows even when the pixel multiset is
+    right. Non-GIF or malformed payloads contribute no rows
+    (quarantine by omission)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gifcodec import decode_gif_frames
+
+        cols = list(GIF_FRAME_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                if payload[:6] not in (b"GIF87a", b"GIF89a"):
+                    continue
+                try:
+                    frames = decode_gif_frames(payload)
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                for k, fr in enumerate(frames):
+                    c = fr.astype(np.int64)
+                    ys = np.arange(fr.shape[0], dtype=np.int64)[:, None]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": k,
+                            "width": fr.shape[1],
+                            "height": fr.shape[0],
+                            "sum_r": int(c[:, :, 0].sum()),
+                            "sum_g": int(c[:, :, 1].sum()),
+                            "sum_b": int(c[:, :, 2].sum()),
+                            "ywsum_r": int((ys * c[:, :, 0]).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, GIF_FRAME_STATS_SCHEMA
+    )
+
+
+AVI_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("ywsum_r", LongType()),
+    ]
+)
+
+
+def with_avi_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic AVI/Motion-JPEG payload built by the
+    engine's own codecs end to end: per doc, 1 + d%4 frames of size
+    (3 + d%13) x (2 + d%11), each frame a REAL JPEG stream carrying
+    the SOF3 LOSSLESS process (jpegcodec.encode_jpeg(lossless=True) —
+    Huffman-coded predictor residuals, exact reconstruction), muxed
+    into a spec-shaped RIFF container (avicodec.encode_avi_mjpeg:
+    hdrl/avih/strl, movi 00dc chunks with word padding, idx1). Frame
+    k's pixel rows carry r = (3d + 11k + 2y) % 256,
+    g = (5d + 7k + 3y) % 256, b = (d + 13k + 5y) % 256 (constant
+    along x), so every decoded statistic is closed-form doc_id
+    arithmetic — but the Spark side must run the genuine RIFF walk +
+    lossless-JPEG entropy decode to agree. Lossless frames make the
+    oracle EXACT; the baseline-JPEG demux path shares all the
+    container code and is pytest-pinned instead (quant rounding has
+    no closed SQL form)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avicodec import encode_avi_mjpeg
+        from .jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 3 + d % 13
+                h = 2 + d % 11
+                n = 1 + d % 4
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                frames = []
+                for k in range(n):
+                    r = (3 * d + 11 * k + 2 * ys) % 256
+                    g = (5 * d + 7 * k + 3 * ys) % 256
+                    b = (d + 13 * k + 5 * ys) % 256
+                    arr = np.broadcast_to(
+                        np.stack(
+                            [r, g, b], axis=2
+                        ),  # (h, 1, 3) -> (h, w, 3)
+                        (h, w, 3),
+                    ).astype(np.uint8)
+                    frames.append(encode_jpeg(arr, lossless=True))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": encode_avi_mjpeg(frames, w, h),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def extract_avi_frame_stats(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame statistics from AVI/MJPEG payload bytes: a real RIFF
+    chunk walk + per-frame JPEG decode (operators/avicodec.py over
+    jpegcodec.py), one Arrow mapInPandas pass. Emits exact integer
+    channel sums plus the row-position-weighted ywsum_r (the same
+    permutation-breaking discipline as extract_gif_frame_stats — a
+    frame-order or row-order bug cannot cancel). Non-AVI or malformed
+    payloads contribute no rows (quarantine by omission)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avicodec import iter_avi_frames
+
+        cols = list(AVI_FRAME_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+                    continue
+                try:
+                    frames = list(iter_avi_frames(payload))
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                for k, fr in enumerate(frames):
+                    if fr.shape[2] == 1:
+                        fr = np.repeat(fr, 3, axis=2)
+                    c = fr.astype(np.int64)
+                    ys = np.arange(fr.shape[0], dtype=np.int64)[:, None]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": k,
+                            "width": fr.shape[1],
+                            "height": fr.shape[0],
+                            "sum_r": int(c[:, :, 0].sum()),
+                            "sum_g": int(c[:, :, 1].sum()),
+                            "sum_b": int(c[:, :, 2].sum()),
+                            "ywsum_r": int((ys * c[:, :, 0]).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, AVI_FRAME_STATS_SCHEMA
     )
 
 

@@ -381,6 +381,127 @@ def mkv_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_mkv_meta(with_mkv_media(docs))
 
 
+@_register(
+    "gif_frame_stats",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             2 + doc_id % 24 AS w,
+             2 + doc_id % 17 AS h,
+             CAST(unnest(range(0, 1 + doc_id % 5)) AS INT) AS k
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, k, CAST(unnest(range(0, h)) AS BIGINT) AS y
+      FROM f
+    ),
+    c AS (
+      SELECT doc_id, w, h, k, y,
+             CASE WHEN k % 3 = 2
+                  THEN (5 * doc_id + 19 * ((y + k) % 4)) % 256
+                  ELSE (7 * doc_id + 53 * ((y + k) % 4)) % 256 END AS r,
+             CASE WHEN k % 3 = 2
+                  THEN (3 * doc_id + 37 * ((y + k) % 4)) % 256
+                  ELSE (11 * doc_id + 29 * ((y + k) % 4)) % 256 END AS g,
+             CASE WHEN k % 3 = 2
+                  THEN (17 * doc_id + 7 * ((y + k) % 4)) % 256
+                  ELSE (13 * doc_id + 17 * ((y + k) % 4)) % 256 END AS b
+      FROM px
+    )
+    SELECT doc_id,
+           k AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sum(w * r) AS BIGINT) AS sum_r,
+           CAST(sum(w * g) AS BIGINT) AS sum_g,
+           CAST(sum(w * b) AS BIGINT) AS sum_b,
+           CAST(sum(w * y * r) AS BIGINT) AS ywsum_r
+    FROM c
+    GROUP BY doc_id, k, w, h
+    """,
+)
+def gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a animation decode, cross-checked in closed form —
+    the web-corpus image/animation format the codec family was
+    missing, and the first COMPRESSED (LZW) moving-picture container
+    the engine both writes and reads without a codec library. Per doc,
+    the engine's own encoder fabricates an animated GIF (full-canvas
+    frames, row-striped palette indices (y+k)%4, interlace on
+    (d+k)%2==0 frames, a LOCAL color table on k%3==2 frames — see
+    operators/multimodal.with_gif_media); the extract side then runs
+    the genuine decode (variable-width LZW, 4-pass de-interlace,
+    global/local palette resolution, animation composition) and emits
+    exact integer channel sums plus a row-position-weighted sum. The
+    oracle restates every statistic arithmetically from doc_id — an
+    LZW width-schedule bug, a swapped interlace pass, or a palette
+    routing error flips the hash (ywsum_r is deliberately NOT
+    permutation-invariant, so row-order bugs cannot cancel)."""
+    from .operators.multimodal import (
+        extract_gif_frame_stats,
+        with_gif_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_gif_frame_stats(with_gif_media(docs))
+
+
+@_register(
+    "avi_frame_stats",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             3 + doc_id % 13 AS w,
+             2 + doc_id % 11 AS h,
+             CAST(unnest(range(0, 1 + doc_id % 4)) AS INT) AS k
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, k, CAST(unnest(range(0, h)) AS BIGINT) AS y
+      FROM f
+    ),
+    c AS (
+      SELECT doc_id, w, h, k, y,
+             (3 * doc_id + 11 * k + 2 * y) % 256 AS r,
+             (5 * doc_id + 7 * k + 3 * y) % 256 AS g,
+             (doc_id + 13 * k + 5 * y) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           k AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sum(w * r) AS BIGINT) AS sum_r,
+           CAST(sum(w * g) AS BIGINT) AS sum_g,
+           CAST(sum(w * b) AS BIGINT) AS sum_b,
+           CAST(sum(w * y * r) AS BIGINT) AS ywsum_r
+    FROM c
+    GROUP BY doc_id, k, w, h
+    """,
+)
+def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video frame decode through a mainstream
+    container: per doc, the engine muxes its own JPEG streams (the
+    SOF3 LOSSLESS process — Huffman-coded predictor residuals, exact
+    reconstruction) into a spec-shaped AVI/MJPG RIFF container
+    (operators/avicodec.py), then the extract side demuxes the movi
+    chunk ranges and entropy-decodes every frame for real
+    (operators/multimodal.with_avi_media / extract_avi_frame_stats).
+    Lossless frames give the SQL oracle an EXACT closed form (baseline
+    MJPEG shares all container code and is pytest-pinned — DCT quant
+    rounding has no closed SQL form). With GIF animation
+    (gif_frame_stats) and Y4M (video_frame_stats) this leaves only
+    inter-frame-predicted codecs (H.26x/VP9/AV1) as the loud
+    NotImplementedError boundary. ywsum_r breaks permutation
+    invariance: a frame-order or row-order bug cannot cancel."""
+    from .operators.multimodal import (
+        extract_avi_frame_stats,
+        with_avi_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_avi_frame_stats(with_avi_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming, drained with Trigger.AvailableNow to a memory sink.
 # The streaming plans are the real watermarked operators; draining yields a
