@@ -620,6 +620,14 @@ def sniff_format(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"  # after the jpeg check: FFD8 never reaches here
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     if payload[4:8] == b"ftyp":
@@ -668,6 +676,15 @@ def triage_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
                     try:
                         parse_avi(payload)
+                        status = "ok"
+                    except Exception:  # noqa: BLE001 — quarantine
+                        status = "corrupt"
+                elif fmt in ("mp3", "flac"):  # header-walk triage
+                    from .audioprobe import parse_flac, parse_mp3
+
+                    probe = parse_flac if fmt == "flac" else parse_mp3
+                    try:
+                        probe(payload)
                         status = "ok"
                     except Exception:  # noqa: BLE001 — quarantine
                         status = "corrupt"
@@ -1188,6 +1205,327 @@ def extract_avi_frame_stats(
 
     return media.select(id_col, "payload").mapInPandas(
         run, AVI_FRAME_STATS_SCHEMA
+    )
+
+
+MP3_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channel_mode", StringType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+# MPEG-1 Layer III bitrate table as a SQL/JVM-shared hex of kbps values
+_MP3_KBPS = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_SR = (44100, 48000, 32000)
+
+
+def with_mp3_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic, structurally-valid MPEG-1 Layer III
+    stream built byte-for-byte JVM-side: an ID3v2 tag of 3*(d%7) body
+    bytes (syncsafe size), then 1 + d%6 identical frames — header
+    FF FB (sync, MPEG-1, Layer III, no CRC) with bitrate index
+    1 + d%14 and sample-rate index d%3, zero audio bytes padded to the
+    EXACT frame length floor(144000*kbps/sr). Every probed field is
+    doc_id arithmetic the SQL oracle restates, but the Spark side must
+    actually run the frame walk (a wrong length formula desyncs the
+    frame count)."""
+    d = F.col("doc_id")
+    bi = (F.lit(1) + d % 14).cast("int")
+    si = (d % 3).cast("int")
+    n = (F.lit(1) + d % 6).cast("int")
+    t = (F.lit(3) * (d % 7)).cast("int")  # ID3 body size, < 128
+    kbps = F.element_at(
+        F.array(*[F.lit(v) for v in _MP3_KBPS]), bi
+    )
+    sr = F.element_at(
+        F.array(*[F.lit(v) for v in _MP3_SR]), si + 1
+    )
+    flen = F.floor(F.lit(144_000) * kbps / sr).cast("int")
+    frame_hex = F.concat(
+        F.lit("FFFB"),
+        _be_hex((F.shiftleft(bi, 4) + F.shiftleft(si, 2)).cast("bigint"), 1),
+        F.lit("00"),
+        F.repeat(F.lit("00"), flen - 4),
+    )
+    id3_hex = F.concat(
+        F.lit("494433030000"),  # "ID3" v2.3, no flags
+        F.lit("000000"),
+        _be_hex(t.cast("bigint"), 1),  # syncsafe: t < 128 fits last byte
+        F.repeat(F.lit("00"), t),
+    )
+    payload = F.unhex(F.concat(id3_hex, F.repeat(frame_hex, n)))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def extract_mp3_meta(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MP3 stream metadata without audio decode: one Arrow mapInPandas
+    pass of operators/audioprobe.parse_mp3 (ID3v2 skip + real MPEG-1
+    Layer III frame walk). Unparseable payloads contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audioprobe import parse_mp3
+
+        cols = list(MP3_PROBE_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    m = parse_mp3(bytes(p) if p is not None else b"")
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append({"doc_id": doc_id, **m})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(run, MP3_PROBE_SCHEMA)
+
+
+FLAC_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("total_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def with_flac_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic 'fLaC' + STREAMINFO payload built
+    JVM-side. The bit-packed STREAMINFO tail (sample rate 20 bits,
+    channels-1 3 bits, bits-per-sample-1 5 bits, total samples 36
+    bits) is ONE 64-bit big-endian integer, so the hex template is
+    pure arithmetic: packed = sr*2^44 + (ch-1)*2^41 + (bps-1)*2^36 +
+    total. Fields: sr = 8000*(1 + d%6), ch = 1 + d%8,
+    bps = 8 + 4*(d%3), total = 1000 + d%9999."""
+    d = F.col("doc_id")
+    sr = (F.lit(8000) * (F.lit(1) + d % 6)).cast("bigint")
+    ch = (F.lit(1) + d % 8).cast("bigint")
+    bps = (F.lit(8) + F.lit(4) * (d % 3)).cast("bigint")
+    total = (F.lit(1000) + d % 9999).cast("bigint")
+    packed = (
+        sr * F.lit(1 << 44).cast("bigint")
+        + (ch - 1) * F.lit(1 << 41).cast("bigint")
+        + (bps - 1) * F.lit(1 << 36).cast("bigint")
+        + total
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("664C6143"),  # 'fLaC'
+            F.lit("80000022"),  # last block, type 0, length 34
+            F.lit("10001000"),  # min/max blocksize 4096
+            F.lit("000000000000"),  # frame-size bounds unknown
+            _be_hex(packed, 8),
+            F.repeat(F.lit("00"), 16),  # md5 unset
+        )
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def extract_flac_meta(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """FLAC STREAMINFO metadata without audio decode: one Arrow
+    mapInPandas pass of operators/audioprobe.parse_flac (metadata
+    block walk + bit-field unpack). Unparseable payloads contribute
+    no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audioprobe import parse_flac
+
+        cols = list(FLAC_PROBE_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    m = parse_flac(bytes(p) if p is not None else b"")
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": m["sample_rate"],
+                        "channels": m["channels"],
+                        "bits_per_sample": m["bits_per_sample"],
+                        "total_samples": m["total_samples"],
+                        "duration_ms": m["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, FLAC_PROBE_SCHEMA
+    )
+
+
+G711_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("dc_sum", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def with_g711_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic G.711 mu-law WAV (format tag 7, 8-bit
+    coded samples, mono 8 kHz): 1 + d%50 pairs of alternating coded
+    bytes b1 = (7d + 13) % 256 and b2 = (11d + 97) % 256, built
+    JVM-side. The DECODED 14-bit linear values are closed-form
+    arithmetic over the coded bytes (the CCITT expansion formula), so
+    the oracle restates every statistic while the Spark side must run
+    the real mu-law expansion."""
+    d = F.col("doc_id")
+    m = (F.lit(1) + d % 50).cast("int")
+    b1 = ((F.lit(7) * d + 13) % 256).cast("bigint")
+    b2 = ((F.lit(11) * d + 97) % 256).cast("bigint")
+    datalen = (m * 2).cast("bigint")
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # RIFF
+            _le_hex(F.lit(36) + datalen, 4),
+            F.lit("57415645666D7420"),  # WAVE, "fmt "
+            F.lit("100000000700"),  # fmt size 16, format 7 = mu-law
+            _le_hex(F.lit(1), 2),  # mono
+            _le_hex(F.lit(8000), 4),
+            _le_hex(F.lit(8000), 4),  # byte rate (1 byte/sample)
+            _le_hex(F.lit(1), 2),  # block align
+            F.lit("0800"),  # 8 bits per coded sample
+            F.lit("64617461"),  # data
+            _le_hex(datalen, 4),
+            F.repeat(F.concat(_be_hex(b1, 1), _be_hex(b2, 1)), m),
+        )
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def extract_g711_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL G.711 mu-law sample decode: walk the RIFF chunks, check
+    format tag 7 / 8-bit, then expand every coded byte with the CCITT
+    formula (u = ~code; t = ((u & 0xF) << 3) + 0x84 shifted by the
+    segment; sign via bit 7) — vectorized over numpy, one Arrow
+    mapInPandas pass. Emits exact integer loudness stats on the
+    decoded 14-bit linear samples. Non-mu-law payloads contribute no
+    rows (quarantine by omission)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(G711_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    continue
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
+                    if cid == b"fmt ":
+                        fmt = payload[pos + 8 : pos + 8 + clen]
+                    elif cid == b"data":
+                        data = payload[pos + 8 : pos + 8 + clen]
+                        break
+                    pos += 8 + clen + (clen & 1)
+                if fmt is None or len(fmt) < 16 or not data:
+                    continue
+                (tag,) = struct.unpack_from("<H", fmt, 0)
+                (bits,) = struct.unpack_from("<H", fmt, 14)
+                if tag != 7 or bits != 8:
+                    continue
+                code = np.frombuffer(data, np.uint8).astype(np.int64)
+                u = 255 - code  # ~code & 0xFF
+                t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+                s = np.where(u & 0x80, 0x84 - t, t - 0x84)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": len(s),
+                        "peak": int(np.abs(s).max()),
+                        "dc_sum": int(s.sum()),
+                        "energy": int((s * s).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, G711_STATS_SCHEMA
+    )
+
+
+def with_gzip_text(docs: DataFrame) -> DataFrame:
+    """Gzip-compress every document body into a binary payload
+    (stdlib gzip, mtime pinned to 0 so the member header is
+    deterministic) — the shape a web-scale text corpus actually
+    arrives in (WARC/WET members). NULL-text docs carry NULL
+    payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = (
+                    gzip.compress(text.encode("utf-8"), mtime=0)
+                    if text is not None
+                    else None
+                )
+                rows.append({"doc_id": doc_id, "payload": payload})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+GZIP_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def extract_gzip_text(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decompress gzip payloads and emit the decompressed byte length
+    plus the md5 hex digest of the decompressed bytes — exact equality
+    with the oracle's md5 over the ORIGINAL text proves the
+    compress -> decompress round trip is byte-perfect across
+    executors. Malformed/NULL payloads contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import hashlib
+
+        cols = list(GZIP_TEXT_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    raw = gzip.decompress(bytes(p))
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": len(raw),
+                        "digest": hashlib.md5(raw).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, GZIP_TEXT_SCHEMA
     )
 
 

@@ -502,6 +502,151 @@ def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_avi_frame_stats(with_avi_media(docs))
 
 
+@_register(
+    "mp3_stream_probe",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 14 AS INT) AS bi,
+             CAST(doc_id % 3 AS INT) AS si,
+             CAST(1 + doc_id % 6 AS INT) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                        WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                        WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                        WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                        WHEN 13 THEN 256 ELSE 320 END AS INT)
+             AS bitrate_kbps,
+           CAST(CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END AS INT) AS sample_rate,
+           'stereo' AS channel_mode,
+           n AS n_frames,
+           CAST(n * 1152 * 1000
+                // (CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                            ELSE 32000 END) AS BIGINT) AS duration_ms
+    FROM d
+    """,
+)
+def mp3_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-AUDIO triage, the sibling of the mp4/mkv video
+    probes: bitrate, sample rate, channel mode, REAL frame count and
+    exact duration from an MPEG-1 Layer III header walk with ID3v2
+    skip (operators/audioprobe.parse_mp3, ISO/IEC 11172-3) — no codec.
+    The Spark side fabricates structurally-valid streams JVM-side
+    (with_mp3_media: ID3 tag + n identical frames padded to the exact
+    frame length floor(144000*kbps/sr)) and must actually WALK the
+    frames; the oracle restates the fields in closed form — a wrong
+    length formula desyncs the walk and flips n_frames/duration."""
+    from .operators.multimodal import extract_mp3_meta, with_mp3_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_mp3_meta(with_mp3_media(docs))
+
+
+@_register(
+    "flac_stream_probe",
+    """
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 6) AS INT) AS sample_rate,
+           CAST(1 + doc_id % 8 AS INT) AS channels,
+           CAST(8 + 4 * (doc_id % 3) AS INT) AS bits_per_sample,
+           CAST(1000 + doc_id % 9999 AS BIGINT) AS total_samples,
+           CAST((1000 + doc_id % 9999) * 1000
+                // (8000 * (1 + doc_id % 6)) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def flac_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO probe (RFC 9639): sample rate / channels / bit
+    depth / total samples / exact duration from the bit-packed
+    metadata tail — sample rate is a 20-BIT field, channels-1 a 3-bit
+    field, bits-per-sample-1 a 5-bit field and total-samples a 36-bit
+    field packed into eight bytes, so the Spark side must do real
+    bit-slicing (operators/audioprobe.parse_flac) while the fixture
+    builds the same eight bytes as ONE big-endian integer JVM-side
+    (with_flac_media) and the oracle restates the fields. A shifted
+    bit offset flips every row."""
+    from .operators.multimodal import extract_flac_meta, with_flac_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_flac_meta(with_flac_media(docs))
+
+
+@_register(
+    "audio_g711_stats",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 50 AS BIGINT) AS m,
+             255 - ((7 * doc_id + 13) % 256) AS u1,
+             255 - ((11 * doc_id + 97) % 256) AS u2
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, m,
+             CASE WHEN u1 >= 128
+                  THEN 132 - (((u1 % 16) * 8 + 132) << ((u1 // 16) % 8))
+                  ELSE (((u1 % 16) * 8 + 132) << ((u1 // 16) % 8)) - 132
+             END AS s1,
+             CASE WHEN u2 >= 128
+                  THEN 132 - (((u2 % 16) * 8 + 132) << ((u2 // 16) % 8))
+                  ELSE (((u2 % 16) * 8 + 132) << ((u2 // 16) % 8)) - 132
+             END AS s2
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(2 * m AS BIGINT) AS n_samples,
+           CAST(greatest(abs(s1), abs(s2)) AS INT) AS peak,
+           CAST(m * (s1 + s2) AS BIGINT) AS dc_sum,
+           CAST(m * (s1 * s1 + s2 * s2) AS BIGINT) AS energy
+    FROM s
+    """,
+)
+def audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law sample decode — the telephony/speech-corpus
+    companion to audio_pcm_stats: the Spark side fabricates format-7
+    WAVs whose CODED bytes are doc_id arithmetic (with_g711_media,
+    JVM-side) and must run the actual CCITT expansion
+    (u = ~code; t = ((u & 15) << 3) + 132 shifted by the segment;
+    sign via bit 7 — vectorized numpy inside one Arrow mapInPandas
+    pass, operators/multimodal.extract_g711_stats); the oracle
+    restates the same expansion per coded byte in SQL. A complement,
+    segment-shift, or sign error flips every statistic."""
+    from .operators.multimodal import extract_g711_stats, with_g711_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_g711_stats(with_g711_media(docs))
+
+
+@_register(
+    "gzip_text_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def gzip_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-TEXT plumbing — the shape a web-scale corpus
+    actually arrives in (WARC/WET gzip members): every document body
+    is gzip-compressed into a binary payload (stdlib gzip, mtime
+    pinned for determinism) and decompressed back in a separate Arrow
+    pass (operators/multimodal.with_gzip_text / extract_gzip_text);
+    the compared surface is the decompressed byte length plus the md5
+    of the decompressed bytes against the oracle's md5 over the
+    ORIGINAL text — byte-exact round-trip proof across executors.
+    NULL-text docs carry NULL payloads and contribute no rows on
+    either face."""
+    from .operators.multimodal import extract_gzip_text, with_gzip_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_gzip_text(with_gzip_text(docs))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming, drained with Trigger.AvailableNow to a memory sink.
 # The streaming plans are the real watermarked operators; draining yields a
