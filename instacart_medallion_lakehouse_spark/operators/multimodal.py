@@ -948,6 +948,13 @@ def extract_pcm_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _python_parallelism(df: DataFrame) -> int:
+    """Partition count for Python-codec-heavy mapInPandas stages: the
+    session's core parallelism (NOT spark.sql.shuffle.partitions,
+    which is sized for data shuffles, not CPU-bound Arrow batches)."""
+    return max(1, df.sparkSession.sparkContext.defaultParallelism)
+
+
 GIF_FRAME_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -1034,9 +1041,13 @@ def with_gif_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
-        run, "doc_id long, payload binary"
-    )
+    # the testdata parquet is one row group -> one scan task; an
+    # explicit numeric repartition (NOT coalesced by AQE) spreads the
+    # Python LZW work across the executor cores — the shuffle moves
+    # only doc_ids, and at 100 TB decode parallelism IS the partition
+    # count (measured here: 2.6s -> sub-second at sf0.1)
+    ids = docs.select("doc_id").repartition(_python_parallelism(docs))
+    return ids.mapInPandas(run, "doc_id long, payload binary")
 
 
 def extract_gif_frame_stats(
@@ -1153,9 +1164,11 @@ def with_avi_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
-        run, "doc_id long, payload binary"
-    )
+    # spread the per-frame JPEG entropy coding across cores (see
+    # with_gif_media — the one-row-group scan would otherwise run the
+    # whole corpus encode+decode in a single Python worker)
+    ids = docs.select("doc_id").repartition(_python_parallelism(docs))
+    return ids.mapInPandas(run, "doc_id long, payload binary")
 
 
 def extract_avi_frame_stats(
