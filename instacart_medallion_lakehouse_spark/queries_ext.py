@@ -2346,6 +2346,52 @@ def name_match_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "name_components_converged",
+    """
+    WITH RECURSIVE
+    c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500
+    ),
+    e0 AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM c a
+      JOIN c b ON length(a.c_name) = length(b.c_name)
+              AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION
+      SELECT id_b, id_a FROM e0
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT e.src, r.lab FROM sym e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node, min(lab) AS component
+    FROM reach
+    GROUP BY node
+    """,
+)
+def name_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components run to CONVERGENCE — the O(log diameter)
+    pointer-jumping algorithm (hash-to-min / star-contraction regime)
+    that the fixed-k name_match_components approximates, with
+    convergence DETECTED per round (bounded scalar count, the
+    pagerank_fuzzy driver-loop discipline) rather than assumed from a
+    diameter bound. The oracle is deliberately a DIFFERENT computation:
+    a recursive-CTE transitive closure taking min over every reachable
+    vertex — true mathematical components, so an early-stall bug or a
+    broken pointer jump cannot agree with it by construction (unlike
+    unrolled-CTE twins that replay the same rounds)."""
+    from .operators.graph import connected_components
+
+    edges = fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(edges, edges_unique=True)
+
+
+@_register(
     "modal_priority",
     """
     WITH counts AS (
