@@ -1,4 +1,5 @@
-"""Compressed-audio container probes: MP3 frame walk, FLAC STREAMINFO.
+"""Compressed-audio probes and codecs: MP3 frame walk, FLAC
+STREAMINFO, IMA ADPCM sample decode.
 
 The audio siblings of mp4probe.py/mkvprobe.py: the triage a 100 TB
 audio corpus runs BEFORE shipping anything to a real decoder farm —
@@ -127,6 +128,56 @@ def parse_flac(payload: bytes) -> dict:
             }
         _expect(not (hdr & 0x80), "flac: no STREAMINFO before last block")
         pos = body + blen
+
+
+# IMA ADPCM (DVI4 / WAV format tag 0x11): the standard 89-entry step
+# table and the 8-entry index-adjust table (IMA "Recommended Practices
+# for Enhancing Digital Audio Compatibility", also RFC 3551 DVI4).
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_decode(
+    nibbles, predictor: int, index: int
+) -> "list[int]":
+    """Decode a sequence of 4-bit IMA ADPCM codes to 16-bit linear
+    samples given the block's initial (predictor, step index) state.
+    The recurrence is inherently SEQUENTIAL — each sample's step size
+    depends on every previous code — which is exactly why the oracle
+    for audio_adpcm_stats restates it as a recursive CTE rather than
+    closed-form arithmetic. Integer-exact: diff uses the shift-add
+    expansion diff = step>>3 (+ step>>2 if b0) (+ step>>1 if b1)
+    (+ step if b2), sign via bit 3, predictor clamped to int16 and
+    index to [0, 88]."""
+    out = []
+    pred = int(predictor)
+    idx = int(index)
+    if not -32768 <= pred <= 32767:
+        raise ValueError("adpcm: initial predictor out of int16 range")
+    if not 0 <= idx <= 88:
+        raise ValueError("adpcm: initial step index out of range")
+    for n in nibbles:
+        step = IMA_STEP_TABLE[idx]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IMA_INDEX_TABLE[n & 7]))
+        out.append(pred)
+    return out
 
 
 def encode_mp3_stub(

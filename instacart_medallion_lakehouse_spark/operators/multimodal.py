@@ -1472,6 +1472,134 @@ def extract_g711_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+ADPCM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("dc_sum", LongType()),
+        StructField("energy", LongType()),
+        StructField("last_sample", IntegerType()),
+    ]
+)
+
+
+def with_adpcm_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic IMA ADPCM WAV (format tag 0x11, 4-bit
+    codes, mono, one block): a 4-byte block header seeding the decoder
+    state (initial predictor 100*(d%50) - 2000 as little-endian two's
+    complement int16, step index d%89), then 8*(1 + d%12) code bytes
+    whose nibble stream is n_k = (d + k) % 16 (low nibble first —
+    period 16 over k means the BYTE stream has period 8, so the hex
+    template is a repeat of one arithmetic 8-byte unit). Every decoded
+    sample is a stateful recurrence over the whole prefix — which is
+    the point: the oracle must restate it as a recursive CTE, not
+    closed-form arithmetic."""
+    d = F.col("doc_id")
+    u = (F.lit(1) + d % 12).cast("int")  # 8-byte units
+    pred0 = (F.lit(100) * (d % 50) - 2000).cast("bigint")
+    idx0 = (d % 89).cast("bigint")
+    datalen = (F.lit(4) + F.lit(8) * u).cast("bigint")
+    unit_hex = F.concat(
+        *[
+            _be_hex(
+                (
+                    (d + 2 * j) % 16 + F.lit(16) * ((d + 2 * j + 1) % 16)
+                ).cast("bigint"),
+                1,
+            )
+            for j in range(8)
+        ]
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # RIFF
+            _le_hex(F.lit(36) + datalen, 4),
+            F.lit("57415645666D7420"),  # WAVE, "fmt "
+            F.lit("100000001100"),  # fmt size 16, format 0x11 IMA ADPCM
+            _le_hex(F.lit(1), 2),  # mono
+            _le_hex(F.lit(8000), 4),
+            _le_hex(F.lit(4000), 4),  # nominal byte rate
+            _le_hex(datalen, 2),  # block align = the single block
+            F.lit("0400"),  # 4 bits per code
+            F.lit("64617461"),  # data
+            _le_hex(datalen, 4),
+            _le_hex(F.pmod(pred0, F.lit(65536)), 2),  # header: predictor
+            _be_hex(idx0, 1),  # header: step index
+            F.lit("00"),  # header: reserved
+            F.repeat(unit_hex, u),
+        )
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def extract_adpcm_stats(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL IMA ADPCM decode (operators/audioprobe.ima_adpcm_decode —
+    the 89-entry step table, shift-add diff expansion, int16 clamp,
+    index clamp): walk the RIFF chunks, check format tag 0x11 / 4-bit,
+    seed the state from the block header, emit the header predictor as
+    sample 0 (the Microsoft IMA-WAV convention) followed by one sample
+    per nibble (low nibble first). Exact integer loudness stats plus
+    last_sample, which depends on EVERY previous code — a single
+    step-table or clamp error anywhere in the stream flips it.
+    Non-ADPCM payloads contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audioprobe import ima_adpcm_decode
+
+        cols = list(ADPCM_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    continue
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
+                    if cid == b"fmt ":
+                        fmt = payload[pos + 8 : pos + 8 + clen]
+                    elif cid == b"data":
+                        data = payload[pos + 8 : pos + 8 + clen]
+                        break
+                    pos += 8 + clen + (clen & 1)
+                if fmt is None or len(fmt) < 16 or data is None:
+                    continue
+                (tag,) = struct.unpack_from("<H", fmt, 0)
+                (bits,) = struct.unpack_from("<H", fmt, 14)
+                if tag != 0x11 or bits != 4 or len(data) < 4:
+                    continue
+                (pred0,) = struct.unpack_from("<h", data, 0)
+                idx0 = data[2]
+                nibbles = []
+                for b in data[4:]:
+                    nibbles.append(b & 0x0F)
+                    nibbles.append(b >> 4)
+                try:
+                    decoded = ima_adpcm_decode(nibbles, pred0, idx0)
+                except ValueError:
+                    continue  # quarantine malformed state
+                samples = [pred0, *decoded]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": len(samples),
+                        "peak": max(abs(s) for s in samples),
+                        "dc_sum": sum(samples),
+                        "energy": sum(s * s for s in samples),
+                        "last_sample": samples[-1],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, ADPCM_STATS_SCHEMA
+    )
+
+
 def with_gzip_text(docs: DataFrame) -> DataFrame:
     """Gzip-compress every document body into a binary payload
     (stdlib gzip, mtime pinned to 0 so the member header is

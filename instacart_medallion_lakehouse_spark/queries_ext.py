@@ -620,6 +620,84 @@ def audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_g711_stats(with_g711_media(docs))
 
 
+def _adpcm_oracle_sql() -> str:
+    """Oracle for audio_adpcm_stats: the IMA recurrence restated as a
+    RECURSIVE CTE — the decoder state (predictor, step index) after k
+    codes depends on every previous code, so no closed form exists;
+    the step table is inlined as VALUES from the same constant the
+    engine decodes with (a table typo would still be caught: the SQL
+    arithmetic around it — shift-add diff, clamps, index walk — is an
+    independent restatement)."""
+    from .operators.audioprobe import IMA_STEP_TABLE
+
+    steps = ", ".join(f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE))
+    return f"""
+    WITH RECURSIVE
+    steps(i, s) AS (VALUES {steps}),
+    init AS (
+      SELECT doc_id,
+             100 * (doc_id % 50) - 2000 AS pred0,
+             doc_id % 89 AS idx0,
+             16 * (1 + doc_id % 12) AS nsmp
+      FROM documents
+    ),
+    st(doc_id, k, pred, idx, nsmp) AS (
+      SELECT doc_id, 0, pred0, idx0, nsmp FROM init
+      UNION ALL
+      SELECT st.doc_id, st.k + 1,
+             greatest(-32768, least(32767,
+               st.pred
+               + (CASE WHEN ((st.doc_id + st.k) % 16) >= 8
+                       THEN -1 ELSE 1 END)
+                 * ( s.s // 8
+                   + CASE WHEN ((st.doc_id + st.k) % 16) % 2 = 1
+                          THEN s.s // 4 ELSE 0 END
+                   + CASE WHEN (((st.doc_id + st.k) % 16) // 2) % 2 = 1
+                          THEN s.s // 2 ELSE 0 END
+                   + CASE WHEN (((st.doc_id + st.k) % 16) // 4) % 2 = 1
+                          THEN s.s ELSE 0 END ))),
+             greatest(0, least(88,
+               st.idx + CASE ((st.doc_id + st.k) % 16) % 8
+                        WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                        WHEN 7 THEN 8 ELSE -1 END)),
+             st.nsmp
+      FROM st JOIN steps s ON s.i = st.idx
+      WHERE st.k < st.nsmp
+    )
+    SELECT doc_id,
+           CAST(max(nsmp) + 1 AS BIGINT) AS n_samples,
+           CAST(max(abs(pred)) AS INT) AS peak,
+           CAST(sum(pred) AS BIGINT) AS dc_sum,
+           CAST(sum(pred * pred) AS BIGINT) AS energy,
+           CAST(max(CASE WHEN k = nsmp THEN pred END) AS INT)
+             AS last_sample
+    FROM st
+    GROUP BY doc_id
+    """
+
+
+@_register("audio_adpcm_stats", _adpcm_oracle_sql())
+def audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio SAMPLE decode — IMA ADPCM (WAV format tag
+    0x11), the first genuinely STATEFUL codec in the compared surface:
+    each 4-bit code's decoded value depends on the step-table state
+    accumulated over every previous code, so the oracle cannot be
+    closed-form doc_id arithmetic like the PCM/mu-law twins — it
+    restates the whole recurrence as a recursive CTE instead
+    (_adpcm_oracle_sql). The Spark side fabricates single-block IMA
+    WAVs JVM-side (with_adpcm_media) and must run the actual decoder
+    (operators/audioprobe.ima_adpcm_decode) inside one Arrow
+    mapInPandas pass; last_sample makes the comparison
+    whole-prefix-sensitive — one wrong step anywhere flips it."""
+    from .operators.multimodal import (
+        extract_adpcm_stats,
+        with_adpcm_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_adpcm_stats(with_adpcm_media(docs))
+
+
 @_register(
     "gzip_text_roundtrip",
     """

@@ -90,6 +90,65 @@ class TestG711:
         assert pos == sorted(pos)
 
 
+class TestAdpcm:
+    def test_reference_steps(self):
+        from instacart_medallion_lakehouse_spark.operators.audioprobe import (
+            IMA_STEP_TABLE,
+            ima_adpcm_decode,
+        )
+
+        # from (pred=0, idx=0, step=7): code 0 -> +0 diff? no: diff
+        # always includes step>>3 = 0; code 7 -> 0+1+3+(7>>3=0)?
+        # compute by hand: step=7; code 7 = b0111: diff = 0 + 1 + 3 + 7
+        assert ima_adpcm_decode([7], 0, 0) == [0 + 0 + 1 + 3 + 7]
+        # code 15 (sign bit): same magnitude, negative
+        assert ima_adpcm_decode([15], 0, 0) == [-(0 + 1 + 3 + 7)]
+        # index walk: code 7 bumps index by +8, code 0 by -1 (floor 0)
+        out = ima_adpcm_decode([7, 0], 100, 0)
+        step2 = IMA_STEP_TABLE[8]
+        assert out[1] == out[0] + (step2 >> 3)
+
+    def test_clamps(self):
+        from instacart_medallion_lakehouse_spark.operators.audioprobe import (
+            ima_adpcm_decode,
+        )
+
+        # drive hard positive from near the top: predictor clamps
+        out = ima_adpcm_decode([7] * 40, 32700, 88)
+        assert max(out) == 32767
+        # hard negative
+        out = ima_adpcm_decode([15] * 40, -32700, 88)
+        assert min(out) == -32768
+        # invalid initial state is loud
+        with pytest.raises(ValueError):
+            ima_adpcm_decode([0], 40000, 0)
+        with pytest.raises(ValueError):
+            ima_adpcm_decode([0], 0, 89)
+
+    def test_spark_pair(self, spark):
+        from instacart_medallion_lakehouse_spark.operators.audioprobe import (
+            ima_adpcm_decode,
+        )
+
+        docs = spark.range(0, 25).toDF("doc_id")
+        got = {
+            r.doc_id: r
+            for r in multimodal.extract_adpcm_stats(
+                multimodal.with_adpcm_media(docs)
+            ).collect()
+        }
+        for d in range(25):
+            u = 1 + d % 12
+            pred0 = 100 * (d % 50) - 2000
+            nib = [(d + k) % 16 for k in range(16 * u)]
+            samples = [pred0, *ima_adpcm_decode(nib, pred0, d % 89)]
+            r = got[d]
+            assert r.n_samples == len(samples)
+            assert r.last_sample == samples[-1]
+            assert r.dc_sum == sum(samples)
+            assert r.energy == sum(s * s for s in samples)
+
+
 class TestSniffTriage:
     def test_sniff(self):
         assert multimodal.sniff_format(encode_mp3_stub(9, 1, 1)) == "mp3"
