@@ -1600,6 +1600,205 @@ def extract_adpcm_stats(
     )
 
 
+TIFF_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_order", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("orientation", IntegerType()),
+        StructField("samples_per_pixel", IntegerType()),
+    ]
+)
+
+
+def with_tiff_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic TIFF header + one IFD, alternating BYTE
+    ORDER by doc parity ('II' little-endian on even doc_ids, 'MM'
+    big-endian on odd — the probe must honor both): four SHORT
+    entries (ImageWidth 16 + d%640, ImageLength 16 + d%480,
+    Orientation 1 + d%8, SamplesPerPixel 1 + d%4) with left-justified
+    inline values and a zero next-IFD pointer, built JVM-side."""
+    d = F.col("doc_id")
+    is_le = (d % 2 == 0)
+    w = (F.lit(16) + d % 640).cast("bigint")
+    h = (F.lit(16) + d % 480).cast("bigint")
+    ori = (F.lit(1) + d % 8).cast("bigint")
+    spp = (F.lit(1) + d % 4).cast("bigint")
+
+    def u16(v: Column) -> Column:
+        return F.when(is_le, _le_hex(v, 2)).otherwise(_be_hex(v, 2))
+
+    def entry(tag: int, val: Column) -> Column:
+        # tag, type SHORT(3), count 1, left-justified u16 value + pad
+        return F.concat(
+            u16(F.lit(tag).cast("bigint")),
+            u16(F.lit(3).cast("bigint")),
+            F.when(is_le, F.lit("01000000")).otherwise(F.lit("00000001")),
+            u16(val),
+            F.lit("0000"),
+        )
+
+    header = F.when(is_le, F.lit("49492A0008000000")).otherwise(
+        F.lit("4D4D002A00000008")
+    )
+    payload = F.unhex(
+        F.concat(
+            header,
+            u16(F.lit(4).cast("bigint")),  # entry count
+            entry(256, w),
+            entry(257, h),
+            entry(274, ori),
+            entry(277, spp),
+            F.lit("00000000"),  # next IFD: none
+        )
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def extract_tiff_meta(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """EXIF-style image-metadata triage without pixel decode: one
+    Arrow mapInPandas pass of operators/tiffprobe.parse_tiff over the
+    payload bytes. Unparseable payloads contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .tiffprobe import parse_tiff
+
+        cols = list(TIFF_PROBE_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    m = parse_tiff(bytes(p) if p is not None else b"")
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append({"doc_id": doc_id, **m})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, TIFF_PROBE_SCHEMA
+    )
+
+
+WARC_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_records", IntegerType()),
+        StructField("n_response", IntegerType()),
+        StructField("total_payload_bytes", LongType()),
+    ]
+)
+
+_WARC_TYPES = ("warcinfo", "response", "request")
+
+
+def with_warc_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic multi-record WARC/1.0 stream — the
+    container web-scale text corpora actually arrive in (ISO 28500):
+    2 + d%3 records per doc, record i carrying WARC-Type
+    {warcinfo,response,request}[(d + i) % 3], a record id, a
+    Content-Length header that must be HONORED to find the next
+    record, and a payload of 10 + (d + i) % 40 'x' bytes, with the
+    spec's CRLF CRLF record separator. Built JVM-side (pure string
+    concat), parsed for real on the extract side."""
+    d = F.col("doc_id")
+
+    def record(i: int) -> Column:
+        wtype = F.element_at(
+            F.array(*[F.lit(t) for t in _WARC_TYPES]),
+            ((d + i) % 3 + 1).cast("int"),
+        )
+        plen = (F.lit(10) + (d + i) % 40).cast("int")
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: "),
+            wtype,
+            F.lit("\r\nWARC-Record-ID: <urn:uuid:doc-"),
+            d.cast("string"),
+            F.lit(f"-{i}>"),
+            F.lit("\r\nContent-Length: "),
+            plen.cast("string"),
+            F.lit("\r\n\r\n"),
+            F.repeat(F.lit("x"), plen),
+            F.lit("\r\n\r\n"),
+        )
+
+    n = (F.lit(2) + d % 3).cast("int")
+    # records 0..n-1; n ranges 2..4, so build 4 and trim by n
+    stream = F.concat(
+        *[F.when(F.lit(i) < n, record(i)).otherwise(F.lit("")) for i in range(4)]
+    )
+    return docs.select(
+        "doc_id", F.encode(stream, "UTF-8").alias("payload")
+    )
+
+
+def extract_warc_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WARC record walk: parse each record's version line and
+    headers, honor Content-Length to skip the payload, require the
+    CRLF CRLF separator, repeat to end of stream — the record
+    enumeration a WET/WARC ingest runs before any text extraction.
+    Emits record count, response-record count, and total payload
+    bytes; malformed streams contribute no rows (quarantine by
+    omission). A wrong Content-Length interpretation desyncs the walk
+    and flips every count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(WARC_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                pos = 0
+                n_records = n_response = 0
+                total = 0
+                ok = True
+                while pos < len(payload):
+                    hdr_end = payload.find(b"\r\n\r\n", pos)
+                    if hdr_end < 0 or not payload.startswith(
+                        b"WARC/1.0\r\n", pos
+                    ):
+                        ok = False
+                        break
+                    headers = payload[pos:hdr_end].decode(
+                        "utf-8", "replace"
+                    )
+                    clen = wtype = None
+                    for line in headers.split("\r\n")[1:]:
+                        k, _, v = line.partition(":")
+                        k = k.strip().lower()
+                        if k == "content-length":
+                            clen = int(v.strip())
+                        elif k == "warc-type":
+                            wtype = v.strip()
+                    body = hdr_end + 4
+                    if clen is None or body + clen + 4 > len(payload):
+                        ok = False
+                        break
+                    if payload[body + clen : body + clen + 4] != b"\r\n\r\n":
+                        ok = False
+                        break
+                    n_records += 1
+                    total += clen
+                    if wtype == "response":
+                        n_response += 1
+                    pos = body + clen + 4
+                if not ok or n_records == 0:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_records": n_records,
+                        "n_response": n_response,
+                        "total_payload_bytes": total,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, WARC_STATS_SCHEMA
+    )
+
+
 def with_gzip_text(docs: DataFrame) -> DataFrame:
     """Gzip-compress every document body into a binary payload
     (stdlib gzip, mtime pinned to 0 so the member header is

@@ -699,6 +699,68 @@ def audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tiff_ifd_probe",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(16 + doc_id % 640 AS INT) AS width,
+           CAST(16 + doc_id % 480 AS INT) AS height,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CAST(1 + doc_id % 4 AS INT) AS samples_per_pixel
+    FROM documents
+    """,
+)
+def tiff_ifd_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF/TIFF image-metadata triage (TIFF 6.0 IFD walk) — the
+    orientation/dimensions/channels pass an image-corpus ingest runs
+    before decode, through BOTH byte orders: the fixture alternates
+    'II' little-endian and 'MM' big-endian by doc parity
+    (with_tiff_media, JVM-hex), so the probe
+    (operators/tiffprobe.parse_tiff via extract_tiff_meta) must
+    actually flip every multi-byte field and honor the left-justified
+    SHORT value rule — a parser hard-coding one endianness flips half
+    the corpus."""
+    from .operators.multimodal import extract_tiff_meta, with_tiff_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_tiff_meta(with_tiff_media(docs))
+
+
+@_register(
+    "warc_record_stats",
+    """
+    WITH f AS (
+      SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 3)) AS BIGINT) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_records,
+           CAST(sum(CASE WHEN (doc_id + i) % 3 = 1 THEN 1 ELSE 0 END)
+                AS INT) AS n_response,
+           CAST(sum(10 + (doc_id + i) % 40) AS BIGINT)
+             AS total_payload_bytes
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 record enumeration (ISO 28500) — the container
+    web-scale text corpora actually arrive in, and the walk a WET
+    ingest runs before any text extraction: per doc, a JVM-built
+    multi-record stream (with_warc_media: version line, WARC-Type,
+    Content-Length, CRLF CRLF separators) is parsed for REAL on the
+    extract side (operators/multimodal.extract_warc_stats), honoring
+    Content-Length to find each next record. The oracle restates
+    record counts, response counts and payload totals in closed form —
+    an off-by-one in the separator or a mis-read length desyncs the
+    walk and flips every row."""
+    from .operators.multimodal import extract_warc_stats, with_warc_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_warc_stats(with_warc_media(docs))
+
+
+@_register(
     "gzip_text_roundtrip",
     """
     SELECT doc_id,

@@ -874,3 +874,107 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake detection + repair (the ftfy step of a curation pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _with_mojibake_text(docs: DataFrame) -> DataFrame:
+    """Fixture: prefix every document body with a non-ASCII marker
+    ('café ') and DOUBLE-ENCODE the rows where doc_id % 4 == 0 — the
+    classic mojibake corruption (UTF-8 bytes mis-decoded as Latin-1,
+    're-saved' as UTF-8: 'café' -> 'cafÃ©'). NULL-text docs stay
+    NULL. Runs in Python because the corruption IS a codec round
+    trip, not string arithmetic."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        rows_out = []
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append({"doc_id": doc_id, "text": None})
+                    continue
+                t = "café " + text
+                if int(doc_id) % 4 == 0:
+                    t = t.encode("utf-8").decode("latin-1")
+                rows.append({"doc_id": doc_id, "text": t})
+            yield _pd.DataFrame(rows, columns=["doc_id", "text"])
+        return rows_out
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, text string"
+    )
+
+
+def _detect_mojibake(texts: DataFrame) -> DataFrame:
+    """The ftfy-style heuristic, for real: a string is mojibake iff
+    re-encoding it as Latin-1 yields bytes that decode as VALID UTF-8
+    to a DIFFERENT string (clean non-ASCII text fails the UTF-8
+    decode; pure-ASCII text round-trips to itself and is not
+    flagged). Emits the repaired length so the repair itself is part
+    of the compared surface."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        cols = ["doc_id", "is_mojibake", "n_chars_repaired"]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                repaired = text
+                flagged = False
+                try:
+                    candidate = text.encode("latin-1").decode("utf-8")
+                    if candidate != text:
+                        flagged = True
+                        repaired = candidate
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    pass  # clean non-ASCII or not Latin-1-representable
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "is_mojibake": flagged,
+                        "n_chars_repaired": len(repaired),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return texts.mapInPandas(
+        run, "doc_id long, is_mojibake boolean, n_chars_repaired int"
+    )
+
+
+@_register(
+    "mojibake_repair_profile",
+    """
+    SELECT doc_id,
+           (doc_id % 4 = 0) AS is_mojibake,
+           CAST(5 + length(text) AS INT) AS n_chars_repaired
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def mojibake_repair_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption triage + repair — the ftfy step every
+    web-text curation pipeline runs: the fixture plants REAL mojibake
+    (UTF-8 mis-decoded as Latin-1) on doc_id % 4 == 0 rows behind a
+    non-ASCII marker, and the detector must execute the actual codec
+    round trip (re-encode Latin-1, attempt UTF-8 decode, compare) to
+    flag and repair them — clean non-ASCII rows throw inside the
+    probe and must NOT be flagged, pure-ASCII rows round-trip to
+    themselves and must not be flagged either. The oracle states the
+    planted corruption pattern and the repaired codepoint length
+    (repair restores 'café ' to 5 chars, so every repaired doc is
+    5 + length(text)); a detector that false-positives on clean
+    non-ASCII or fails to shrink the repaired string flips rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return _detect_mojibake(_with_mojibake_text(docs))
