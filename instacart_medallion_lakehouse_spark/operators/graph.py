@@ -130,6 +130,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_rounds: int = 16,
     edges_unique: bool = False,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """EXACT connected components, run to convergence — the scalable
     form the fixed-k ``label_propagation`` approximates (and the
@@ -152,7 +153,14 @@ def connected_components(
     driver-loop discipline as pagerank_fuzzy. Raises if the graph has
     not converged after ``max_rounds`` (2^max_rounds exceeds any real
     diameter; hitting the cap means a bug, and a loud error beats
-    silently-partial components)."""
+    silently-partial components).
+
+    ``broadcast_labels`` mirrors label_propagation's flag: for BOUNDED
+    vertex sets (key-range-filtered entity-resolution blocks) hinting
+    the per-round label table to broadcast removes both the
+    edge-join's shuffle and the pointer-jump's sort-merge self-join;
+    at full scale leave it False so the label table shuffles
+    co-partitioned instead."""
     both = F.explode(
         F.array(
             F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
@@ -177,8 +185,9 @@ def connected_components(
     labels.count()
     try:
         for _ in range(max_rounds):
+            rhs = F.broadcast(labels) if broadcast_labels else labels
             stepped = (
-                sym.join(labels, sym["dst"] == labels["node"])
+                sym.join(rhs, sym["dst"] == rhs["node"])
                 .groupBy("src")
                 .agg(F.min("label").alias("_l"))
                 .select(F.col("src").alias("node"), F.col("_l"))
@@ -186,6 +195,8 @@ def connected_components(
             inner = stepped.select(
                 F.col("node").alias("_pn"), F.col("_l").alias("_pl")
             )
+            if broadcast_labels:
+                inner = F.broadcast(inner)
             jumped = pin(
                 stepped.join(inner, stepped["_l"] == inner["_pn"], "left")
                 .select(

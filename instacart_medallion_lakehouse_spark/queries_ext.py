@@ -2528,7 +2528,12 @@ def name_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     edges = fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b")
-    return connected_components(edges, edges_unique=True)
+    # broadcast_labels: the vertex set is a bounded entity-resolution
+    # block (c_custkey < 500), so the per-round label table broadcasts
+    # and no round pays a sort-merge join (see the graph.py flag doc)
+    return connected_components(
+        edges, edges_unique=True, broadcast_labels=True
+    )
 
 
 @_register(
