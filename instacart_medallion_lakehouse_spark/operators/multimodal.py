@@ -1799,6 +1799,157 @@ def extract_warc_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+ZIP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_members", IntegerType()),
+        StructField("total_uncompressed", LongType()),
+        StructField("n_stored", IntegerType()),
+    ]
+)
+
+
+def with_zip_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic ZIP archive built with stdlib zipfile
+    (pinned DOS timestamp, so bytes are reproducible): 1 + d%5
+    members, member i holding 5 + (d + i) % 20 'x' bytes, STORED on
+    even (d + i) and DEFLATED on odd — the archive-of-documents
+    delivery shape. The extract side parses the central directory
+    MANUALLY (operators/archiveprobe.parse_zip), so stdlib zipfile
+    sits only on this fabrication side of the contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as z:
+                    for i in range(1 + d % 5):
+                        zi = zipfile.ZipInfo(
+                            f"m{i}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+                        )
+                        z.writestr(
+                            zi,
+                            b"x" * (5 + (d + i) % 20),
+                            compress_type=(
+                                zipfile.ZIP_STORED
+                                if (d + i) % 2 == 0
+                                else zipfile.ZIP_DEFLATED
+                            ),
+                        )
+                rows.append({"doc_id": d, "payload": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def extract_zip_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ZIP member enumeration via a REAL central-directory walk
+    (operators/archiveprobe.parse_zip — EOCD backward scan, entry
+    count honored, per-member method/size fields). Malformed archives
+    contribute no rows (quarantine by omission)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .archiveprobe import parse_zip
+
+        cols = list(ZIP_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    m = parse_zip(bytes(p) if p is not None else b"")
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_members": m["n_members"],
+                        "total_uncompressed": m["total_uncompressed"],
+                        "n_stored": m["n_stored"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, ZIP_STATS_SCHEMA
+    )
+
+
+TAR_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_members", IntegerType()),
+        StructField("total_file_bytes", LongType()),
+    ]
+)
+
+
+def with_tar_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic ustar TAR (stdlib tarfile, mtime pinned
+    to 0): 1 + d%4 regular-file members, member i holding
+    5 + (d + i) % 20 bytes. The extract side walks the 512-byte
+    blocks manually and VERIFIES each header checksum
+    (operators/archiveprobe.parse_tar)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as t:
+                    for i in range(1 + d % 4):
+                        ti = tarfile.TarInfo(f"f{i}.txt")
+                        ti.size = 5 + (d + i) % 20
+                        ti.mtime = 0
+                        t.addfile(ti, io.BytesIO(b"y" * ti.size))
+                rows.append({"doc_id": d, "payload": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def extract_tar_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """TAR member enumeration via a REAL ustar block walk with header
+    checksum verification (operators/archiveprobe.parse_tar).
+    Malformed archives contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .archiveprobe import parse_tar
+
+        cols = list(TAR_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    m = parse_tar(bytes(p) if p is not None else b"")
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_members": m["n_members"],
+                        "total_file_bytes": m["total_file_bytes"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, TAR_STATS_SCHEMA
+    )
+
+
 def with_gzip_text(docs: DataFrame) -> DataFrame:
     """Gzip-compress every document body into a binary payload
     (stdlib gzip, mtime pinned to 0 so the member header is

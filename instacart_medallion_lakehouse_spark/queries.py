@@ -196,6 +196,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "warc_record_stats",
     "mojibake_repair_profile",
     "tiff_ifd_probe",
+    "zip_member_stats",
+    "tar_member_stats",
+    "url_canonical_dedup",
     # --- round 9, part 3: backfill with the r6 cohort (newest row
     # round 6), alphabetical, to exactly 50 slots. lm_perplexity and
     # pagerank_fuzzy are r6-cohort members already pinned above as
@@ -208,24 +211,23 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "consistent_sample_k",
     "corpus_mixture",
     "customer_quartiles",
-    "daily_count_revenue_corr",
-    "decile_buckets",
-    "doc_boilerplate_ratio",
     # The window is exactly 50 pins; NO no-oracle entries
     # (region_performance_approx / price_percentiles_approx /
     # stream_running_totals) — they would burn a slot on an
     # `err: no_oracle` row (VERDICT r7 item #2). ROTATION PLAN for
     # round 10, in priority order: (1) anything round 10 rewrites,
-    # (2) the r6 remainder (doc_chunks, embedding_norms,
-    # errors_in_sessions, forward_fill_values, funnel_steps,
-    # incremental_exact_dedup, key_skew_profile, label_centroids,
-    # lsh_bucket_profile, minhash_lsh_dedup,
-    # mixture_temperature_weights — all eleven bumped from this
-    # round's tail by the eleven late additions
+    # (2) the r6 remainder (customer_quartiles was kept;
+    # daily_count_revenue_corr, decile_buckets, doc_boilerplate_ratio,
+    # doc_chunks, embedding_norms, errors_in_sessions,
+    # forward_fill_values, funnel_steps, incremental_exact_dedup,
+    # key_skew_profile, label_centroids, lsh_bucket_profile,
+    # minhash_lsh_dedup, mixture_temperature_weights — all fourteen
+    # bumped from this round's tail by the fourteen late additions
     # gif_frame_stats/avi_frame_stats/mp3_stream_probe/
     # flac_stream_probe/audio_g711_stats/gzip_text_roundtrip/
     # name_components_converged/audio_adpcm_stats/warc_record_stats/
-    # mojibake_repair_profile/tiff_ifd_probe —
+    # mojibake_repair_profile/tiff_ifd_probe/zip_member_stats/
+    # tar_member_stats/url_canonical_dedup —
     # q6_forecast_revenue,
     # q13_customer_distribution, q14_promo_revenue,
     # quality_resample,

@@ -761,6 +761,67 @@ def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "zip_member_stats",
+    """
+    WITH f AS (
+      SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 5)) AS BIGINT) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_members,
+           CAST(sum(5 + (doc_id + i) % 20) AS BIGINT)
+             AS total_uncompressed,
+           CAST(sum(CASE WHEN (doc_id + i) % 2 = 0 THEN 1 ELSE 0 END)
+                AS INT) AS n_stored
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def zip_member_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-delivery triage, ZIP face: enumerate members (count,
+    total uncompressed bytes, stored-vs-deflated split) via a REAL
+    central-directory walk (operators/archiveprobe.parse_zip — EOCD
+    backward scan bounded by the max comment length, entry count and
+    offsets honored, not signature-scanned). The fixture fabricates
+    real mixed STORED/DEFLATED archives with stdlib zipfile — which
+    sits only on the fabrication side, keeping the parse independent;
+    the oracle restates the member arithmetic in closed form."""
+    from .operators.multimodal import extract_zip_stats, with_zip_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_zip_stats(with_zip_media(docs))
+
+
+@_register(
+    "tar_member_stats",
+    """
+    WITH f AS (
+      SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 4)) AS BIGINT) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_members,
+           CAST(sum(5 + (doc_id + i) % 20) AS BIGINT) AS total_file_bytes
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def tar_member_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-delivery triage, TAR face: a REAL ustar 512-byte block
+    walk that VERIFIES every header checksum (sum of header bytes
+    with the checksum field blanked — operators/archiveprobe.parse_tar
+    raises on mismatch rather than trusting the field), reads octal
+    size fields, skips size-rounded data blocks, and honors the
+    end-of-archive zero blocks. Fixture via stdlib tarfile with
+    pinned mtimes (fabrication side only); the oracle restates the
+    member arithmetic."""
+    from .operators.multimodal import extract_tar_stats, with_tar_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_tar_stats(with_tar_media(docs))
+
+
+@_register(
     "gzip_text_roundtrip",
     """
     SELECT doc_id,

@@ -978,3 +978,84 @@ def mojibake_repair_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-ASCII or fails to shrink the repaired string flips rows."""
     docs = _t(spark, sf_dir, "documents")
     return _detect_mojibake(_with_mojibake_text(docs))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (the crawl-frontier normalize step)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "url_canonical_dedup",
+    """
+    SELECT 'https://example.com/doc/' || CAST(doc_id % 120 AS VARCHAR)
+             || '?a=1&b=2' AS url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY doc_id % 120
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization + dedup, entirely JVM-side
+    (zero Python, zero UDFs — the deliberate counterweight to the
+    codec family): fabricate per-doc raw URLs that differ in scheme/
+    host case, an explicit default port, tracking params and param
+    ORDER, and a fragment — then normalize with built-ins only
+    (parse_url PROTOCOL/AUTHORITY/PATH/QUERY, lower, ':443' default-
+    port strip via regexp_replace, utm_* param drop with a
+    higher-order filter over a 2-3 element array — interpreted, but
+    bounded by PARAM COUNT, not text length, so the array-lambda
+    ban for hot text paths does not apply — array_sort + concat_ws
+    rebuild) and group by the canonical form. Docs with equal
+    doc_id % 120 normalize to the SAME canonical despite raw strings
+    differing per doc; the oracle states the canonical directly, so
+    any normalization miss (case, port, param order, utm, fragment)
+    splits a group and flips counts."""
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("HtTpS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("ExAmPLE.com")).otherwise(
+            F.lit("example.COM")
+        ),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        (d % 120).cast("string"),
+        F.when(d % 2 == 0, F.lit("?b=2&utm_source=feed&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", raw.alias("u"))
+    scheme = F.lower(F.parse_url(F.col("u"), F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(F.col("u"), F.lit("AUTHORITY")))
+    # strip the scheme-default port only (https:443); other ports stay
+    auth = F.when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    path = F.parse_url(F.col("u"), F.lit("PATH"))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.parse_url(F.col("u"), F.lit("QUERY")), "&"),
+            lambda p: ~p.startswith("utm_"),
+        )
+    )
+    query = F.concat_ws("&", params)
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -97,6 +97,114 @@ class TestMojibake:
         assert "Ã©" in texts[4]
 
 
+class TestArchives:
+    def _zip(self, members):
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for name, body, stored in members:
+                zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                z.writestr(
+                    zi,
+                    body,
+                    compress_type=(
+                        zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+                    ),
+                )
+        return buf.getvalue()
+
+    def test_zip_walk(self):
+        from instacart_medallion_lakehouse_spark.operators.archiveprobe import (
+            parse_zip,
+        )
+
+        p = self._zip(
+            [("a.txt", b"12345", True), ("b/c.txt", b"x" * 100, False)]
+        )
+        m = parse_zip(p)
+        assert m["n_members"] == 2
+        assert m["n_stored"] == 1
+        assert m["total_uncompressed"] == 105
+        assert m["members"] == ["a.txt", "b/c.txt"]
+        with pytest.raises(ValueError):
+            parse_zip(p[: len(p) // 2])  # EOCD gone
+        with pytest.raises(ValueError):
+            parse_zip(b"not an archive")
+
+    def test_tar_walk_and_checksum(self):
+        import io
+        import tarfile
+
+        from instacart_medallion_lakehouse_spark.operators.archiveprobe import (
+            parse_tar,
+        )
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as t:
+            for i, size in enumerate((1, 511, 512, 513)):
+                ti = tarfile.TarInfo(f"f{i}")
+                ti.size = size
+                ti.mtime = 0
+                t.addfile(ti, io.BytesIO(b"z" * size))
+        m = parse_tar(buf.getvalue())
+        assert m["n_members"] == 4
+        assert m["total_file_bytes"] == 1 + 511 + 512 + 513
+        corrupted = bytearray(buf.getvalue())
+        corrupted[0] ^= 0xFF
+        with pytest.raises(ValueError, match="checksum"):
+            parse_tar(bytes(corrupted))
+
+    def test_spark_pairs(self, spark):
+        docs = spark.range(0, 20).toDF("doc_id")
+        zs = {
+            r.doc_id: r
+            for r in multimodal.extract_zip_stats(
+                multimodal.with_zip_media(docs)
+            ).collect()
+        }
+        ts = {
+            r.doc_id: r
+            for r in multimodal.extract_tar_stats(
+                multimodal.with_tar_media(docs)
+            ).collect()
+        }
+        for d in range(20):
+            kz = 1 + d % 5
+            assert zs[d].n_members == kz
+            assert zs[d].total_uncompressed == sum(
+                5 + (d + i) % 20 for i in range(kz)
+            )
+            assert zs[d].n_stored == sum(
+                1 for i in range(kz) if (d + i) % 2 == 0
+            )
+            kt = 1 + d % 4
+            assert ts[d].n_members == kt
+            assert ts[d].total_file_bytes == sum(
+                5 + (d + i) % 20 for i in range(kt)
+            )
+
+
+class TestUrlCanonical:
+    def test_groups_collapse(self, spark, sf_dir):
+        from instacart_medallion_lakehouse_spark.queries_llm import (
+            url_canonical_dedup,
+        )
+
+        rows = url_canonical_dedup(spark, sf_dir).collect()
+        by_url = {r.url: r for r in rows}
+        # every canonical is fully normalized
+        for u in by_url:
+            assert u.startswith("https://example.com/doc/")
+            assert u.endswith("?a=1&b=2")
+            assert ":443" not in u and "utm" not in u and "#" not in u
+        # groups genuinely merge raw variants (case/port/utm/fragment
+        # differ across members of a bucket)
+        total = sum(r.n_docs for r in rows)
+        assert total >= 120 and len(rows) == min(120, total)
+
+
 class TestTiff:
     def _payload(self, le: bool, w=100, h=50, ori=6, spp=3) -> bytes:
         e = "<" if le else ">"
