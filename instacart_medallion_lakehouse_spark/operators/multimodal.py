@@ -1950,6 +1950,90 @@ def extract_tar_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+PARQUET_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("num_rows", LongType()),
+        StructField("n_row_groups", IntegerType()),
+        StructField("n_columns", IntegerType()),
+    ]
+)
+
+
+def with_parquet_media(docs: DataFrame) -> DataFrame:
+    """Attach a REAL parquet file per doc (pyarrow writer, fixture
+    side only): 12*(1 + d%4) int64 rows over 1 + d%4 flat columns,
+    split into exactly 1 + d%3 row groups (12 is divisible by 1/2/3,
+    so row_group_size = n/g yields exactly g groups). Only
+    writer-independent fields (row count, row-group count, column
+    count) enter the compared surface — version/created_by vary by
+    pyarrow release and are probed but not oracled."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 12 * (1 + d % 4)
+                g = 1 + d % 3
+                ncols = 1 + d % 4
+                table = pa.table(
+                    {
+                        f"c{j}": list(range(d + j, d + j + n))
+                        for j in range(ncols)
+                    }
+                )
+                buf = io.BytesIO()
+                pq.write_table(table, buf, row_group_size=n // g)
+                rows.append({"doc_id": d, "payload": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def extract_parquet_meta(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Footer-only parquet triage via the hand-written Thrift
+    compact-protocol reader (operators/parquetprobe.py) — O(footer
+    bytes) per file, no column data touched, no parquet library.
+    Malformed payloads contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .parquetprobe import parse_parquet_footer
+
+        cols = list(PARQUET_PROBE_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    m = parse_parquet_footer(
+                        bytes(p) if p is not None else b""
+                    )
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "num_rows": m["num_rows"],
+                        "n_row_groups": m["n_row_groups"],
+                        "n_columns": m["n_columns"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, PARQUET_PROBE_SCHEMA
+    )
+
+
 def with_gzip_text(docs: DataFrame) -> DataFrame:
     """Gzip-compress every document body into a binary payload
     (stdlib gzip, mtime pinned to 0 so the member header is

@@ -761,6 +761,38 @@ def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "parquet_footer_probe",
+    """
+    SELECT doc_id,
+           CAST(12 * (1 + doc_id % 4) AS BIGINT) AS num_rows,
+           CAST(1 + doc_id % 3 AS INT) AS n_row_groups,
+           CAST(1 + doc_id % 4 AS INT) AS n_columns
+    FROM documents
+    """,
+)
+def parquet_footer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe family's capstone: the lakehouse's OWN storage
+    format, parsed from bytes with a hand-written Thrift
+    compact-protocol reader (operators/parquetprobe.py — zigzag
+    varints, field-id delta headers, recursive generic skip) over the
+    FileMetaData footer. Footer-only reads are how a catalog sizes a
+    petabyte of unregistered parquet — row counts, row-group layout,
+    schema width at O(footer bytes) per file, no column data touched.
+    The fixture writes REAL parquet with pyarrow (fixture side only;
+    a unit test cross-checks the probe against the actual testdata
+    files too), forcing exactly 1 + d%3 row groups; the oracle
+    restates row/group/column counts in closed form — a varint,
+    zigzag, or skip-length bug desyncs the whole struct walk."""
+    from .operators.multimodal import (
+        extract_parquet_meta,
+        with_parquet_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_parquet_meta(with_parquet_media(docs))
+
+
+@_register(
     "zip_member_stats",
     """
     WITH f AS (

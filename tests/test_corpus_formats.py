@@ -186,6 +186,72 @@ class TestArchives:
             )
 
 
+class TestParquetFooter:
+    def test_flat_and_multi_row_group(self):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from instacart_medallion_lakehouse_spark.operators.parquetprobe import (
+            parse_parquet_footer,
+        )
+
+        t = pa.table({f"c{j}": list(range(120)) for j in range(3)})
+        buf = io.BytesIO()
+        pq.write_table(t, buf, row_group_size=40)
+        m = parse_parquet_footer(buf.getvalue())
+        assert m["num_rows"] == 120
+        assert m["n_row_groups"] == 3
+        assert m["n_columns"] == 3
+        assert m["created_by"] and "arrow" in m["created_by"]
+
+    def test_real_testdata_files_agree_with_duckdb(self, sf_dir):
+        import glob
+        import os
+
+        import duckdb
+
+        from instacart_medallion_lakehouse_spark.operators.parquetprobe import (
+            parse_parquet_footer,
+        )
+
+        files = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+        if not files:
+            pytest.skip("no testdata")
+        for f in files:
+            m = parse_parquet_footer(open(f, "rb").read())
+            (n,) = duckdb.sql(
+                f"SELECT count(*) FROM read_parquet('{f}')"
+            ).fetchone()
+            assert m["num_rows"] == n, f
+            assert m["n_row_groups"] >= 1
+
+    def test_corrupt(self):
+        from instacart_medallion_lakehouse_spark.operators.parquetprobe import (
+            parse_parquet_footer,
+        )
+
+        with pytest.raises(ValueError):
+            parse_parquet_footer(b"PAR1xxPAR1")
+        with pytest.raises(ValueError):
+            parse_parquet_footer(b"notparquet")
+
+    def test_spark_pair(self, spark):
+        docs = spark.range(0, 24).toDF("doc_id")
+        got = {
+            r.doc_id: r
+            for r in multimodal.extract_parquet_meta(
+                multimodal.with_parquet_media(docs)
+            ).collect()
+        }
+        for d in range(24):
+            r = got[d]
+            assert r.num_rows == 12 * (1 + d % 4)
+            assert r.n_row_groups == 1 + d % 3
+            assert r.n_columns == 1 + d % 4
+
+
 class TestUrlCanonical:
     def test_groups_collapse(self, spark, sf_dir):
         from instacart_medallion_lakehouse_spark.queries_llm import (
