@@ -1993,9 +1993,10 @@ def with_parquet_media(docs: DataFrame) -> DataFrame:
                 rows.append({"doc_id": d, "payload": buf.getvalue()})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
-        run, "doc_id long, payload binary"
-    )
+    # spread the per-doc parquet writes across cores (the same
+    # one-row-group-scan serialization as the GIF/AVI fixtures)
+    ids = docs.select("doc_id").repartition(_python_parallelism(docs))
+    return ids.mapInPandas(run, "doc_id long, payload binary")
 
 
 def extract_parquet_meta(
