@@ -59,6 +59,9 @@ def parse_mp3(payload: bytes) -> dict:
     bitrate = rate = mode = None
     frames = 0
     while pos + 4 <= n:
+        if payload[pos : pos + 3] == b"TAG" and n - pos == 128:
+            pos = n  # standard 128-byte ID3v1 trailer after the frames
+            break
         b0, b1, b2, b3 = payload[pos : pos + 4]
         _expect(b0 == 0xFF and (b1 & 0xE0) == 0xE0,
                 f"mp3: lost frame sync at {pos}")

@@ -455,8 +455,9 @@ def encode_gif(
             stream = np.concatenate([r for r in rows if len(r)], axis=0)
         else:
             stream = arr
+        # max(2, pal_n - 1) >= 2, so bit_length() >= 2 always — the
+        # spec's floor of 2 holds without a second clamp
         min_code = max(2, pal_n - 1).bit_length()
-        min_code = max(2, min_code)
         out += bytes([min_code])
         out += _chunk_sub_blocks(lzw_encode(stream.tobytes(), min_code))
     out += b"\x3b"

@@ -623,9 +623,16 @@ def sniff_format(payload: bytes) -> str:
     if payload[:4] == b"fLaC":
         return "flac"
     if payload[:3] == b"ID3" or (
-        len(payload) >= 2
+        # a full MPEG-1 Layer III header check, not just the 11-bit
+        # sync: arbitrary 0xFF-prefixed binary must stay 'raw'
+        # (unsupported_container), not misroute into the mp3 bucket
+        len(payload) >= 3
         and payload[0] == 0xFF
         and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] & 0x18) == 0x18  # MPEG-1
+        and (payload[1] & 0x06) == 0x02  # Layer III
+        and 1 <= (payload[2] >> 4) <= 14  # valid bitrate index
+        and ((payload[2] >> 2) & 0x03) <= 2  # valid sample-rate index
     ):
         return "mp3"  # after the jpeg check: FFD8 never reaches here
     if payload[:9] == b"YUV4MPEG2":
@@ -909,18 +916,7 @@ def extract_pcm_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
                 payload = bytes(p) if p is not None else b""
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    continue
-                pos, fmt, data = 12, None, None
-                while pos + 8 <= len(payload):
-                    cid = payload[pos : pos + 4]
-                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
-                    if cid == b"fmt ":
-                        fmt = payload[pos + 8 : pos + 8 + clen]
-                    elif cid == b"data":
-                        data = payload[pos + 8 : pos + 8 + clen]
-                        break
-                    pos += 8 + clen + (clen & 1)
+                fmt, data, _ = _wav_chunks(payload)
                 if fmt is None or len(fmt) < 16 or data is None:
                     continue
                 (bits,) = struct.unpack_from("<H", fmt, 14)
@@ -946,6 +942,30 @@ def extract_pcm_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return media.select(id_col, "payload").mapInPandas(
         run, PCM_STATS_SCHEMA
     )
+
+
+def _wav_chunks(payload: bytes):
+    """Shared RIFF/WAVE chunk walk (even-padded chunk advance):
+    returns (fmt_bytes, data_bytes, data_len_claimed) — data_bytes may
+    be shorter than the claim when the payload is truncated on disk;
+    duration-style consumers use the CLAIM (what ffprobe reports),
+    sample decoders use the bytes. (None, None, None) when the payload
+    is not RIFF/WAVE. One definition for the four audio extractors, so
+    a chunk-walk fix lands everywhere at once."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None, None, None
+    pos, fmt, data, data_len = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + clen]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+            data_len = clen
+            break
+        pos += 8 + clen + (clen & 1)  # chunks pad to even
+    return fmt, data, data_len
 
 
 def _python_parallelism(df: DataFrame) -> int:
@@ -1434,18 +1454,7 @@ def extract_g711_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
                 payload = bytes(p) if p is not None else b""
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    continue
-                pos, fmt, data = 12, None, None
-                while pos + 8 <= len(payload):
-                    cid = payload[pos : pos + 4]
-                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
-                    if cid == b"fmt ":
-                        fmt = payload[pos + 8 : pos + 8 + clen]
-                    elif cid == b"data":
-                        data = payload[pos + 8 : pos + 8 + clen]
-                        break
-                    pos += 8 + clen + (clen & 1)
+                fmt, data, _ = _wav_chunks(payload)
                 if fmt is None or len(fmt) < 16 or not data:
                     continue
                 (tag,) = struct.unpack_from("<H", fmt, 0)
@@ -1554,18 +1563,7 @@ def extract_adpcm_stats(
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
                 payload = bytes(p) if p is not None else b""
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    continue
-                pos, fmt, data = 12, None, None
-                while pos + 8 <= len(payload):
-                    cid = payload[pos : pos + 4]
-                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
-                    if cid == b"fmt ":
-                        fmt = payload[pos + 8 : pos + 8 + clen]
-                    elif cid == b"data":
-                        data = payload[pos + 8 : pos + 8 + clen]
-                        break
-                    pos += 8 + clen + (clen & 1)
+                fmt, data, _ = _wav_chunks(payload)
                 if fmt is None or len(fmt) < 16 or data is None:
                     continue
                 (tag,) = struct.unpack_from("<H", fmt, 0)
@@ -1844,9 +1842,9 @@ def with_zip_media(docs: DataFrame) -> DataFrame:
                 rows.append({"doc_id": d, "payload": buf.getvalue()})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
-        run, "doc_id long, payload binary"
-    )
+    # same core-parallelism spread as the other Python fixture stages
+    ids = docs.select("doc_id").repartition(_python_parallelism(docs))
+    return ids.mapInPandas(run, "doc_id long, payload binary")
 
 
 def extract_zip_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1915,9 +1913,9 @@ def with_tar_media(docs: DataFrame) -> DataFrame:
                 rows.append({"doc_id": d, "payload": buf.getvalue()})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
-        run, "doc_id long, payload binary"
-    )
+    # same core-parallelism spread as the other Python fixture stages
+    ids = docs.select("doc_id").repartition(_python_parallelism(docs))
+    return ids.mapInPandas(run, "doc_id long, payload binary")
 
 
 def extract_tar_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2140,20 +2138,10 @@ def extract_audio_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
                 payload = bytes(p) if p is not None else b""
                 if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                    pos, fmt, data_len = 12, None, None
-                    while pos + 8 <= len(payload):
-                        cid = payload[pos : pos + 4]
-                        (clen,) = struct.unpack_from("<I", payload, pos + 4)
-                        if cid == b"fmt ":
-                            fmt = payload[pos + 8 : pos + 8 + clen]
-                        elif cid == b"data":
-                            # the header's claimed length IS the data
-                            # size (the payload may be truncated on
-                            # disk; duration comes from the claim, the
-                            # same thing ffprobe reports)
-                            data_len = clen
-                            break
-                        pos += 8 + clen + (clen & 1)  # chunks pad to even
+                    # duration comes from the data chunk's CLAIMED
+                    # length (the payload may be truncated on disk;
+                    # the claim is what ffprobe reports)
+                    fmt, _, data_len = _wav_chunks(payload)
                     if fmt is not None and len(fmt) >= 16 and data_len is not None:
                         (ch,) = struct.unpack_from("<H", fmt, 2)
                         (rate,) = struct.unpack_from("<I", fmt, 4)

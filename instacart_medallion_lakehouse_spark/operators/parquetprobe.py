@@ -118,10 +118,30 @@ class _Reader:
         return size, hdr & 0x0F
 
 
+def _schema_element_children(r: "_Reader") -> int:
+    """Walk one SchemaElement struct, returning its num_children
+    (field 5, i32; 0 when absent — i.e. a LEAF column)."""
+    fid = 0
+    children = 0
+    while True:
+        hdr = r.byte()
+        if hdr == _STOP:
+            return children
+        delta = hdr >> 4
+        ftype = hdr & 0x0F
+        fid = fid + delta if delta else r.zigzag()
+        if fid == 5 and ftype == _I32:
+            children = r.zigzag()
+        else:
+            r.skip(ftype)
+
+
 def parse_parquet_footer(payload: bytes) -> dict:
     """Probe the FileMetaData struct: version, num_rows,
-    n_row_groups, n_columns (leaf schema elements = all but the
-    root), created_by. Raises on bad magic / truncated footer."""
+    n_row_groups, n_columns (LEAF schema elements — num_children
+    absent or 0, so group nodes of nested struct/list/map columns are
+    not counted), created_by. Raises on bad magic / truncated
+    footer."""
     n = len(payload)
     if n < 12 or payload[:4] != b"PAR1" or payload[-4:] != b"PAR1":
         raise ValueError("parquet: bad magic")
@@ -145,9 +165,12 @@ def parse_parquet_footer(payload: bytes) -> dict:
             version = r.zigzag()
         elif fid == 2 and ftype == _LIST:  # schema: list<SchemaElement>
             size, etype = r.list_header()
-            n_schema = size
-            for _ in range(size):
-                r.skip(etype)
+            if etype != _STRUCT:
+                raise ValueError("parquet: schema list of non-structs")
+            n_schema = 0  # leaf count (root + group nodes excluded)
+            for i in range(size):
+                if _schema_element_children(r) == 0 and i > 0:
+                    n_schema += 1
         elif fid == 3 and ftype == _I64:
             num_rows = r.zigzag()
         elif fid == 4 and ftype == _LIST:  # row_groups
@@ -169,6 +192,6 @@ def parse_parquet_footer(payload: bytes) -> dict:
         "version": version,
         "num_rows": num_rows,
         "n_row_groups": n_row_groups or 0,
-        "n_columns": max(0, n_schema - 1),  # minus the schema root
+        "n_columns": n_schema,  # leaf elements only (see above)
         "created_by": created_by,
     }

@@ -893,7 +893,6 @@ def _with_mojibake_text(docs: DataFrame) -> DataFrame:
     import pandas as _pd
 
     def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        rows_out = []
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -905,7 +904,6 @@ def _with_mojibake_text(docs: DataFrame) -> DataFrame:
                     t = t.encode("utf-8").decode("latin-1")
                 rows.append({"doc_id": doc_id, "text": t})
             yield _pd.DataFrame(rows, columns=["doc_id", "text"])
-        return rows_out
 
     return docs.select("doc_id", "text").mapInPandas(
         run, "doc_id long, text string"

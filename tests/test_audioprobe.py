@@ -43,6 +43,16 @@ class TestMp3:
         with pytest.raises(ValueError):
             parse_mp3(encode_mp3_stub(9, 1, 2) + b"\x00\x00")
 
+    def test_id3v1_trailer_tolerated(self):
+        # the ubiquitous 128-byte ID3v1 'TAG' block after the frames
+        # is a healthy file, not corruption
+        trailer = b"TAG" + bytes(125)
+        m = parse_mp3(encode_mp3_stub(9, 1, 3) + trailer)
+        assert m["n_frames"] == 3
+        # but a TAG block of the wrong size is still an error
+        with pytest.raises(ValueError):
+            parse_mp3(encode_mp3_stub(9, 1, 3) + b"TAG" + bytes(50))
+
     def test_free_bitrate_rejected(self):
         hdr = bytes([0xFF, 0xFB, 0x00, 0x00])
         with pytest.raises(ValueError, match="bitrate"):
@@ -162,6 +172,10 @@ class TestSniffTriage:
         )
         # jpeg magic still wins over the generic 0xFF sync sniff
         assert multimodal.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+        # arbitrary 0xFF-prefixed binary must NOT misroute into the
+        # mp3 bucket: invalid version/layer/bitrate bits stay 'raw'
+        assert multimodal.sniff_format(b"\xff\xff\x00\x00" + bytes(16)) == "raw"
+        assert multimodal.sniff_format(b"\xff\xe2\x90\x00" + bytes(16)) == "raw"
 
     def test_triage_routes_audio(self, spark):
         rows = [

@@ -227,6 +227,23 @@ class TestParquetFooter:
             assert m["num_rows"] == n, f
             assert m["n_row_groups"] >= 1
 
+    def test_nested_schema_counts_leaves_only(self):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from instacart_medallion_lakehouse_spark.operators.parquetprobe import (
+            parse_parquet_footer,
+        )
+
+        # struct column (group node + 2 leaves) + 1 flat column:
+        # 3 leaves, not 4 schema elements
+        t = pa.table({"s": [{"a": 1, "b": 2}], "x": [1]})
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        assert parse_parquet_footer(buf.getvalue())["n_columns"] == 3
+
     def test_corrupt(self):
         from instacart_medallion_lakehouse_spark.operators.parquetprobe import (
             parse_parquet_footer,
