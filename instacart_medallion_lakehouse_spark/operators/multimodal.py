@@ -1730,10 +1730,46 @@ def with_warc_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _walk_warc_records(payload: bytes):
+    """Shared WARC/1.0 record walk: parse each record's version line
+    and headers, honor Content-Length to skip the payload, require
+    the CRLF CRLF separator, repeat to end of stream. Returns
+    (n_records, n_response, total_payload_bytes) or None when the
+    stream is malformed or empty. One definition for the plain and
+    gzip-member extractors."""
+    pos = 0
+    n_records = n_response = 0
+    total = 0
+    while pos < len(payload):
+        hdr_end = payload.find(b"\r\n\r\n", pos)
+        if hdr_end < 0 or not payload.startswith(b"WARC/1.0\r\n", pos):
+            return None
+        headers = payload[pos:hdr_end].decode("utf-8", "replace")
+        clen = wtype = None
+        for line in headers.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            k = k.strip().lower()
+            if k == "content-length":
+                clen = int(v.strip())
+            elif k == "warc-type":
+                wtype = v.strip()
+        body = hdr_end + 4
+        if clen is None or body + clen + 4 > len(payload):
+            return None
+        if payload[body + clen : body + clen + 4] != b"\r\n\r\n":
+            return None
+        n_records += 1
+        total += clen
+        if wtype == "response":
+            n_response += 1
+        pos = body + clen + 4
+    if n_records == 0:
+        return None
+    return n_records, n_response, total
+
+
 def extract_warc_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL WARC record walk: parse each record's version line and
-    headers, honor Content-Length to skip the payload, require the
-    CRLF CRLF separator, repeat to end of stream — the record
+    """REAL WARC record walk (_walk_warc_records) — the record
     enumeration a WET/WARC ingest runs before any text extraction.
     Emits record count, response-record count, and total payload
     bytes; malformed streams contribute no rows (quarantine by
@@ -1746,42 +1782,10 @@ def extract_warc_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
                 payload = bytes(p) if p is not None else b""
-                pos = 0
-                n_records = n_response = 0
-                total = 0
-                ok = True
-                while pos < len(payload):
-                    hdr_end = payload.find(b"\r\n\r\n", pos)
-                    if hdr_end < 0 or not payload.startswith(
-                        b"WARC/1.0\r\n", pos
-                    ):
-                        ok = False
-                        break
-                    headers = payload[pos:hdr_end].decode(
-                        "utf-8", "replace"
-                    )
-                    clen = wtype = None
-                    for line in headers.split("\r\n")[1:]:
-                        k, _, v = line.partition(":")
-                        k = k.strip().lower()
-                        if k == "content-length":
-                            clen = int(v.strip())
-                        elif k == "warc-type":
-                            wtype = v.strip()
-                    body = hdr_end + 4
-                    if clen is None or body + clen + 4 > len(payload):
-                        ok = False
-                        break
-                    if payload[body + clen : body + clen + 4] != b"\r\n\r\n":
-                        ok = False
-                        break
-                    n_records += 1
-                    total += clen
-                    if wtype == "response":
-                        n_response += 1
-                    pos = body + clen + 4
-                if not ok or n_records == 0:
+                walked = _walk_warc_records(payload)
+                if walked is None:
                     continue
+                n_records, n_response, total = walked
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -1794,6 +1798,107 @@ def extract_warc_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return media.select(id_col, "payload").mapInPandas(
         run, WARC_STATS_SCHEMA
+    )
+
+
+WARCGZ_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_members", IntegerType()),
+        StructField("n_records", IntegerType()),
+        StructField("n_response", IntegerType()),
+        StructField("total_payload_bytes", LongType()),
+    ]
+)
+
+
+def with_warcgz_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic .warc.gz — the EXACT container Common
+    Crawl ships: each WARC record is INDIVIDUALLY gzip-compressed
+    (mtime pinned) and the members are concatenated, which is what
+    makes per-record random access possible at archive scale. Record
+    arithmetic matches with_warc_media (2 + d%3 records, type cycle
+    (d + i) % 3, payload 10 + (d + i) % 40 bytes), so the oracle is
+    the same closed form plus n_members == n_records."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                parts = []
+                for i in range(2 + d % 3):
+                    wtype = _WARC_TYPES[(d + i) % 3]
+                    plen = 10 + (d + i) % 40
+                    rec = (
+                        f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+                        f"WARC-Record-ID: <urn:uuid:doc-{d}-{i}>\r\n"
+                        f"Content-Length: {plen}\r\n\r\n"
+                    ).encode() + b"x" * plen + b"\r\n\r\n"
+                    parts.append(gzip.compress(rec, mtime=0))
+                rows.append({"doc_id": d, "payload": b"".join(parts)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    ids = docs.select("doc_id").repartition(_python_parallelism(docs))
+    return ids.mapInPandas(run, "doc_id long, payload binary")
+
+
+def extract_warcgz_stats(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL gzip-member demux + WARC record walk: iterate the
+    concatenated gzip members with zlib.decompressobj (wbits=31,
+    advancing by each member's consumed bytes via unused_data — the
+    random-access property .warc.gz exists for), then run the shared
+    record walk over the decompressed stream. n_members pins the
+    member demux independently of n_records; a member-boundary bug or
+    a header-walk bug flips different columns. Malformed payloads
+    contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        cols = list(WARCGZ_STATS_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                pos = 0
+                members = []
+                ok = len(payload) > 0
+                while pos < len(payload):
+                    dec = zlib.decompressobj(wbits=31)
+                    try:
+                        chunk = dec.decompress(payload[pos:])
+                    except zlib.error:
+                        ok = False
+                        break
+                    if not dec.eof:
+                        ok = False  # truncated final member
+                        break
+                    members.append(chunk)
+                    pos = len(payload) - len(dec.unused_data)
+                if not ok or not members:
+                    continue
+                walked = _walk_warc_records(b"".join(members))
+                if walked is None:
+                    continue
+                n_records, n_response, total = walked
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_members": len(members),
+                        "n_records": n_records,
+                        "n_response": n_response,
+                        "total_payload_bytes": total,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, WARCGZ_STATS_SCHEMA
     )
 
 

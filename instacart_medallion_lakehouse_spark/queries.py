@@ -200,6 +200,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "tar_member_stats",
     "url_canonical_dedup",
     "parquet_footer_probe",
+    "warcgz_member_stats",
     # --- round 9, part 3: backfill with the r6 cohort (newest row
     # round 6), alphabetical, to exactly 50 slots. lm_perplexity and
     # pagerank_fuzzy are r6-cohort members already pinned above as
@@ -210,14 +211,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "boilerplate_phrases",
     "cohort_retention",
     "consistent_sample_k",
-    "corpus_mixture",
     # The window is exactly 50 pins; NO no-oracle entries
     # (region_performance_approx / price_percentiles_approx /
     # stream_running_totals) — they would burn a slot on an
     # `err: no_oracle` row (VERDICT r7 item #2). ROTATION PLAN for
     # round 10, in priority order: (1) anything round 10 rewrites,
-    # (2) the r6 remainder (customer_quartiles — bumped last, by
-    # parquet_footer_probe; daily_count_revenue_corr, decile_buckets, doc_boilerplate_ratio,
+    # (2) the r6 remainder (corpus_mixture and customer_quartiles —
+    # bumped last, by warcgz_member_stats and parquet_footer_probe;
+    # daily_count_revenue_corr, decile_buckets, doc_boilerplate_ratio,
     # doc_chunks, embedding_norms, errors_in_sessions,
     # forward_fill_values, funnel_steps, incremental_exact_dedup,
     # key_skew_profile, label_centroids, lsh_bucket_profile,

@@ -854,6 +854,45 @@ def tar_member_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "warcgz_member_stats",
+    """
+    WITH f AS (
+      SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 3)) AS BIGINT) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_members,
+           CAST(count(*) AS INT) AS n_records,
+           CAST(sum(CASE WHEN (doc_id + i) % 3 = 1 THEN 1 ELSE 0 END)
+                AS INT) AS n_response,
+           CAST(sum(10 + (doc_id + i) % 40) AS BIGINT)
+             AS total_payload_bytes
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def warcgz_member_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT container Common Crawl ships — .warc.gz, one gzip
+    member PER RECORD, members concatenated (the property that makes
+    per-record random access possible at archive scale). The fixture
+    compresses each record individually (with_warcgz_media); the
+    extract side demuxes the member chain for real
+    (zlib.decompressobj, advancing by consumed bytes via unused_data)
+    and then runs the same record walk as warc_record_stats over the
+    decompressed stream. n_members pins the member demux INDEPENDENTLY
+    of n_records — a member-boundary bug and a header-walk bug flip
+    different columns, and the oracle states both counts plus the
+    payload totals in closed form."""
+    from .operators.multimodal import (
+        extract_warcgz_stats,
+        with_warcgz_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_warcgz_stats(with_warcgz_media(docs))
+
+
+@_register(
     "gzip_text_roundtrip",
     """
     SELECT doc_id,
