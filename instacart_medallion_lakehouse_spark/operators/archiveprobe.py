@@ -52,6 +52,11 @@ def parse_zip(payload: bytes) -> dict:
         cd_off,
         _clen,
     ) = struct.unpack_from("<HHHHIIH", payload, pos + 4)
+    # ZIP64 archives store sentinel values here and the real numbers in
+    # the ZIP64 EOCD record; summing the sentinels would silently
+    # report wrong counts — loud error per the quarantine design
+    if n_entries == 0xFFFF or cd_off == 0xFFFFFFFF or _cd_size == 0xFFFFFFFF:
+        raise ValueError("zip: ZIP64 archive not supported")
     members = []
     total_c = total_u = n_stored = 0
     p = cd_off

@@ -217,6 +217,10 @@ def connected_components(
                 return labels.select(
                     "node", F.col("label").alias("component")
                 )
+        # release the last round's pinned labels before raising — the
+        # error path must not leak a pin into the registry (the
+        # post-sweep cache-leak gate would flag it)
+        unpin(labels)
         raise RuntimeError(
             f"connected_components: no convergence in {max_rounds} rounds"
         )

@@ -1750,11 +1750,19 @@ def _walk_warc_records(payload: bytes):
             k, _, v = line.partition(":")
             k = k.strip().lower()
             if k == "content-length":
-                clen = int(v.strip())
+                # non-integer => malformed record, quarantine the row
+                # (never raise out of the Spark task); negative lengths
+                # are rejected below — a crafted negative value can land
+                # the implied record end on an EARLIER separator and
+                # stall the walk forever
+                try:
+                    clen = int(v.strip())
+                except ValueError:
+                    clen = None
             elif k == "warc-type":
                 wtype = v.strip()
         body = hdr_end + 4
-        if clen is None or body + clen + 4 > len(payload):
+        if clen is None or clen < 0 or body + clen + 4 > len(payload):
             return None
         if payload[body + clen : body + clen + 4] != b"\r\n\r\n":
             return None
@@ -1762,7 +1770,10 @@ def _walk_warc_records(payload: bytes):
         total += clen
         if wtype == "response":
             n_response += 1
-        pos = body + clen + 4
+        nxt = body + clen + 4
+        if nxt <= pos:  # walk must strictly advance — hang guard
+            return None
+        pos = nxt
     if n_records == 0:
         return None
     return n_records, n_response, total

@@ -88,8 +88,15 @@ class _Reader:
             self.pos += ln
         elif ttype in (_LIST, _SET):
             size, etype = self.list_header()
-            for _ in range(size):
-                self.skip(etype)
+            if etype in (_TRUE, _FALSE):
+                # compact protocol encodes bool LIST ELEMENTS as one
+                # byte each (unlike bool struct fields, which live in
+                # the field header) — a zero-width skip would desync
+                # the whole footer walk
+                self.pos += size
+            else:
+                for _ in range(size):
+                    self.skip(etype)
         elif ttype == _MAP:
             size = self.varint()
             if size:

@@ -340,3 +340,77 @@ class TestTiff:
             assert r.height == 16 + d % 480
             assert r.orientation == 1 + d % 8
             assert r.samples_per_pixel == 1 + d % 4
+
+
+class TestHardening:
+    """Round-10 adversarial-input fixes (ADVICE r9): malformed WARC
+    Content-Length must quarantine (never raise or hang), ZIP64
+    sentinels must error loudly, thrift list<bool> skip must consume
+    one byte per element."""
+
+    def test_warc_non_integer_content_length(self):
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: oops\r\n\r\nxxx\r\n\r\n"
+        )
+        assert multimodal._walk_warc_records(bad) is None
+
+    def test_warc_negative_content_length_terminates(self):
+        # crafted so the implied record end lands on an EARLIER
+        # CRLF CRLF — the pre-fix walk looped forever here
+        hdr = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -8\r\n\r\n"
+        bad = hdr + b"\r\n\r\n" + b"pad"
+        assert multimodal._walk_warc_records(bad) is None
+
+    def test_warc_negative_content_length_variants(self):
+        for clen in (-1, -4, -100):
+            hdr = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"Content-Length: {clen}\r\n\r\n"
+            ).encode()
+            assert multimodal._walk_warc_records(hdr + b"\r\n\r\n" * 3) is None
+
+    def test_zip64_sentinel_rejected(self):
+        from instacart_medallion_lakehouse_spark.operators.archiveprobe import (
+            parse_zip,
+        )
+
+        eocd = b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+        )
+        with pytest.raises(ValueError, match="ZIP64"):
+            parse_zip(eocd)
+
+    def test_thrift_bool_list_skip(self):
+        from instacart_medallion_lakehouse_spark.operators.parquetprobe import (
+            _FALSE,
+            _I32,
+            _LIST,
+            _TRUE,
+            _Reader,
+        )
+
+        # struct { 1: list<bool> [true,false,true]; 2: i32 7; stop }
+        # compact: field hdr (delta=1,type=LIST), list hdr
+        # (size=3,etype=TRUE), 3 one-byte bool elements, field hdr
+        # (delta=1,type=I32), varint 14 (zigzag(7)), STOP
+        buf = bytes(
+            [
+                (1 << 4) | _LIST,
+                (3 << 4) | _TRUE,
+                _TRUE,
+                _FALSE,
+                _TRUE,
+                (1 << 4) | _I32,
+                14,
+                0,
+            ]
+        )
+        r = _Reader(buf)
+        hdr = r.byte()
+        assert hdr & 0x0F == _LIST
+        r.skip(_LIST)
+        hdr2 = r.byte()
+        assert hdr2 & 0x0F == _I32, "bool-list skip desynced the walk"
+        assert r.zigzag() == 7
+        assert r.byte() == 0  # STOP

@@ -73,4 +73,9 @@ class TestConnectedComponents:
         )
         with pytest.raises(RuntimeError, match="no convergence"):
             connected_components(df, max_rounds=0, edges_unique=True)
+        # the error path must release its own pins (ADVICE r9) — the
+        # post-sweep cache-leak gate would flag a leaked label table
+        from instacart_medallion_lakehouse_spark.pins import pinned_count
+
+        assert pinned_count() == 0
         q.release_pins()
