@@ -115,20 +115,27 @@ def contamination_flags(
     bench_max_id: int = 10,
     overlap_threshold: float = 0.2,
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct ids of corpus docs (id >= bench_max_id) sharing at least
     ``overlap_threshold`` of some benchmark doc's (id < bench_max_id)
     3-token shingles. The benchmark side is tiny and broadcasts; the
     corpus never shuffles for candidate generation. Shared by the
-    benchmark_contamination query and curated_docs_v2."""
+    benchmark_contamination query and curated_docs_v2.
+
+    ``shingles``: an already-materialized (id, _sh) table (the persisted
+    shingle store asset) — when provided it is consumed as-is; when
+    None the explosion is built from ``docs`` and pinned, because it
+    feeds THREE consumers (bench side, bench sizes, corpus side) and an
+    unpinned fresh build would run the tokenize/posexplode/window/
+    distinct chain once per consumer."""
     from .operators.dedup import shingle_table
 
-    # the shingle explosion feeds THREE consumers (bench side, bench
-    # sizes, corpus side) — pin it so the tokenize/posexplode/window/
-    # distinct chain runs once, the same multi-consumer convention as
-    # operators/dedup.py's ngram_jaccard_pairs / minhash_bands
-    ex = pin(shingle_table(docs, 3, id_col))
-    ex.count()
+    if shingles is not None:
+        ex = shingles
+    else:
+        ex = pin(shingle_table(docs, 3, id_col))
+        ex.count()
     bench = ex.filter(F.col(id_col) < bench_max_id).select(
         F.col(id_col).alias("bench_id"), "_sh"
     )

@@ -110,6 +110,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     prefix_filter: bool | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with n-token-shingle Jaccard >= threshold (exact).
 
@@ -144,12 +145,19 @@ def ngram_jaccard_pairs(
     the join. This is the 100 TB form of the exact algorithm;
     minhash_lsh_pairs is the cheaper approximate alternative.
     """
-    ex = pin(shingle_table(docs, n, id_col))
-    n_shingles = ex.count()  # materialize BEFORE the self-join: a lazily-
-    # filled cache races — both join sides would concurrently recompute
-    # the pipeline; the count doubles as the auto-switch signal
-    if prefix_filter is None:
-        prefix_filter = n_shingles > _PREFIX_AUTO_THRESHOLD
+    if shingles is not None:
+        # caller-provided (store-backed) shingle table: consumed as-is;
+        # the auto-switch count is a metadata-cheap scan of the asset
+        ex = shingles
+        if prefix_filter is None:
+            prefix_filter = ex.count() > _PREFIX_AUTO_THRESHOLD
+    else:
+        ex = pin(shingle_table(docs, n, id_col))
+        n_shingles = ex.count()  # materialize BEFORE the self-join: a
+        # lazily-filled cache races — both join sides would concurrently
+        # recompute the pipeline; the count doubles as the auto-switch
+        if prefix_filter is None:
+            prefix_filter = n_shingles > _PREFIX_AUTO_THRESHOLD
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
 
     if prefix_filter:
@@ -246,10 +254,15 @@ def shingle_containment_pairs(
     PPJoin-style pruning applies (on the contained side only).
 
     ``shingles``: a precomputed (id, _sh) table (e.g. the persisted
-    shingle-layer asset) — skips the explode entirely.
+    shingle-layer asset) — skips the explode entirely and is consumed
+    AS-IS (the caller owns its materialization: a store-backed parquet
+    scan needs no pin; see queries_text._shingles_ready).
     """
-    ex = pin(shingles if shingles is not None else shingle_table(docs, n, id_col))
-    ex.count()  # materialize before the self-join (see ngram_jaccard_pairs)
+    if shingles is not None:
+        ex = shingles
+    else:
+        ex = pin(shingle_table(docs, n, id_col))
+        ex.count()  # materialize before the self-join (ngram note)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     common = _attach_sizes(_pair_intersections(ex, id_col), sizes, id_col)
     directed = common.select(

@@ -129,117 +129,92 @@ def _register(name: str, oracle: str | None):
 # the WHOLE registry stays gated locally by tools/check_oracle.py
 # regardless of order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- round 9, part 0: persisted-store BUILD entries stay pinned
-    # first so ordered multi-query runs (bench included) attribute each
-    # shared build cost to its build entry, not to whichever consumer
-    # happens to run first; keeping them in place also keeps per-query
-    # bench timings comparable across rounds. span_run_index precedes
-    # dedup_spans_text (rewritten this round); minhash_signature_table
-    # precedes minhash_lsh_dedup (r6-cohort backfill below);
-    # token_table is NEW this round (the persisted token/bigram layer
-    # that lm_perplexity's rewrite consumes — VERDICT r8 item #3).
+    # --- round 10, part 0: persisted-store BUILD entries pinned first,
+    # in DERIVED-TABLE DAG order, so ordered multi-query runs (bench
+    # included) attribute each shared build cost to its build entry,
+    # not to whichever consumer happens to run first. Round 10
+    # completes the set (VERDICT r9 item #1): shingle_index_table is
+    # NEW (the root asset — signatures and contamination flags chain
+    # from it), scored_docs_table / doc_repetition_table /
+    # contamination_flags_table are NEW (the curation silver layer,
+    # previously billed to curated_docs_v2's timing).
+    "shingle_index_table",
     "minhash_signature_table",
+    "scored_docs_table",
+    "doc_repetition_table",
+    "contamination_flags_table",
     "span_run_index",
     "token_table",
-    # --- round 9, part 1: queries REWRITTEN this round, so their old
-    # driver rows describe a stale plan: lm_perplexity (persisted token
-    # layer), dedup_spans_text (fused coverage/removal passes),
-    # pagerank_fuzzy (halved iteration barriers) — VERDICT r8 items
-    # #3/#4 — plus the brand-new media_quarantine_profile (item #7),
-    # which has no driver row at all.
-    "media_quarantine_profile",
-    "lm_perplexity",
-    "dedup_spans_text",
-    "pagerank_fuzzy",
-    # --- round 9, part 2: the ENTIRE remaining r3 cohort (newest
-    # driver row round 3 — the stalest oracle-twinned queries in the
-    # registry), alphabetical. This retires the last of the rotation
-    # debt: after this round no twin's newest row is older than r6.
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_prospect_balances",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "revenue_anomalies",
-    "rolling_user_value",
-    "salted_join_rollup",
-    "semdedup_docs",
-    "set_ops_users",
-    "stream_dedup",
-    "tfidf_top_terms",
-    "trailing_7d_revenue",
-    "train_val_test_split",
-    "union_by_name_drift",
-    # --- round 9, part 2b: the round-9 LATE ADDITIONS jump the
-    # backfill (same precedent as round 8's new entries) so they earn
-    # driver rows immediately instead of standing as lifetime-coverage
-    # debt. They consume the slots quality_resample,
-    # q6_forecast_revenue, q14_promo_revenue and
-    # q13_customer_distribution (r6 cohort, can wait for round 10)
-    # would have taken.
-    "incremental_span_dedup",
-    "video_container_probe",
-    "mkv_container_probe",
-    "audio_pcm_stats",
-    "gif_frame_stats",
-    "avi_frame_stats",
-    "mp3_stream_probe",
-    "flac_stream_probe",
-    "audio_g711_stats",
-    "gzip_text_roundtrip",
-    "name_components_converged",
-    "audio_adpcm_stats",
-    "warc_record_stats",
-    "mojibake_repair_profile",
-    "tiff_ifd_probe",
-    "zip_member_stats",
-    "tar_member_stats",
-    "url_canonical_dedup",
-    "parquet_footer_probe",
-    "warcgz_member_stats",
-    # --- round 9, part 3: backfill with the r6 cohort (newest row
-    # round 6), alphabetical, to exactly 50 slots. lm_perplexity and
-    # pagerank_fuzzy are r6-cohort members already pinned above as
-    # rewrites; the 20 below are the next-stalest. The r6 remainder
-    # (quality_resample .. winnowing_fingerprints, 16) plus the r7
-    # cohort is round 10's backfill.
-    "ann_pq_topk",
-    "boilerplate_phrases",
-    "cohort_retention",
-    "consistent_sample_k",
-    # The window is exactly 50 pins; NO no-oracle entries
-    # (region_performance_approx / price_percentiles_approx /
-    # stream_running_totals) — they would burn a slot on an
-    # `err: no_oracle` row (VERDICT r7 item #2). ROTATION PLAN for
-    # round 10, in priority order: (1) anything round 10 rewrites,
-    # (2) the r6 remainder (corpus_mixture and customer_quartiles —
-    # bumped last, by warcgz_member_stats and parquet_footer_probe;
-    # daily_count_revenue_corr, decile_buckets, doc_boilerplate_ratio,
-    # doc_chunks, embedding_norms, errors_in_sessions,
-    # forward_fill_values, funnel_steps, incremental_exact_dedup,
-    # key_skew_profile, label_centroids, lsh_bucket_profile,
-    # minhash_lsh_dedup, mixture_temperature_weights — all fourteen
-    # bumped from this round's tail by the fourteen late additions
-    # gif_frame_stats/avi_frame_stats/mp3_stream_probe/
-    # flac_stream_probe/audio_g711_stats/gzip_text_roundtrip/
-    # name_components_converged/audio_adpcm_stats/warc_record_stats/
-    # mojibake_repair_profile/tiff_ifd_probe/zip_member_stats/
-    # tar_member_stats/url_canonical_dedup —
-    # q6_forecast_revenue,
-    # q13_customer_distribution, q14_promo_revenue,
-    # quality_resample,
-    # revenue_gini,
-    # revenue_trend_by_nation, scd2_user_states,
-    # semantic_contamination, sequence_packing, source_entropy,
-    # stratified_sample, stream_enriched_totals,
-    # supplier_balance_ranks, time_rollup_revenue, triangle_count,
-    # unpivot_part_metrics, urgent_customers_by_segment,
-    # user_burstiness, winnowing_fingerprints), (3) the r7 cohort,
-    # alphabetical.
+    # --- round 10, part 1: queries whose PLANS were rewritten this
+    # round (store-backed shingle reuse replaced per-query pin+count
+    # cache materialization; curated_docs_v2's final verify now reads
+    # the shingle store instead of re-tokenizing survivors), so their
+    # old driver rows describe stale plans. minhash_lsh_dedup is also
+    # the r6 cohort's staleness leader.
+    "minhash_lsh_dedup",
+    "minhash_estimate_error",
+    "incremental_minhash_dedup",
+    "cross_source_dup_matrix",
+    "benchmark_contamination",
+    "curated_docs_v2",
+    "containment_pairs",
+    "ngram_jaccard_dedup",
+    # --- round 10, part 2: the ENTIRE r6 cohort remainder (newest
+    # driver row round 6 — the stalest oracle-twinned queries in the
+    # registry), alphabetical. After this round no twin's newest driver
+    # row is older than r7. (price_percentiles_approx and
+    # stream_running_totals are r6-stamped but no-oracle by design —
+    # they would burn a slot on an `err: no_oracle` row.)
+    "corpus_mixture",
+    "customer_quartiles",
+    "daily_count_revenue_corr",
+    "decile_buckets",
+    "doc_boilerplate_ratio",
+    "doc_chunks",
+    "embedding_norms",
+    "errors_in_sessions",
+    "forward_fill_values",
+    "funnel_steps",
+    "incremental_exact_dedup",
+    "key_skew_profile",
+    "label_centroids",
+    "lsh_bucket_profile",
+    "mixture_temperature_weights",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "quality_resample",
+    "revenue_gini",
+    "revenue_trend_by_nation",
+    "scd2_user_states",
+    "semantic_contamination",
+    "sequence_packing",
+    "source_entropy",
+    "stratified_sample",
+    "stream_enriched_totals",
+    "supplier_balance_ranks",
+    "time_rollup_revenue",
+    "triangle_count",
+    "unpivot_part_metrics",
+    "urgent_customers_by_segment",
+    "user_burstiness",
+    "winnowing_fingerprints",
+    # --- round 10, part 3: one slot left — the r7 cohort's
+    # alphabetical head starts the next rotation wave. ROTATION PLAN
+    # for round 11, in priority order: (1) anything round 11 rewrites,
+    # (2) the r7 cohort (ann_topk, asof_click_view, bigram_topk,
+    # blocklist_filter, bronze_meta_scan, cms_heavy_hitters,
+    # dedup_first, dim_customers_rollup, dim_parts_rollup,
+    # doc_fingerprint, duplicate_rate, enrich_case, events_near_errors,
+    # fct_surrogate_key, hash_shuffled_export, json_extract,
+    # language_id, null_rate, null_safe_filter, pivot_status_revenue,
+    # q1..q21 TPC-H members, quality_score, region_performance,
+    # region_performance_sql, repetition_ratio, return_velocity,
+    # ri_orphans, rolling_active_users, rollup_revenue, sessionize,
+    # source_quality_profile, stream_hopping_events,
+    # top_brands_per_nation, winsorized_order_stats, zipf_slope),
+    # (3) the r8 cohort, alphabetical.
+    "ann_lsh_topk",
 )
 
 
@@ -365,6 +340,25 @@ def shared_table(
         except OSError:  # lost the publish race — winner's table is live
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def store_backed(df: DataFrame) -> bool:
+    """True when ``df`` scans the persisted derived-table store (i.e.
+    ``shared_table`` served it from parquet rather than falling back to
+    a fresh build). Consumers use this to decide whether multi-consumer
+    reuse needs an executor-cache pin: re-scanning a compact columnar
+    store asset two or three times is CHEAPER than writing it into the
+    block-manager cache first (the write is the full table, the scans
+    are column-pruned), but a fallback-built plan re-executes its whole
+    explode/aggregate chain per consumer and must be pinned. Metadata
+    only — ``inputFiles`` launches no job."""
+    d = _shared_dir()
+    if not d:
+        return False
+    try:
+        return any(d in f for f in df.inputFiles())
+    except Exception:  # noqa: BLE001 — conservative: pin on any doubt
+        return False
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -31,7 +31,7 @@ from .functions.text import (
 )
 from .operators import dedup, vectors
 from .pins import pin
-from .queries import _register, _t, shared_table
+from .queries import _register, _t, shared_table, store_backed
 
 # --- shared SQL fragments (moved to oracle_fragments.py; re-exported) ------
 
@@ -319,7 +319,8 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        shingles=_shingles_ready(spark, sf_dir),
     )
 
 
@@ -349,6 +350,24 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bump when tokens()/shingle_table change
         token="tok-ws-3shingle-v1",
     )
+
+
+def _shingles_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle table prepared for MULTI-CONSUMER reuse (the
+    exact-Jaccard verify reads it from two join sides plus the size
+    aggregate). Store-backed: return the parquet scan as-is — three
+    column-pruned scans of the compact store asset beat one full write
+    into executor cache (measured: the pin+count alone cost ~1-3s per
+    consumer query at sf0.1 under whole-registry memory pressure, the
+    r9 bench regression's biggest line item). Fallback-built (synthetic
+    test inputs, store disabled): pin + materialize so the
+    tokenize/posexplode/window/distinct chain runs once, not thrice."""
+    ex = shared_shingles(spark, sf_dir)
+    if store_backed(ex):
+        return ex
+    ex = pin(ex)
+    ex.count()
+    return ex
 
 
 def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,9 +450,13 @@ def shared_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "contamination_flags",
+        # chained store build: the flag set derives from the committed
+        # shingle layer (store-backed: consumed as-is; fallback:
+        # _shingles_ready pins the fresh build for the 3 consumers)
         lambda: curation.contamination_flags(
             _t(spark, sf_dir, "documents"), bench_max_id=10,
             overlap_threshold=0.2,
+            shingles=_shingles_ready(spark, sf_dir),
         ),
         # name the policy params: a different policy is a different asset
         token="bench10-overlap0.2-3shingle-v1",
@@ -504,10 +527,140 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "shingle_index_table",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    )
+    SELECT doc_id, unnest(shingles) AS _sh FROM sh
+    """,
+)
+def shingle_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle-layer BUILD as a first-class, oracle-checked
+    operator: materialize (or read back) the persisted distinct
+    (doc_id, 3-shingle) inverted-index asset and return it. Pinned
+    FIRST in queries._WINDOW_PRIORITY — it is the root of the derived-
+    table DAG (signatures chain from it), so in an ordered multi-query
+    run every downstream dedup/contamination timing measures its own
+    plan, not the corpus explode."""
+    return shared_shingles(spark, sf_dir)
+
+
+@_register(
+    "scored_docs_table",
+    f"""
+    SELECT doc_id, n_tokens,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           round(
+             (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio >= 0.03 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END), 2)
+             AS quality_score,
+           fingerprint, predicted_lang
+    FROM (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             {{hits_en}} * 1.0 / len(t) AS stop_ratio,
+             len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio,
+             (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+               * 1.0 / nullif(length(text), 0) AS alpha_ratio,
+             list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_tok,
+             md5({{norm}}) AS fingerprint,
+             {{lang_case}} AS predicted_lang
+      FROM (SELECT doc_id, text, {{toks}} AS t FROM documents)
+    )
+    """.format(
+        hits_en=_hits_sql(STOPWORDS["en"]),
+        norm=_NORM_SQL,
+        lang_case=_lang_case_sql(),
+        toks=_TOKS_SQL,
+    ),
+)
+def scored_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver SCORING-layer build as a first-class, oracle-checked
+    operator: materialize (or read back) the persisted scored-documents
+    asset (quality signals + predicted language + exact-dup
+    fingerprint) and return its comparison projection. In an ordered
+    multi-query run this commits the asset before any curation
+    consumer, so curated_docs_v2 and friends measure their own plans."""
+    return shared_scored_docs(spark, sf_dir).select(
+        "doc_id", "n_tokens", "alpha_ratio", "quality_score",
+        "fingerprint", "predicted_lang",
+    )
+
+
+@_register(
+    "doc_repetition_table",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+               generate_subscripts(arr, 1) AS pos,
+               unnest(arr) AS term
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+              FROM documents)
+      ) WHERE term <> ''
+    ),
+    big AS (
+      SELECT doc_id, term AS t1,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM tok
+    ),
+    counts AS (
+      SELECT doc_id, t1, t2, count(*) AS n
+      FROM big WHERE t2 IS NOT NULL GROUP BY doc_id, t1, t2
+    )
+    SELECT doc_id, round(max(n) * 1.0 / sum(n), 6) AS rep_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def doc_repetition_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition-signal build (Gopher-style most-frequent-bigram
+    share) as a first-class, oracle-checked operator over the persisted
+    store asset. The stored column is the raw ratio (consumers
+    threshold it); the comparison projection rounds to 6 places in
+    lockstep with the oracle."""
+    return shared_repetition(spark, sf_dir).select(
+        "doc_id", dround(F.col("rep_ratio"), 6).alias("rep_ratio")
+    )
+
+
+@_register(
+    "contamination_flags_table",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id < 10),
+    bsize AS (SELECT bench_id, count(*) AS bench_size FROM bench GROUP BY 1),
+    hits AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      FROM ex c JOIN bench b ON c.s = b.s AND c.doc_id >= 10
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT h.doc_id
+    FROM hits h JOIN bsize s USING (bench_id)
+    WHERE h.n_shared * 1.0 / s.bench_size >= 0.2
+    """,
+)
+def contamination_flags_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination FLAG-SET build (distinct corpus doc ids with
+    >= 20% shingle overlap against the id<10 benchmark set) as a
+    first-class, oracle-checked operator over the persisted store
+    asset — committed before curated_docs_v2 consumes it as a
+    broadcast anti-join side."""
+    return shared_contamination_flags(spark, sf_dir)
+
+
 @_register("minhash_lsh_dedup", _minhash_sql(num_hashes=16, band_rows=2))
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = pin(shared_shingles(spark, sf_dir))
-    ex.count()  # materialize before multi-consumer reuse (dedup.py note)
+    ex = _shingles_ready(spark, sf_dir)
     bands = shared_minhash_bands(spark, sf_dir)
     return dedup.minhash_lsh_pairs_from(ex, bands, threshold=0.5)
 
@@ -1005,7 +1158,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-(doc, bench) counts collapse map-side. Asymmetric by
     construction — unlike dedup there is no corpus self-join anywhere.
     """
-    ex = shared_shingles(spark, sf_dir)
+    ex = _shingles_ready(spark, sf_dir)
     bench = ex.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("bench_id"), F.col("_sh")
     )
@@ -1151,10 +1304,21 @@ def curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the survivors (it needs their shingles anyway).
     ids = exact.select(F.col("doc_id").alias("_id"))
     bands = shared_minhash_bands(spark, sf_dir).join(ids, "_id", "semi")
-    ex = pin(dedup.shingle_table(
-        exact.select("doc_id", "text"), 3, "doc_id"
-    ))
-    ex.count()  # verify consumes it from two join sides
+    # the exact-Jaccard verify's shingles ALSO come from the persisted
+    # store (a doc's shingle set is a pure function of its own text, so
+    # the survivors' shingles are the whole-corpus shingle asset
+    # semi-joined to the surviving ids) — no re-tokenization of the
+    # cleaned text anywhere in the v2 plan. Fallback (store disabled /
+    # synthetic inputs): build the survivor shingle table once, pinned,
+    # as before.
+    base = shared_shingles(spark, sf_dir)
+    if store_backed(base):
+        ex = base.join(exact.select("doc_id"), "doc_id", "semi")
+    else:
+        ex = pin(dedup.shingle_table(
+            exact.select("doc_id", "text"), 3, "doc_id"
+        ))
+        ex.count()  # verify consumes it from two join sides
     pairs = dedup.minhash_lsh_pairs_from(ex, bands, threshold=0.8)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     # broadcast the loser-id set: it is the near-dup DETECTION OUTPUT
@@ -1915,8 +2079,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). est is an exact k/16 rational on both engines; the error is
     computed from the two ROUNDED columns so the subtraction sees
     identical doubles."""
-    ex = pin(shared_shingles(spark, sf_dir))
-    ex.count()  # materialize: feeds the candidate verify twice
+    ex = _shingles_ready(spark, sf_dir)
     sig = shared_minhash_sigs(spark, sf_dir)  # stored asset, cheap scan
     bands = dedup.bands_from_signatures(sig, 16, 2, "doc_id")
     cand = dedup.lsh_candidate_pairs(bands)
@@ -2009,13 +2172,15 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — a batch doc with any match is a drop, its matches say why."""
     docs = _t(spark, sf_dir, "documents")
     gate = F.substring(F.md5(F.col("_id").cast("string")), 1, 2) < "cd"
-    bands = pin(dedup.bands_from_signatures(
-        shared_minhash_sigs(spark, sf_dir), 16, 2
-    ))
-    bands.count()  # feeds both sides of the band-bucket join
+    sig = shared_minhash_sigs(spark, sf_dir)
+    bands = dedup.bands_from_signatures(sig, 16, 2)
+    if not store_backed(sig):
+        # fallback-built signatures: pin the band table so the 16-hash
+        # signature chain runs once, not once per join side
+        bands = pin(bands)
+        bands.count()
     cand = dedup.lsh_candidate_pairs(bands.filter(~gate), bands.filter(gate))
-    ex = pin(shared_shingles(spark, sf_dir))
-    ex.count()  # verify consumes it from two join sides
+    ex = _shingles_ready(spark, sf_dir)
     return (
         dedup._verify_jaccard(cand, ex, "doc_id", threshold=0.5)
         .select(
@@ -2056,8 +2221,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits the LSH candidate budget. avg_jaccard aggregates exact-integer
     micro-units so summation order cannot flip the rounding."""
     docs = _t(spark, sf_dir, "documents")
-    ex = pin(shared_shingles(spark, sf_dir))
-    ex.count()  # materialize before multi-consumer reuse (dedup.py note)
+    ex = _shingles_ready(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs_from(
         ex, shared_minhash_bands(spark, sf_dir), threshold=0.5
     )
@@ -2388,7 +2552,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.shingle_containment_pairs(
         docs, n=3, threshold=0.6, id_col="doc_id",
-        shingles=shared_shingles(spark, sf_dir),
+        shingles=_shingles_ready(spark, sf_dir),
     ).orderBy("contained_id", "container_id")
 
 

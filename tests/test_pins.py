@@ -28,7 +28,13 @@ def _cache_empty(spark) -> bool:
 
 
 class TestPinRelease:
-    def test_registry_invocation_releases_previous_pins(self, spark, sf_dir):
+    def test_registry_invocation_releases_previous_pins(
+        self, spark, sf_dir, monkeypatch
+    ):
+        # disable the persisted derived-table store: store-backed
+        # shingles need no pin (round 10), so force the fallback path
+        # this test exists to exercise
+        monkeypatch.setenv("SPARK_GRAFT_SHARED_DIR", "")
         reg = q.queries()
         q.release_pins()
         spark.catalog.clearCache()
