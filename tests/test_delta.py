@@ -13,6 +13,19 @@ instruction to run it alone:
 Everything else in the repo runs against the Parquet fallback plus the
 versioned.py snapshot twin, which covers the same semantics (atomic
 commit, MERGE, time travel) without the package.
+
+Install attempt record (round 10, 2026-08-16, VERDICT r9 #8): this
+sandbox has no package-index access — ``pip download
+delta-spark==4.0.0 --no-deps`` fails with "Could not find a version
+that satisfies the requirement delta-spark==4.0.0 (from versions:
+none)", i.e. the resolver sees an EMPTY index, not a missing release.
+Even with the Python package present, Delta also needs the JVM-side
+``io.delta:delta-spark_2.13:4.x`` jars, which Spark fetches from Maven
+at session creation — equally unreachable here. On any host with
+normal network access the leg is: ``pip install delta-spark==4.0.0``
+(matches the baked-in pyspark 4.x line; use 3.2.x for pyspark 3.5),
+then ``python -m pytest tests/test_delta.py`` ALONE (fresh JVM so the
+Delta SQL extension can register).
 """
 
 from __future__ import annotations
