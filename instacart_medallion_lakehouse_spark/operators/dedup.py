@@ -197,6 +197,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    ex: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stop-shingle-capped exact near-dup over an existing (id, _sh)
+    shingle table: shingles with document frequency > ``max_df`` are
+    dropped from CANDIDATE GENERATION (the inverted-index self-join),
+    then candidates are verified with exact Jaccard over the FULL
+    shingle sets — so every emitted pair's jaccard value is identical
+    to the uncapped operator's.
+
+    This is the standard cure for the inverted-index join's quadratic
+    hot bucket: a shingle shared by k documents contributes k(k-1)/2
+    join rows, so one corpus-wide boilerplate phrase ("all rights
+    reserved …") turns the join cartesian. Capping df bounds every
+    bucket's contribution at max_df(max_df-1)/2 regardless of corpus
+    size — the join becomes O(|shingles| · max_df) worst case.
+
+    Recall: a true pair is missed only if EVERY shared shingle has
+    df > max_df — i.e. the overlap consists entirely of corpus-wide
+    boilerplate. At threshold >= 0.5 such a pair is mostly boilerplate
+    by construction, which upstream repetition/boilerplate culls
+    already remove; content near-dups share low-df shingles
+    (identifying phrases) with probability ~1. See SCALE.md for the
+    cap-vs-recall argument and the PPJoin prefix filter, the recall-1
+    alternative this complements.
+
+    The hot-shingle set (at most |shingles|/max_df rows) broadcasts
+    into an anti-join — the corpus-side explosion never shuffles for
+    candidate generation beyond the capped self-join itself.
+    """
+    dfreq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    hot = dfreq.filter(F.col("_df") > max_df).select("_sh")
+    idx = ex.join(F.broadcast(hot), "_sh", "left_anti")
+    cand = (
+        idx.select(F.col(id_col).alias("_ida"), "_sh")
+        .join(idx.select(F.col(id_col).alias("_idb"), "_sh"), "_sh")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, ex, id_col, threshold)
+
+
 def _pair_intersections(ex: DataFrame, id_col: str) -> DataFrame:
     """Unordered (id_a < id_b) shared-shingle counts via the inverted-
     index self-join — each shared shingle contributes exactly one row,

@@ -199,8 +199,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "urgent_customers_by_segment",
     "user_burstiness",
     "winnowing_fingerprints",
-    # --- round 10, part 3: one slot left — the r7 cohort's
-    # alphabetical head starts the next rotation wave. ROTATION PLAN
+    # --- round 10, part 3: one slot left — taken by the round's NEW
+    # entry (stop-shingle-capped exact dedup, the 100 TB form of the
+    # inverted-index join; VERDICT r9 #6), which needs its first driver
+    # row. ROTATION PLAN
     # for round 11, in priority order: (1) anything round 11 rewrites,
     # (2) the r7 cohort (ann_topk, asof_click_view, bigram_topk,
     # blocklist_filter, bronze_meta_scan, cms_heavy_hitters,
@@ -213,8 +215,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ri_orphans, rolling_active_users, rollup_revenue, sessionize,
     # source_quality_profile, stream_hopping_events,
     # top_brands_per_nation, winsorized_order_stats, zipf_slope),
-    # (3) the r8 cohort, alphabetical.
-    "ann_lsh_topk",
+    # (3) the r8 cohort, alphabetical. (ann_lsh_topk rejoins the r7
+    # cohort's alphabetical head next round.)
+    "ngram_jaccard_dedup_capped",
 )
 
 

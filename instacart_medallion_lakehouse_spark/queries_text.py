@@ -527,6 +527,45 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_CAP_DF = 64  # stop-shingle document-frequency cap (lockstep w/ SQL)
+
+
+@_register(
+    "ngram_jaccard_dedup_capped",
+    f"""
+    WITH sh0 AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ),
+    sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+    idx AS (
+      SELECT e.doc_id, e.s FROM ex e
+      JOIN dfreq d ON e.s = d.s AND d.df <= {_NGRAM_CAP_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.5
+    """,
+)
+def ngram_jaccard_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of exact n-gram Jaccard dedup: candidate
+    generation excludes shingles with document frequency >
+    _NGRAM_CAP_DF (the stop-shingle cap — bounds the inverted-index
+    join's hottest bucket at cap²/2 rows regardless of corpus size),
+    verification still uses FULL shingle sets so emitted jaccard values
+    match the uncapped operator exactly. Recall argument in SCALE.md
+    and the operator docstring (operators/dedup.py)."""
+    return dedup.ngram_jaccard_pairs_capped(
+        _shingles_ready(spark, sf_dir),
+        threshold=0.5,
+        max_df=_NGRAM_CAP_DF,
+    )
+
+
 @_register(
     "shingle_index_table",
     f"""

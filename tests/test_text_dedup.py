@@ -394,3 +394,56 @@ class TestIncrementalSpanDedup:
         assert r.action in ("quarantine", "flag")
         # 25 covered of 32 tokens -> 78% -> quarantine
         assert r.action == "quarantine"
+
+
+class TestStopShingleCap:
+    def test_capped_equals_uncapped_when_cap_exceeds_all_df(
+        self, spark, sf_dir
+    ):
+        # a cap above every shingle's document frequency must change
+        # NOTHING: same pairs, same exact jaccard values
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ex = dedup.shingle_table(docs, 3, "doc_id")
+        uncapped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs_capped(
+                ex, threshold=0.5, max_df=10**9
+            ).collect()
+        }
+        assert capped == uncapped
+        assert len(capped) > 0
+
+    def test_hot_shingles_excluded_from_candidates_only(self, spark):
+        # corpus: every doc shares the hot boilerplate phrase
+        # "all rights reserved worldwide" (df = n_docs); docs 0 and 1
+        # additionally share unique content. With max_df=3 the hot
+        # shingles cannot generate candidates, but the (0,1) pair is
+        # still found via its rare content shingles — and its jaccard
+        # is computed over the FULL sets (boilerplate included).
+        boiler = "all rights reserved worldwide forever"
+        rows = [
+            (0, f"alpha beta gamma delta epsilon {boiler}"),
+            (1, f"alpha beta gamma delta epsilon {boiler}"),
+            (2, f"one two three four five six {boiler}"),
+            (3, f"seven eight nine ten eleven twelve {boiler}"),
+            (4, f"red orange yellow green blue indigo {boiler}"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ex = dedup.shingle_table(docs, 3, "doc_id")
+        capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs_capped(
+                ex, threshold=0.5, max_df=3
+            ).collect()
+        }
+        assert (0, 1) in capped
+        assert capped[(0, 1)] == 1.0  # identical docs: full-set jaccard
+        # pairs whose entire overlap is the hot boilerplate are the
+        # documented recall loss: (2,3) share ONLY boilerplate shingles
+        # and fall below threshold anyway, but must also produce no
+        # candidate at all
+        assert all(p == (0, 1) for p in capped)
