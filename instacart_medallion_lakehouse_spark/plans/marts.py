@@ -172,30 +172,92 @@ def region_performance(
     registers and the right accuracy for share-of-total KPIs. Tighten
     rsd only when the distinct counts feed decisions that need it.
     """
-    distinct = (
-        (lambda c: F.approx_count_distinct(c, 0.05))
-        if approx_distinct
-        else F.countDistinct
-    )
     enriched = enriched_lineitem(lineitem, orders, customer, nation, region).filter(
         F.col("o_orderstatus") == "F"
     )
-    agg = enriched.groupBy(
-        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
-    ).agg(
-        F.count(F.lit(1)).alias("total_line_items"),
-        distinct("l_orderkey").alias("unique_orders"),
-        distinct("o_custkey").alias("unique_customers"),
-        distinct("l_partkey").alias("unique_parts"),
-        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
-        dround(F.avg("l_quantity"), 2).alias("avg_quantity"),
-        conditional_share(F.col("l_returnflag") == "R").alias("return_share"),
-        conditional_share(F.col("l_discount") >= 0.05).alias("promo_share"),
+    grp = [
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+    ]
+    if approx_distinct:
+        # HLL sketches merge without row expansion — the single-pass
+        # form is already optimal for the approx variant
+        distinct = lambda c: F.approx_count_distinct(c, 0.05)  # noqa: E731
+        agg = enriched.groupBy(*grp).agg(
+            F.count(F.lit(1)).alias("total_line_items"),
+            distinct("l_orderkey").alias("unique_orders"),
+            distinct("o_custkey").alias("unique_customers"),
+            distinct("l_partkey").alias("unique_parts"),
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            dround(F.avg("l_quantity"), 2).alias("avg_quantity"),
+            conditional_share(F.col("l_returnflag") == "R").alias("return_share"),
+            conditional_share(F.col("l_discount") >= 0.05).alias("promo_share"),
+        )
+        out = agg.withColumn(
+            "pct_of_total_items", pct_of_total(F.col("total_line_items"))
+        )
+        return out.orderBy(F.col("total_line_items").desc(), F.col("nation_name"))
+
+    # EXACT form: split the three countDistincts instead of taking
+    # Catalyst's Expand plan. Three distinct columns make Spark expand
+    # every fact row x4 before the partial aggregate; splitting into
+    # (a) an order-grain pre-aggregate (o_custkey is constant per
+    # order, so unique_orders becomes a plain count and
+    # unique_customers a single-distinct over ~|orders| rows) and
+    # (b) a parts-only single-distinct chain halves the aggregate
+    # input and removes the Expand entirely. The two chains share
+    # byte-identical broadcast builds (ReuseExchange serves both) and
+    # rejoin on the 25-row (region, nation) grain. sf0.1 A/B, 3 runs
+    # each, steady state: expand form 2.57s vs split form 1.59s.
+    # Trade-off at 100 TB: the fact scan runs twice (column-pruned) vs
+    # one scan pushing 4x rows through the partial aggregate — partial
+    # aggregation is the dominant cost of this plan at any scale, so
+    # the split wins there too; flip back to the single-pass form only
+    # if the scan itself (e.g. remote cold storage) dominates.
+    per_order = enriched.groupBy(*grp, F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).alias("_items"),
+        F.min("o_custkey").alias("_ck"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        F.sum("l_quantity").alias("_qty"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_ret"),
+        F.sum(F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)).alias("_promo"),
     )
-    out = agg.withColumn(
-        "pct_of_total_items", pct_of_total(F.col("total_line_items"))
+    agg = per_order.groupBy("region_name", "nation_name").agg(
+        F.sum("_items").alias("total_line_items"),
+        F.count(F.lit(1)).alias("unique_orders"),
+        F.countDistinct("_ck").alias("unique_customers"),
+        dround(F.sum("_rev"), 2).alias("revenue"),
+        dround(F.sum("_qty") / F.sum("_items"), 2).alias("avg_quantity"),
+        dround(F.sum("_ret") * F.lit(1.0) / F.sum("_items"), 4).alias(
+            "return_share"
+        ),
+        dround(F.sum("_promo") * F.lit(1.0) / F.sum("_items"), 4).alias(
+            "promo_share"
+        ),
+    )
+    parts = enriched.groupBy(*grp).agg(
+        F.countDistinct("l_partkey").alias("unique_parts")
+    )
+    out = (
+        # both sides are (region, nation)-grain (25 rows); hint the
+        # parts side so the static plan is a broadcast join rather
+        # than waiting for AQE to discover the size at runtime
+        agg.join(F.broadcast(parts), ["region_name", "nation_name"])
+        .select(
+            "region_name",
+            "nation_name",
+            "total_line_items",
+            "unique_orders",
+            "unique_customers",
+            "unique_parts",
+            "revenue",
+            "avg_quantity",
+            "return_share",
+            "promo_share",
+        )
+        .withColumn("pct_of_total_items", pct_of_total(F.col("total_line_items")))
     )
     return out.orderBy(F.col("total_line_items").desc(), F.col("nation_name"))
 
