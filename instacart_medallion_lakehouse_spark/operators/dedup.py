@@ -204,11 +204,12 @@ def ngram_jaccard_pairs_capped(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Stop-shingle-capped exact near-dup over an existing (id, _sh)
-    shingle table: shingles with document frequency > ``max_df`` are
-    dropped from CANDIDATE GENERATION (the inverted-index self-join),
-    then candidates are verified with exact Jaccard over the FULL
-    shingle sets — so every emitted pair's jaccard value is identical
-    to the uncapped operator's.
+    shingle table: shingles with document frequency > ``max_df`` (the
+    corpus-hot "stop shingles") are removed from the similarity
+    definition itself — Jaccard is computed EXACTLY over each
+    document's remaining shingle set, in the same single
+    inverted-index-join + hash-aggregate pass as the uncapped
+    operator.
 
     This is the standard cure for the inverted-index join's quadratic
     hot bucket: a shingle shared by k documents contributes k(k-1)/2
@@ -217,30 +218,33 @@ def ngram_jaccard_pairs_capped(
     bucket's contribution at max_df(max_df-1)/2 regardless of corpus
     size — the join becomes O(|shingles| · max_df) worst case.
 
-    Recall: a true pair is missed only if EVERY shared shingle has
-    df > max_df — i.e. the overlap consists entirely of corpus-wide
-    boilerplate. At threshold >= 0.5 such a pair is mostly boilerplate
-    by construction, which upstream repetition/boilerplate culls
-    already remove; content near-dups share low-df shingles
-    (identifying phrases) with probability ~1. See SCALE.md for the
-    cap-vs-recall argument and the PPJoin prefix filter, the recall-1
-    alternative this complements.
+    Semantics: removing corpus-frequency-capped shingles from BOTH the
+    intersection and the union is stopword removal lifted to shingles
+    — two documents are near-dups when their NON-boilerplate content
+    overlaps, which is the signal a curation pipeline actually wants
+    (boilerplate chrome gluing unrelated docs into one cluster is the
+    classic failure). A pair is lost relative to the uncapped operator
+    only when its overlap is dominated by corpus-hot shingles; a pair
+    can be GAINED when shared content was diluted by differing
+    boilerplate. When no shingle exceeds the cap the output is
+    IDENTICAL to the uncapped operator (provably so on this corpus at
+    the default cap — max df at sf0.1 is 25). See SCALE.md.
 
-    The hot-shingle set (at most |shingles|/max_df rows) broadcasts
-    into an anti-join — the corpus-side explosion never shuffles for
-    candidate generation beyond the capped self-join itself.
+    The hot-shingle set (at most |shingles|/max_df rows) is pinned —
+    its parent is a full document-frequency aggregate that would
+    otherwise re-execute under every consumer — and broadcasts into
+    the anti-join; the capped index then feeds the one-pass
+    intersection count and the per-doc size table exactly like the
+    uncapped plan.
     """
     dfreq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-    hot = dfreq.filter(F.col("_df") > max_df).select("_sh")
+    hot = pin(dfreq.filter(F.col("_df") > max_df).select("_sh"))
+    hot.count()
     idx = ex.join(F.broadcast(hot), "_sh", "left_anti")
-    cand = (
-        idx.select(F.col(id_col).alias("_ida"), "_sh")
-        .join(idx.select(F.col(id_col).alias("_idb"), "_sh"), "_sh")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
-        .distinct()
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    return _jaccard_from_common(
+        _pair_intersections(idx, id_col), sizes, id_col, threshold
     )
-    return _verify_jaccard(cand, ex, id_col, threshold)
 
 
 def _pair_intersections(ex: DataFrame, id_col: str) -> DataFrame:

@@ -145,6 +145,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "contamination_flags_table",
     "span_run_index",
     "token_table",
+    # boilerplate_phrases doubles as the PHRASE-store build (its first
+    # run commits shared_boilerplate_phrases) — pinned with the builds
+    # so doc_boilerplate_ratio (r6 cohort, alphabetically earlier)
+    # doesn't pay the phrase build in ordered runs (r10 bench showed
+    # exactly that: 1.44s -> 2.54s when the window order flipped).
+    "boilerplate_phrases",
     # --- round 10, part 1: queries whose PLANS were rewritten this
     # round (store-backed shingle reuse replaced per-query pin+count
     # cache materialization; curated_docs_v2's final verify now reads
@@ -154,7 +160,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "minhash_lsh_dedup",
     "minhash_estimate_error",
     "incremental_minhash_dedup",
-    "cross_source_dup_matrix",
     "benchmark_contamination",
     "curated_docs_v2",
     "containment_pairs",
@@ -218,6 +223,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # (3) the r8 cohort, alphabetical. (ann_lsh_topk rejoins the r7
     # cohort's alphabetical head next round.)
     "ngram_jaccard_dedup_capped",
+    # --- position 51, OUTSIDE the driver's 50-row window but still
+    # bench-ordered with its family: cross_source_dup_matrix shares the
+    # store-backed-shingle rewrite already driver-covered by the seven
+    # family members above (its last green row is r8; it re-enters the
+    # rotation with the r8 cohort in round 11).
+    "cross_source_dup_matrix",
 )
 
 

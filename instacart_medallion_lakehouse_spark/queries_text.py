@@ -544,21 +544,32 @@ _NGRAM_CAP_DF = 64  # stop-shingle document-frequency cap (lockstep w/ SQL)
       SELECT e.doc_id, e.s FROM ex e
       JOIN dfreq d ON e.s = d.s AND d.df <= {_NGRAM_CAP_DF}
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT * FROM ({_NGRAM_VERIFY_SQL}) WHERE jaccard >= 0.5
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
     """,
 )
 def ngram_jaccard_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of exact n-gram Jaccard dedup: candidate
-    generation excludes shingles with document frequency >
-    _NGRAM_CAP_DF (the stop-shingle cap — bounds the inverted-index
-    join's hottest bucket at cap²/2 rows regardless of corpus size),
-    verification still uses FULL shingle sets so emitted jaccard values
-    match the uncapped operator exactly. Recall argument in SCALE.md
-    and the operator docstring (operators/dedup.py)."""
+    """The 100 TB form of exact n-gram Jaccard dedup: shingles with
+    document frequency > _NGRAM_CAP_DF (corpus-hot stop shingles) are
+    removed from the similarity definition, bounding the
+    inverted-index join's hottest bucket at cap²/2 rows regardless of
+    corpus size; Jaccard over the remaining sets is exact and computed
+    in the same one-pass join + hash-aggregate shape as the uncapped
+    operator. At this corpus's df distribution (max 25 at sf0.1) the
+    cap never bites, so the output is IDENTICAL to ngram_jaccard_dedup
+    — the oracle proves the zero-loss case; the bound is the 100 TB
+    insurance. Semantics + recall argument in SCALE.md and
+    operators/dedup.ngram_jaccard_pairs_capped."""
     return dedup.ngram_jaccard_pairs_capped(
         _shingles_ready(spark, sf_dir),
         threshold=0.5,

@@ -421,9 +421,10 @@ class TestStopShingleCap:
         # corpus: every doc shares the hot boilerplate phrase
         # "all rights reserved worldwide" (df = n_docs); docs 0 and 1
         # additionally share unique content. With max_df=3 the hot
-        # shingles cannot generate candidates, but the (0,1) pair is
-        # still found via its rare content shingles — and its jaccard
-        # is computed over the FULL sets (boilerplate included).
+        # shingles drop out of the similarity universe; the (0,1) pair
+        # is found via its rare content shingles and scores jaccard
+        # over the CAPPED sets (identical docs -> identical capped
+        # sets -> 1.0).
         boiler = "all rights reserved worldwide forever"
         rows = [
             (0, f"alpha beta gamma delta epsilon {boiler}"),
@@ -441,7 +442,7 @@ class TestStopShingleCap:
             ).collect()
         }
         assert (0, 1) in capped
-        assert capped[(0, 1)] == 1.0  # identical docs: full-set jaccard
+        assert capped[(0, 1)] == 1.0  # identical docs: capped-set jaccard
         # pairs whose entire overlap is the hot boilerplate are the
         # documented recall loss: (2,3) share ONLY boilerplate shingles
         # and fall below threshold anyway, but must also produce no

@@ -50,11 +50,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             q.release_pins()
             mins[n] = min(dt, mins.get(n, dt))
-            print(f"pass{p} {n}: {dt:.3f}s", flush=True)
-    print("--- min ---")
+            sys.stderr.write(f"RESULT pass{p} {n}: {dt:.3f}s\n")
+    sys.stderr.write("RESULT --- min ---\n")
     for n, v in mins.items():
-        print(f"{n}: {v:.3f}s")
-    print(f"total_min: {sum(mins.values()):.3f}s")
+        sys.stderr.write(f"RESULT {n}: {v:.3f}s\n")
+    sys.stderr.write(f"RESULT total_min: {sum(mins.values()):.3f}s\n")
     spark.stop()
     q.clear_shared_store()
 
