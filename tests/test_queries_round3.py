@@ -44,60 +44,61 @@ class TestDriverWindow:
         # every priority name resolves; the window starts with the list
         names = list(q.queries())
         assert names[: len(q._WINDOW_PRIORITY)] == list(q._WINDOW_PRIORITY)
-        # EXACTLY 50: every driver-window slot is explicitly allocated
-        # (queries.py documents the round-5 rotation debt for the
-        # registry entries that did not fit)
-        assert len(q._WINDOW_PRIORITY) == 50
+        # 50 driver slots explicitly allocated + 1 bench-order-only
+        # trailer (cross_source_dup_matrix — queries.py documents why)
+        assert len(q._WINDOW_PRIORITY) == 51
 
-    def test_round9_window_contract(self):
-        """Round 9's rotation contract (VERDICT r8 item #1): this
-        round's rewrites and brand-new entries sit inside the 50-entry
-        driver window, the entire remaining r3 cohort (the stalest
-        oracle-twinned rows) rotates in, and every persisted-store
-        BUILD entry precedes its consumers in execution order."""
+    def test_round10_window_contract(self):
+        """Round 10's rotation contract (VERDICT r9 items #1/#3): every
+        persisted-store BUILD entry is pinned ahead of its consumers,
+        this round's rewrites and the brand-new entries sit inside the
+        50-entry driver window, and the ENTIRE r6 cohort remainder (the
+        stalest oracle-twinned rows) rotates in."""
         must_be_in = (
-            # round-9 additions/rewrites (incl. the late addition,
-            # which jumps the backfill per the round-8 precedent)
+            # the complete store-build block (VERDICT r9 item #1)
+            "shingle_index_table",
+            "minhash_signature_table",
+            "scored_docs_table",
+            "doc_repetition_table",
+            "contamination_flags_table",
+            "span_run_index",
             "token_table",
-            "media_quarantine_profile",
-            "incremental_span_dedup",
-            "video_container_probe",
-            "mkv_container_probe",
-            "audio_pcm_stats",
-            "lm_perplexity",
-            "dedup_spans_text",
-            "pagerank_fuzzy",
-            # the r3 cohort whose newest driver row is round 3
-            "q10_returned_items",
-            "q15_top_supplier",
-            "q17_small_quantity_revenue",
-            "q18_large_orders",
-            "q22_prospect_balances",
-            "q3_shipping_priority",
-            "q5_local_supplier",
-            "q7_volume_shipping",
-            "q8_market_share",
-            "revenue_anomalies",
-            "rolling_user_value",
-            "salted_join_rollup",
-            "semdedup_docs",
-            "set_ops_users",
-            "stream_dedup",
-            "tfidf_top_terms",
-            "trailing_7d_revenue",
-            "train_val_test_split",
-            "union_by_name_drift",
+            "boilerplate_phrases",
+            # round-10 rewrites + the new capped-dedup entry
+            "minhash_lsh_dedup",
+            "curated_docs_v2",
+            "ngram_jaccard_dedup",
+            "ngram_jaccard_dedup_capped",
+            # r6 cohort remainder spot checks (full list in queries.py)
+            "corpus_mixture",
+            "customer_quartiles",
+            "lsh_bucket_profile",
+            "quality_resample",
+            "triangle_count",
+            "winnowing_fingerprints",
         )
         names = list(q.queries())
         window = set(names[:50])
         for name in must_be_in:
             assert name in window, name
         # build entries come before every consumer in execution order
+        assert names.index("shingle_index_table") < names.index(
+            "minhash_signature_table"
+        )
         assert names.index("minhash_signature_table") < names.index(
             "minhash_lsh_dedup"
         )
+        assert names.index("scored_docs_table") < names.index(
+            "curated_docs_v2"
+        )
+        assert names.index("contamination_flags_table") < names.index(
+            "curated_docs_v2"
+        )
+        assert names.index("boilerplate_phrases") < names.index(
+            "doc_boilerplate_ratio"
+        )
         assert names.index("span_run_index") < names.index(
-            "dedup_spans_text"
+            "dup_span_coverage"
         )
         assert names.index("token_table") < names.index("lm_perplexity")
         # no-oracle entries stay OUT of the window (VERDICT r7 item #2)
