@@ -190,10 +190,13 @@ def lsh_bucket(vec_q: Column, num_planes: int = 4) -> Column:
     # plane index captured via closure factory — a lambda default arg would
     # change the lambda arity and rebind it as zip_with's 3-arg form
     def signer(p: int):
+        # high-nibble test as one lexicographic compare (lowercase hex:
+        # digit >= '8' <=> digit in 89abcdef); SQL twin keeps IN form
         return lambda x, d: F.when(
-            F.substring(F.md5(F.concat(F.lit(f"p{p}_"), d.cast("string"))), 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"
-            ),
+            F.substring(
+                F.md5(F.concat(F.lit(f"p{p}_"), d.cast("string"))), 1, 1
+            )
+            >= "8",
             x,
         ).otherwise(-x)
 
