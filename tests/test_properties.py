@@ -263,3 +263,72 @@ class TestBandJoinBinLemma:
         the 3-bin probe also bounds false candidates."""
         b = a + 2 * width + k
         assert abs(a // width - b // width) >= 2
+
+
+class TestCappedJaccardReference:
+    """ngram_jaccard_pairs_capped vs an independent pure-Python replay:
+    random tiny corpora, random df cap — the Spark plan (anti-join on
+    the pinned hot set + one-pass intersection count) must equal exact
+    capped-universe Jaccard computed set-theoretically in Python."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                min_size=3,
+                max_size=10,
+            ),
+            min_size=2,
+            max_size=6,
+        ),
+        st.integers(1, 6),
+    )
+    def test_matches_python_reference(self, spark, corpora, cap):
+        from instacart_medallion_lakehouse_spark.operators.dedup import (
+            ngram_jaccard_pairs_capped,
+            shingle_table,
+        )
+        from instacart_medallion_lakehouse_spark.pins import release_pins
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+        # python reference: distinct 3-shingles, df cap, exact jaccard
+        sh = {
+            i: {
+                " ".join(toks[j : j + 3])
+                for j in range(len(toks) - 2)
+            }
+            for i, toks in enumerate(corpora)
+        }
+        from collections import Counter
+
+        df_counts = Counter(s for ss in sh.values() for s in ss)
+        capped = {
+            i: {s for s in ss if df_counts[s] <= cap}
+            for i, ss in sh.items()
+        }
+        expect = {}
+        ids = sorted(sh)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = capped[ids[ai]], capped[ids[bi]]
+                common = len(a & b)
+                union = len(a | b)
+                if common and union:
+                    j = common / union
+                    # mirror dround(j, 6) >= 0.5 (round-half-up at 6dp)
+                    import math
+
+                    jr = math.floor(j * 1e6 + 0.5) / 1e6
+                    if jr >= 0.5:
+                        expect[(ids[ai], ids[bi])] = jr
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ex = shingle_table(docs, 3, "doc_id")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_capped(
+                ex, threshold=0.5, max_df=cap
+            ).collect()
+        }
+        release_pins()
+        assert got == expect
