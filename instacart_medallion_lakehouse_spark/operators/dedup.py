@@ -721,3 +721,66 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= ``max_hamming`` over an
+    arbitrary packed-bits column — the pigeonhole band trick of
+    simhash_pairs generalized to any (n_bands x band_bits) layout:
+    <= max_hamming differing bits can touch at most max_hamming bands,
+    so with ``n_bands > max_hamming`` every qualifying pair shares at
+    least one intact band -> equi-join on (band_idx, band_value) finds
+    all of them with zero recall loss; bit_count(xor) verifies
+    candidates.
+
+    Used by the multimodal perceptual-hash dedup (56-bit dHash in 4 x
+    14-bit bands, Hamming <= 3). The signature table is pinned — it is
+    one row per document and feeds both sides of the band self-join.
+    """
+    assert n_bands > max_hamming, "pigeonhole recall needs bands > hamming"
+    sig = pin(sig)
+    sig.count()  # materialize before the band self-join (ngram note)
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("idx"),
+                        F.shiftright(F.col(hash_col), band_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("nb"),
+    ).select(
+        "_id", "_sh", F.col("nb.idx").alias("idx"), F.col("nb.val").alias("val")
+    )
+    hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -2445,3 +2445,137 @@ def plan_frame_samples(media: DataFrame, every_n: int = 5) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(plan, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image dedup — round 10
+# ---------------------------------------------------------------------------
+
+DHASH_GRID_W = 9  # block columns -> 8 horizontal comparisons per row
+DHASH_GRID_H = 7  # block rows -> 56 bits total (fits signed int64
+#                   without touching the sign bit on either engine)
+DHASH_BANDS = 4
+DHASH_BAND_BITS = 14
+
+
+def _dhash_block_value(d: int, g: int, bx: int, by: int) -> int:
+    """Closed-form gray value of block (bx, by) for doc ``d`` (group
+    ``g = d // 2``) — THE single definition the fixture paints, the
+    SQL oracle restates, and tests replay. Even/odd doc pairs share a
+    group; the odd member gets one +3-bumped block, so a pair's
+    hashes differ by 0-2 bits (the two comparisons that block touches)
+    — a planted NEAR-duplicate, not an exact one."""
+    v = (g * bx + 7 * bx * bx + 17 * by + 29 * g) % 251
+    if d % 2 == 1 and bx == g % DHASH_GRID_W and by == g % DHASH_GRID_H:
+        v += 3
+    return v
+
+
+def with_dhash_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic grayscale IMAGE payload for perceptual-
+    hash dedup: per doc, a (9*sx) x (7*sy) image (sx = 1 + d%3,
+    sy = 1 + d%2) painted as a 9x7 grid of constant-value blocks from
+    _dhash_block_value, encoded through the engine's own REAL codecs —
+    format cycles PNG / BMP / PNM by d % 3, so the extractor exercises
+    all three decode paths. Block-constant pixels make the dHash
+    block means exact integers, so every decoded hash is closed-form
+    doc_id arithmetic the SQL oracle restates — but the Spark side has
+    to run a genuine decode + block-mean resize + bit pack to agree.
+
+    Fabrication is a mapInPandas stage (real zlib/PNG output is not a
+    SQL hex template), repartitioned to core parallelism like the
+    other codec fixtures."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import encode_bmp, encode_png, encode_pnm
+
+        encoders = (encode_png, encode_bmp, encode_pnm)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // 2
+                sx = 1 + d % 3
+                sy = 1 + d % 2
+                grid = np.array(
+                    [
+                        [
+                            _dhash_block_value(d, g, bx, by)
+                            for bx in range(DHASH_GRID_W)
+                        ]
+                        for by in range(DHASH_GRID_H)
+                    ],
+                    np.uint8,
+                )
+                img = np.repeat(np.repeat(grid, sy, axis=0), sx, axis=1)
+                rows.append(
+                    {"doc_id": d, "payload": encoders[d % 3](img)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    ids = docs.select("doc_id").repartition(_python_parallelism(docs))
+    return ids.mapInPandas(run, "doc_id long, payload binary")
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def extract_dhash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL perceptual hash: decode the image (PNG/BMP/PNM via the
+    pure-numpy codecs), downsample to the 9x7 dHash grid by exact
+    block SUMS (the image dimensions are grid multiples; comparing
+    sums of equal-sized blocks equals comparing means with no float
+    division anywhere), then pack bit p = by*8 + bx as
+    sum(bx, by) > sum(bx+1, by) into an int64. Images whose dimensions
+    are not grid multiples are quarantined by omission, like every
+    other malformed-payload extractor here."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import decode
+
+        cols = list(DHASH_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    arr = decode(bytes(p))
+                except ValueError:
+                    continue  # quarantine by omission
+                if arr.ndim == 3:  # luma-less fixture is grayscale, but
+                    arr = arr.mean(axis=2)  # accept RGB defensively
+                h, w = arr.shape[:2]
+                if h % DHASH_GRID_H or w % DHASH_GRID_W:
+                    continue
+                sy, sx = h // DHASH_GRID_H, w // DHASH_GRID_W
+                sums = (
+                    arr.astype(np.int64)
+                    .reshape(DHASH_GRID_H, sy, DHASH_GRID_W, sx)
+                    .sum(axis=(1, 3))
+                )
+                bits = 0
+                for by in range(DHASH_GRID_H):
+                    for bx in range(DHASH_GRID_W - 1):
+                        if sums[by, bx] > sums[by, bx + 1]:
+                            bits |= 1 << (by * 8 + bx)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "dhash": bits,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(run, DHASH_SCHEMA)

@@ -223,12 +223,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # (3) the r8 cohort, alphabetical. (ann_lsh_topk rejoins the r7
     # cohort's alphabetical head next round.)
     "ngram_jaccard_dedup_capped",
-    # --- position 51, OUTSIDE the driver's 50-row window but still
-    # bench-ordered with its family: cross_source_dup_matrix shares the
-    # store-backed-shingle rewrite already driver-covered by the seven
-    # family members above (its last green row is r8; it re-enters the
-    # rotation with the r8 cohort in round 11).
+    # --- positions 51+, OUTSIDE the driver's 50-row window but still
+    # bench-ordered with their families: cross_source_dup_matrix shares
+    # the store-backed-shingle rewrite already driver-covered by the
+    # seven family members above (its last green row is r8; it
+    # re-enters the rotation with the r8 cohort in round 11); the
+    # image-dHash pair (NEW this round, added after the window filled)
+    # is FIRST in round 11's rotation priority — new entries with no
+    # lifetime driver row outrank everything else.
     "cross_source_dup_matrix",
+    "image_dhash_table",
+    "image_dhash_dedup",
 )
 
 

@@ -3476,3 +3476,115 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         refine=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (round 10) — multimodal near-dup, the
+# missing dedup modality (text: shingle/minhash/simhash; embeddings:
+# cosine/semdedup; images: THIS)
+# ---------------------------------------------------------------------------
+
+_DHASH_CTES = """
+    dims AS (
+      SELECT doc_id, (doc_id - (doc_id % 2)) // 2 AS g,
+             1 + doc_id % 3 AS sx, 1 + doc_id % 2 AS sy
+      FROM documents
+    ),
+    blocks AS (
+      SELECT d.doc_id, d.g, bx.range AS bx, by.range AS by,
+             (d.g * bx.range + 7 * bx.range * bx.range
+              + 17 * by.range + 29 * d.g) % 251
+             + CASE WHEN d.doc_id % 2 = 1 AND bx.range = d.g % 9
+                         AND by.range = d.g % 7
+                    THEN 3 ELSE 0 END AS v
+      FROM dims d, range(0, 9) bx, range(0, 7) by
+    ),
+    hashes AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN a.v > b.v
+                           THEN CAST(1 AS BIGINT) << (a.by * 8 + a.bx)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+      FROM blocks a JOIN blocks b
+        ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+      GROUP BY a.doc_id
+    )"""
+
+
+@_register(
+    "image_dhash_table",
+    f"""
+    WITH {_DHASH_CTES}
+    SELECT d.doc_id, CAST(9 * d.sx AS INT) AS width,
+           CAST(7 * d.sy AS INT) AS height, h.dhash
+    FROM dims d JOIN hashes h ON d.doc_id = h.doc_id
+    """,
+)
+def image_dhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image perceptual hashing end-to-end: fabricate grayscale
+    images (block-constant 9x7 grids, format cycling PNG/BMP/PNM
+    through the engine's own encoders), DECODE them with the pure-numpy
+    codecs, block-sum downsample to the dHash grid, and pack the 56
+    horizontal-gradient comparisons into an int64
+    (operators/multimodal.extract_dhash). The oracle recomputes the
+    expected hash from the closed-form block values — a decoder bug, a
+    wrong block boundary, or a bit-order mistake all surface as a
+    cross-engine mismatch."""
+    from .operators.multimodal import extract_dhash, with_dhash_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_dhash(with_dhash_media(docs))
+
+
+@_register(
+    "image_dhash_dedup",
+    f"""
+    WITH {_DHASH_CTES},
+    bands AS (
+      SELECT doc_id, i.range AS band,
+             (dhash >> CAST(14 * i.range AS INT)) & 16383 AS key
+      FROM hashes, range(0, 4) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON c.id_a = ha.doc_id
+    JOIN hashes hb ON c.id_b = hb.doc_id
+    WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
+    """,
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUP pairs by perceptual hash: decode every image,
+    dHash it (image_dhash_table's pipeline), then find all pairs with
+    Hamming distance <= 3 via the pigeonhole band join (4 x 14-bit
+    bands — <= 3 differing bits leave at least one band intact, so
+    recall is 1; operators/dedup.hamming_band_pairs) and a
+    bit_count(xor) verify on candidates only. The fixture plants a
+    near-dup per even/odd doc pair (one +3-bumped block flips 0-2
+    comparison bits), so the output is the planted pairs plus whatever
+    hash collisions the closed form implies — which the oracle, running
+    the same band join over the same arithmetic, reproduces exactly.
+    Scale shape: the signature table is one row per image; the band
+    join shuffles (band, key, id, hash) — never pixels; decode
+    parallelism is the repartition count of the Arrow stage."""
+    from .operators.dedup import hamming_band_pairs
+    from .operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        extract_dhash,
+        with_dhash_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = extract_dhash(with_dhash_media(docs)).select("doc_id", "dhash")
+    return hamming_band_pairs(
+        sig,
+        "dhash",
+        n_bands=DHASH_BANDS,
+        band_bits=DHASH_BAND_BITS,
+        max_hamming=3,
+    )

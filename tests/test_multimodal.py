@@ -1137,3 +1137,90 @@ class TestPcmStats:
             assert r.peak == max(v1, -v2)
             assert r.dc_mean == (v1 + v2) // 2
             assert r.mean_square == (v1 * v1 + v2 * v2) // 2
+
+
+class TestDhash:
+    """Perceptual-hash image dedup (round 10): real decode -> block-sum
+    dHash -> pigeonhole band join, replayed against the closed-form
+    block values the fixture paints."""
+
+    def _expected_hash(self, d: int) -> int:
+        from instacart_medallion_lakehouse_spark.operators.multimodal import (
+            DHASH_GRID_H,
+            DHASH_GRID_W,
+            _dhash_block_value,
+        )
+
+        g = d // 2
+        bits = 0
+        for by in range(DHASH_GRID_H):
+            for bx in range(DHASH_GRID_W - 1):
+                if _dhash_block_value(d, g, bx, by) > _dhash_block_value(
+                    d, g, bx + 1, by
+                ):
+                    bits |= 1 << (by * 8 + bx)
+        return bits
+
+    def test_decode_hash_matches_python_replay(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        docs = spark.range(0, 24).toDF("doc_id")
+        got = {
+            r.doc_id: r
+            for r in multimodal.extract_dhash(
+                multimodal.with_dhash_media(docs)
+            ).collect()
+        }
+        assert set(got) == set(range(24))  # all three formats decode
+        for d in range(24):
+            assert got[d].dhash == self._expected_hash(d), d
+            assert got[d].width == 9 * (1 + d % 3)
+            assert got[d].height == 7 * (1 + d % 2)
+
+    def test_planted_pairs_found(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+        from instacart_medallion_lakehouse_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+        from instacart_medallion_lakehouse_spark import queries as q
+
+        docs = spark.range(0, 20).toDF("doc_id")
+        sig = multimodal.extract_dhash(
+            multimodal.with_dhash_media(docs)
+        ).select("doc_id", "dhash")
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_band_pairs(
+                sig, "dhash", n_bands=4, band_bits=14, max_hamming=3
+            ).collect()
+        }
+        q.release_pins()
+        for g in range(10):
+            a, b = 2 * g, 2 * g + 1
+            exp = bin(
+                self._expected_hash(a) ^ self._expected_hash(b)
+            ).count("1")
+            assert exp <= 2  # one bumped block flips at most 2 bits
+            assert (a, b) in pairs, (a, b)
+            assert pairs[(a, b)] == exp
+
+    def test_corrupt_payload_quarantined(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        rows = [(0, bytearray(b"not an image")), (1, None)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        assert multimodal.extract_dhash(df).count() == 0
+
+    def test_non_grid_dimensions_quarantined(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+        from instacart_medallion_lakehouse_spark.operators.imagecodec import (
+            encode_png,
+        )
+        import numpy as np
+
+        # 10x10 is not a (9k x 7k) grid multiple -> omitted
+        payload = encode_png(np.zeros((10, 10), np.uint8))
+        df = spark.createDataFrame(
+            [(0, bytearray(payload))], "doc_id long, payload binary"
+        )
+        assert multimodal.extract_dhash(df).count() == 0
