@@ -2579,3 +2579,131 @@ def extract_dhash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select(id_col, "payload").mapInPandas(run, DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (round 10) — the audio sibling of dHash
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_FRAMES = 32  # frames per clip -> 31 energy-gradient bits
+AUDIO_FP_FRAME_SAMPLES = 4  # samples per frame (fixture contract)
+AUDIO_FP_BANDS = 4
+AUDIO_FP_BAND_BITS = 8
+
+
+def _audio_fp_amplitude(d: int, g: int, f: int) -> int:
+    """Closed-form int16 amplitude of frame ``f`` for doc ``d`` (group
+    ``g = d // 2``) — painted by the fixture, restated by the SQL
+    oracle, replayed by tests. The odd group member gets ONE bumped
+    frame, so a pair's fingerprints differ by 0-2 bits: a planted
+    near-duplicate clip (same recording, one transient)."""
+    a = ((g * (f + 2) + 11 * f * f + 23 * g) % 997) * 8
+    if d % 2 == 1 and f == g % AUDIO_FP_FRAMES:
+        a += 24
+    return a
+
+
+def with_fingerprint_audio(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic mono 16-bit PCM WAV shaped for acoustic
+    fingerprinting: 32 frames x 4 samples, frame ``f`` holding the
+    constant amplitude _audio_fp_amplitude(d, g, f). Constant-valued
+    frames make per-frame energies exact integer arithmetic, so the
+    fingerprint is closed-form — but the Spark side must walk the RIFF
+    chunks and decode the little-endian int16 stream to agree. Built
+    JVM-side from hex expressions like the other WAV fixtures."""
+    d = F.col("doc_id")
+    g = F.floor(d / 2).cast("bigint")
+    frames = []
+    for f in range(AUDIO_FP_FRAMES):
+        a = ((g * (f + 2) + F.lit(11 * f * f) + F.lit(23) * g) % 997) * 8
+        a = a + F.when(
+            (d % 2 == 1) & (g % AUDIO_FP_FRAMES == f), 24
+        ).otherwise(0)
+        frames.append(
+            F.repeat(_le_hex(a.cast("bigint"), 2), AUDIO_FP_FRAME_SAMPLES)
+        )
+    datalen = F.lit(AUDIO_FP_FRAMES * AUDIO_FP_FRAME_SAMPLES * 2).cast(
+        "bigint"
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),
+            _le_hex(F.lit(36) + datalen, 4),
+            F.lit("57415645666D7420"),
+            F.lit("100000000100"),  # fmt size 16, PCM
+            _le_hex(F.lit(1), 2),  # mono
+            _le_hex(F.lit(8000), 4),
+            _le_hex(F.lit(16000), 4),
+            _le_hex(F.lit(2), 2),
+            F.lit("1000"),
+            F.lit("64617461"),
+            _le_hex(datalen, 4),
+            *frames,
+        )
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def extract_audio_fingerprint(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    frame_samples: int = AUDIO_FP_FRAME_SAMPLES,
+) -> DataFrame:
+    """REAL acoustic fingerprint (energy-gradient family, the
+    chromaprint/shazam shape without the FFT): walk the RIFF chunks,
+    decode int16 PCM, sum per-frame INTEGER energies over fixed-size
+    frames, and pack bit f = energy(f) > energy(f+1) into an int64.
+    Clips whose sample count is not a whole number of frames are
+    trimmed to the last full frame; non-WAV / non-16-bit payloads are
+    quarantined by omission. Exact integer arithmetic end to end —
+    both engines compare the same numbers."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(AUDIO_FP_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                fmt, data, _ = _wav_chunks(payload)
+                if fmt is None or len(fmt) < 16 or data is None:
+                    continue
+                (bits16,) = struct.unpack_from("<H", fmt, 14)
+                if bits16 != 16 or len(data) < 2 * frame_samples:
+                    continue
+                s = np.frombuffer(
+                    data, dtype="<i2", count=len(data) // 2
+                ).astype(np.int64)
+                nf = len(s) // frame_samples
+                if nf < 2:
+                    continue
+                e = (
+                    (s[: nf * frame_samples] ** 2)
+                    .reshape(nf, frame_samples)
+                    .sum(axis=1)
+                )
+                bits = 0
+                for f in range(min(nf - 1, 63)):
+                    if e[f] > e[f + 1]:
+                        bits |= 1 << f
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": nf,
+                        "fingerprint": bits,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, AUDIO_FP_SCHEMA
+    )

@@ -229,11 +229,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # seven family members above (its last green row is r8; it
     # re-enters the rotation with the r8 cohort in round 11); the
     # image-dHash pair (NEW this round, added after the window filled)
-    # is FIRST in round 11's rotation priority — new entries with no
+    # and the acoustic-fingerprint pair (same) are FIRST in round 11's
+    # rotation priority — new entries with no
     # lifetime driver row outrank everything else.
     "cross_source_dup_matrix",
     "image_dhash_table",
     "image_dhash_dedup",
+    "audio_fp_table",
+    "audio_fp_dedup",
 )
 
 

@@ -3588,3 +3588,113 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=DHASH_BAND_BITS,
         max_hamming=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Acoustic fingerprint dedup (round 10) — the audio sibling of the
+# image dHash family: every modality now has a near-dup operator
+# ---------------------------------------------------------------------------
+
+_AUDIO_FP_CTES = """
+    dims AS (
+      SELECT doc_id, (doc_id - (doc_id % 2)) // 2 AS g FROM documents
+    ),
+    frames AS (
+      SELECT d.doc_id, d.g, f.range AS f,
+             ((d.g * (f.range + 2) + 11 * f.range * f.range
+               + 23 * d.g) % 997) * 8
+             + CASE WHEN d.doc_id % 2 = 1 AND f.range = d.g % 32
+                    THEN 24 ELSE 0 END AS a
+      FROM dims d, range(0, 32) f
+    ),
+    fps AS (
+      SELECT x.doc_id,
+             CAST(sum(CASE WHEN x.a > y.a
+                           THEN CAST(1 AS BIGINT) << CAST(x.f AS INT)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS fingerprint
+      FROM frames x JOIN frames y
+        ON x.doc_id = y.doc_id AND y.f = x.f + 1
+      GROUP BY x.doc_id
+    )"""
+
+
+@_register(
+    "audio_fp_table",
+    f"""
+    WITH {_AUDIO_FP_CTES}
+    SELECT doc_id, CAST(32 AS INT) AS n_frames, fingerprint FROM fps
+    """,
+)
+def audio_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL acoustic fingerprinting end-to-end: fabricate mono 16-bit
+    PCM WAVs (32 constant-amplitude frames from a closed form, planted
+    near-dup per even/odd doc pair), DECODE the int16 stream via the
+    RIFF chunk walk, sum per-frame integer energies, and pack the 31
+    energy-gradient comparisons into an int64
+    (operators/multimodal.extract_audio_fingerprint). The oracle
+    recomputes the expected fingerprint from the closed-form
+    amplitudes — energies are 4*a^2 with a >= 0, so the gradient
+    comparison reduces to the amplitudes themselves."""
+    from .operators.multimodal import (
+        extract_audio_fingerprint,
+        with_fingerprint_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_audio_fingerprint(with_fingerprint_audio(docs))
+
+
+@_register(
+    "audio_fp_dedup",
+    f"""
+    WITH {_AUDIO_FP_CTES},
+    bands AS (
+      SELECT doc_id, i.range AS band,
+             (fingerprint >> CAST(8 * i.range AS INT)) & 255 AS key
+      FROM fps, range(0, 4) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.fingerprint, fb.fingerprint)) AS INT)
+             AS hamming
+    FROM cand c
+    JOIN fps fa ON c.id_a = fa.doc_id
+    JOIN fps fb ON c.id_b = fb.doc_id
+    WHERE bit_count(xor(fa.fingerprint, fb.fingerprint)) <= 3
+    """,
+)
+def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-DUP pairs by acoustic fingerprint: decode every clip,
+    fingerprint it (audio_fp_table's pipeline), then find all pairs
+    with Hamming distance <= 3 via the pigeonhole band join (4 x 8-bit
+    bands over the 31-bit fingerprint; recall 1 — the same
+    dedup.hamming_band_pairs the image dHash family uses) and a
+    bit_count(xor) verify on candidates only. The fixture's planted
+    pair (one bumped frame flips 0-2 gradient bits) is the same
+    recording with one transient — the match an audio dedup pass must
+    catch. Scale shape: one int64 per clip; the band join never
+    shuffles samples."""
+    from .operators.dedup import hamming_band_pairs
+    from .operators.multimodal import (
+        AUDIO_FP_BAND_BITS,
+        AUDIO_FP_BANDS,
+        extract_audio_fingerprint,
+        with_fingerprint_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = extract_audio_fingerprint(with_fingerprint_audio(docs)).select(
+        "doc_id", F.col("fingerprint").alias("fp")
+    )
+    return hamming_band_pairs(
+        sig,
+        "fp",
+        n_bands=AUDIO_FP_BANDS,
+        band_bits=AUDIO_FP_BAND_BITS,
+        max_hamming=3,
+    )

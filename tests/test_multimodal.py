@@ -1224,3 +1224,73 @@ class TestDhash:
             [(0, bytearray(payload))], "doc_id long, payload binary"
         )
         assert multimodal.extract_dhash(df).count() == 0
+
+
+class TestAudioFingerprint:
+    """Acoustic fingerprint dedup (round 10): real RIFF/int16 decode ->
+    per-frame integer energies -> gradient bits, replayed against the
+    closed-form frame amplitudes the fixture paints."""
+
+    def _expected_fp(self, d: int) -> int:
+        from instacart_medallion_lakehouse_spark.operators.multimodal import (
+            AUDIO_FP_FRAMES,
+            _audio_fp_amplitude,
+        )
+
+        g = d // 2
+        a = [_audio_fp_amplitude(d, g, f) for f in range(AUDIO_FP_FRAMES)]
+        bits = 0
+        for f in range(AUDIO_FP_FRAMES - 1):
+            if a[f] * a[f] > a[f + 1] * a[f + 1]:
+                bits |= 1 << f
+        return bits
+
+    def test_decode_fp_matches_python_replay(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        docs = spark.range(0, 16).toDF("doc_id")
+        got = {
+            r.doc_id: r
+            for r in multimodal.extract_audio_fingerprint(
+                multimodal.with_fingerprint_audio(docs)
+            ).collect()
+        }
+        assert set(got) == set(range(16))
+        for d in range(16):
+            assert got[d].fingerprint == self._expected_fp(d), d
+            assert got[d].n_frames == 32
+
+    def test_planted_pairs_found(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+        from instacart_medallion_lakehouse_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+        from instacart_medallion_lakehouse_spark import queries as q
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 20).toDF("doc_id")
+        sig = multimodal.extract_audio_fingerprint(
+            multimodal.with_fingerprint_audio(docs)
+        ).select("doc_id", F.col("fingerprint").alias("fp"))
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_band_pairs(
+                sig, "fp", n_bands=4, band_bits=8, max_hamming=3
+            ).collect()
+        }
+        q.release_pins()
+        for g in range(10):
+            a, b = 2 * g, 2 * g + 1
+            exp = bin(self._expected_fp(a) ^ self._expected_fp(b)).count("1")
+            assert exp <= 2  # one bumped frame flips at most 2 bits
+            assert (a, b) in pairs, (a, b)
+            assert pairs[(a, b)] == exp
+
+    def test_non_wav_quarantined(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"RIFFxxxxAVI LIST")), (1, None)],
+            "doc_id long, payload binary",
+        )
+        assert multimodal.extract_audio_fingerprint(df).count() == 0
