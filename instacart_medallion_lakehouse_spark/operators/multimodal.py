@@ -2707,3 +2707,115 @@ def extract_audio_fingerprint(
     return media.select(id_col, "payload").mapInPandas(
         run, AUDIO_FP_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprint dedup (round 10) — temporal luma-gradient bits;
+# with text/embeddings/images/audio this completes per-modality near-dup
+# ---------------------------------------------------------------------------
+
+VIDEO_FP_FRAMES = 32  # frames per clip -> 31 temporal-gradient bits
+VIDEO_FP_W = 6
+VIDEO_FP_H = 4
+VIDEO_FP_BANDS = 4
+VIDEO_FP_BAND_BITS = 8
+
+
+def _video_fp_luma(d: int, g: int, k: int) -> int:
+    """Closed-form constant luma of frame ``k`` for doc ``d`` (group
+    ``g = d // 2``). The odd group member gets ONE bumped frame — a
+    re-encode/transient variant of the same clip, flipping 0-2
+    temporal-gradient bits."""
+    a = (g * (k + 3) + 5 * k * k + 41 * g) % 199
+    if d % 2 == 1 and k == g % VIDEO_FP_FRAMES:
+        a += 7
+    return a
+
+
+def with_fingerprint_video(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic Y4M C444 stream shaped for temporal
+    fingerprinting: 32 frames of constant luma _video_fp_luma with
+    NEUTRAL chroma (Cb = Cr = 128 — the YCbCr->RGB matrix then returns
+    the luma byte exactly, so decoded frame means are closed-form
+    integers). Built JVM-side from hex expressions like the other Y4M
+    fixtures."""
+    d = F.col("doc_id")
+    g = F.floor(d / 2).cast("bigint")
+    wh = VIDEO_FP_W * VIDEO_FP_H
+    hdr = F.lit(
+        f"YUV4MPEG2 W{VIDEO_FP_W} H{VIDEO_FP_H} F25:1 Ip A1:1 C444\n"
+    )
+    frames = []
+    for k in range(VIDEO_FP_FRAMES):
+        a = (g * (k + 3) + F.lit(5 * k * k) + F.lit(41) * g) % 199
+        a = a + F.when(
+            (d % 2 == 1) & (g % VIDEO_FP_FRAMES == k), 7
+        ).otherwise(0)
+        frames.append(
+            F.concat(
+                F.lit("4652414D450A"),  # "FRAME\n"
+                F.repeat(F.lpad(F.hex(a.cast("bigint")), 2, "0"), wh),
+                F.repeat(F.lit("80"), 2 * wh),  # neutral Cb + Cr planes
+            )
+        )
+    payload = F.concat(
+        F.encode(hdr, "UTF-8"), F.unhex(F.concat(*frames))
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+VIDEO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def extract_video_fingerprint(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL temporal video fingerprint: demux + decode every frame
+    (operators/y4mcodec.iter_y4m_frames — genuine YCbCr->RGB), sum each
+    frame's pixel values as exact integers, and pack bit k =
+    sum(k) > sum(k+1) into an int64 — the shot-boundary/temporal-
+    activity signature a video dedup pass hashes. Non-Y4M payloads are
+    quarantined by omission."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .y4mcodec import iter_y4m_frames
+
+        cols = list(VIDEO_FP_SCHEMA.names)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                if not payload.startswith(b"YUV4MPEG2"):
+                    continue
+                try:
+                    sums = [
+                        int(f.astype(np.int64).sum())
+                        for f in iter_y4m_frames(payload)
+                    ]
+                except ValueError:
+                    continue  # quarantine by omission
+                if len(sums) < 2:
+                    continue
+                bits = 0
+                for k in range(min(len(sums) - 1, 63)):
+                    if sums[k] > sums[k + 1]:
+                        bits |= 1 << k
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(sums),
+                        "fingerprint": bits,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, VIDEO_FP_SCHEMA
+    )

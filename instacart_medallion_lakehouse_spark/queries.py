@@ -237,6 +237,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "image_dhash_dedup",
     "audio_fp_table",
     "audio_fp_dedup",
+    "video_fp_table",
+    "video_fp_dedup",
 )
 
 

@@ -3698,3 +3698,107 @@ def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=AUDIO_FP_BAND_BITS,
         max_hamming=3,
     )
+
+
+_VIDEO_FP_CTES = """
+    dims AS (
+      SELECT doc_id, (doc_id - (doc_id % 2)) // 2 AS g FROM documents
+    ),
+    frames AS (
+      SELECT d.doc_id, d.g, k.range AS k,
+             (d.g * (k.range + 3) + 5 * k.range * k.range
+              + 41 * d.g) % 199
+             + CASE WHEN d.doc_id % 2 = 1 AND k.range = d.g % 32
+                    THEN 7 ELSE 0 END AS a
+      FROM dims d, range(0, 32) k
+    ),
+    fps AS (
+      SELECT x.doc_id,
+             CAST(sum(CASE WHEN x.a > y.a
+                           THEN CAST(1 AS BIGINT) << CAST(x.k AS INT)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS fingerprint
+      FROM frames x JOIN frames y
+        ON x.doc_id = y.doc_id AND y.k = x.k + 1
+      GROUP BY x.doc_id
+    )"""
+
+
+@_register(
+    "video_fp_table",
+    f"""
+    WITH {_VIDEO_FP_CTES}
+    SELECT doc_id, CAST(32 AS INT) AS n_frames, fingerprint FROM fps
+    """,
+)
+def video_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL temporal video fingerprinting end-to-end: fabricate Y4M
+    streams (32 constant-luma frames from a closed form with neutral
+    chroma, planted near-dup per even/odd doc pair), DEMUX + DECODE
+    every frame through the Y4M codec's YCbCr->RGB path, sum pixel
+    values as exact integers, and pack the 31 temporal-gradient
+    comparisons into an int64
+    (operators/multimodal.extract_video_fingerprint). Neutral chroma
+    makes the decoded RGB equal the luma byte exactly, so the oracle
+    recomputes the fingerprint from the closed-form luma values."""
+    from .operators.multimodal import (
+        extract_video_fingerprint,
+        with_fingerprint_video,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_video_fingerprint(with_fingerprint_video(docs))
+
+
+@_register(
+    "video_fp_dedup",
+    f"""
+    WITH {_VIDEO_FP_CTES},
+    bands AS (
+      SELECT doc_id, i.range AS band,
+             (fingerprint >> CAST(8 * i.range AS INT)) & 255 AS key
+      FROM fps, range(0, 4) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.fingerprint, fb.fingerprint)) AS INT)
+             AS hamming
+    FROM cand c
+    JOIN fps fa ON c.id_a = fa.doc_id
+    JOIN fps fb ON c.id_b = fb.doc_id
+    WHERE bit_count(xor(fa.fingerprint, fb.fingerprint)) <= 3
+    """,
+)
+def video_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video NEAR-DUP pairs by temporal fingerprint: demux + decode
+    every clip, fingerprint its frame-sum gradients (video_fp_table's
+    pipeline), then find all pairs with Hamming <= 3 via the pigeonhole
+    band join (4 x 8-bit bands, recall 1 —
+    operators/dedup.hamming_band_pairs) and a bit_count(xor) verify on
+    candidates. With the text, embedding, image, and audio families
+    this completes per-modality near-dup coverage; all five share the
+    same scale shape — a fixed-width signature per item, band-bucket
+    candidate generation, verify on candidates only."""
+    from .operators.dedup import hamming_band_pairs
+    from .operators.multimodal import (
+        VIDEO_FP_BAND_BITS,
+        VIDEO_FP_BANDS,
+        extract_video_fingerprint,
+        with_fingerprint_video,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = extract_video_fingerprint(with_fingerprint_video(docs)).select(
+        "doc_id", F.col("fingerprint").alias("fp")
+    )
+    return hamming_band_pairs(
+        sig,
+        "fp",
+        n_bands=VIDEO_FP_BANDS,
+        band_bits=VIDEO_FP_BAND_BITS,
+        max_hamming=3,
+    )

@@ -1294,3 +1294,73 @@ class TestAudioFingerprint:
             "doc_id long, payload binary",
         )
         assert multimodal.extract_audio_fingerprint(df).count() == 0
+
+
+class TestVideoFingerprint:
+    """Temporal video fingerprint dedup (round 10): real Y4M demux +
+    YCbCr->RGB decode -> frame-sum gradient bits, replayed against the
+    closed-form luma values the fixture paints."""
+
+    def _expected_fp(self, d: int) -> int:
+        from instacart_medallion_lakehouse_spark.operators.multimodal import (
+            VIDEO_FP_FRAMES,
+            _video_fp_luma,
+        )
+
+        g = d // 2
+        a = [_video_fp_luma(d, g, k) for k in range(VIDEO_FP_FRAMES)]
+        bits = 0
+        for k in range(VIDEO_FP_FRAMES - 1):
+            if a[k] > a[k + 1]:
+                bits |= 1 << k
+        return bits
+
+    def test_decode_fp_matches_python_replay(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        docs = spark.range(0, 12).toDF("doc_id")
+        got = {
+            r.doc_id: r
+            for r in multimodal.extract_video_fingerprint(
+                multimodal.with_fingerprint_video(docs)
+            ).collect()
+        }
+        assert set(got) == set(range(12))
+        for d in range(12):
+            assert got[d].fingerprint == self._expected_fp(d), d
+            assert got[d].n_frames == 32
+
+    def test_planted_pairs_found(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+        from instacart_medallion_lakehouse_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+        from instacart_medallion_lakehouse_spark import queries as q
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 16).toDF("doc_id")
+        sig = multimodal.extract_video_fingerprint(
+            multimodal.with_fingerprint_video(docs)
+        ).select("doc_id", F.col("fingerprint").alias("fp"))
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_band_pairs(
+                sig, "fp", n_bands=4, band_bits=8, max_hamming=3
+            ).collect()
+        }
+        q.release_pins()
+        for g in range(8):
+            a, b = 2 * g, 2 * g + 1
+            exp = bin(self._expected_fp(a) ^ self._expected_fp(b)).count("1")
+            assert exp <= 2
+            assert (a, b) in pairs, (a, b)
+            assert pairs[(a, b)] == exp
+
+    def test_non_y4m_quarantined(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"RIFF....")), (1, None)],
+            "doc_id long, payload binary",
+        )
+        assert multimodal.extract_video_fingerprint(df).count() == 0

@@ -44,11 +44,12 @@ class TestDriverWindow:
         # every priority name resolves; the window starts with the list
         names = list(q.queries())
         assert names[: len(q._WINDOW_PRIORITY)] == list(q._WINDOW_PRIORITY)
-        # 50 driver slots explicitly allocated + 5 bench-order-only
-        # trailers (cross_source_dup_matrix + the image-dHash and
-        # audio-fingerprint pairs — queries.py documents why, and why
-        # the new pairs lead round 11's rotation)
-        assert len(q._WINDOW_PRIORITY) == 55
+        # 50 driver slots explicitly allocated + 7 bench-order-only
+        # trailers (cross_source_dup_matrix + the image-dHash,
+        # audio-fingerprint, and video-fingerprint pairs — queries.py
+        # documents why, and why the new pairs lead round 11's
+        # rotation)
+        assert len(q._WINDOW_PRIORITY) == 57
 
     def test_round10_window_contract(self):
         """Round 10's rotation contract (VERDICT r9 items #1/#3): every
