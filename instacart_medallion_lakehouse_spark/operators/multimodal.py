@@ -2784,6 +2784,35 @@ def extract_video_fingerprint(
     quarantined by omission."""
     import numpy as np
 
+    def _bulk_sums(payload: bytes) -> "list[int] | None":
+        """Vectorized C444 path: when every frame unit is the plain
+        6-byte ``FRAME\\n`` marker + a fixed-size payload (our fixtures
+        and most real Y4M), ONE reshape decodes the whole clip — the
+        same YCbCr->RGB math as the per-frame iterator, but one numpy
+        dispatch per CLIP instead of per frame (measured 4.5s -> ~1s at
+        sf0.1: 160k tiny frames are Python-overhead-bound). Returns
+        None when the layout doesn't match (parameterized FRAME lines,
+        C420) — caller falls back to the general iterator."""
+        from .y4mcodec import _ycbcr_to_rgb, parse_y4m_header
+
+        hdr = parse_y4m_header(payload)
+        if hdr["colorspace"] != "444":
+            return None
+        fb, start = hdr["frame_bytes"], hdr["header_len"]
+        unit = 6 + fb
+        body = payload[start:]
+        if not body or len(body) % unit:
+            return None
+        raw = np.frombuffer(body, np.uint8).reshape(-1, unit)
+        if not (raw[:, :6] == np.frombuffer(b"FRAME\n", np.uint8)).all():
+            return None
+        wh = hdr["width"] * hdr["height"]
+        planes = raw[:, 6:].astype(np.float64)
+        rgb = _ycbcr_to_rgb(
+            planes[:, :wh], planes[:, wh : 2 * wh], planes[:, 2 * wh :]
+        )
+        return [int(s) for s in rgb.astype(np.int64).sum(axis=(1, 2))]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .y4mcodec import iter_y4m_frames
 
@@ -2795,10 +2824,12 @@ def extract_video_fingerprint(
                 if not payload.startswith(b"YUV4MPEG2"):
                     continue
                 try:
-                    sums = [
-                        int(f.astype(np.int64).sum())
-                        for f in iter_y4m_frames(payload)
-                    ]
+                    sums = _bulk_sums(payload)
+                    if sums is None:
+                        sums = [
+                            int(f.astype(np.int64).sum())
+                            for f in iter_y4m_frames(payload)
+                        ]
                 except ValueError:
                     continue  # quarantine by omission
                 if len(sums) < 2:
