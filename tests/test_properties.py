@@ -332,3 +332,40 @@ class TestCappedJaccardReference:
         }
         release_pins()
         assert got == expect
+
+
+class TestHammingBandRecall:
+    """hamming_band_pairs' pigeonhole guarantee, adversarially checked:
+    for random 56-bit signatures, EVERY pair with Hamming <= 3 must be
+    found (recall 1), and nothing above the budget may appear —
+    compared against a brute-force pure-Python scan."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.integers(0, (1 << 56) - 1), min_size=2, max_size=14
+        ),
+        st.integers(0, 3),
+    )
+    def test_matches_brute_force(self, spark, hashes, max_h):
+        from instacart_medallion_lakehouse_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+        from instacart_medallion_lakehouse_spark.pins import release_pins
+
+        rows = [(i, h) for i, h in enumerate(hashes)]
+        expect = {}
+        for i in range(len(hashes)):
+            for j in range(i + 1, len(hashes)):
+                d = bin(hashes[i] ^ hashes[j]).count("1")
+                if d <= max_h:
+                    expect[(i, j)] = d
+        sig = spark.createDataFrame(rows, "doc_id long, h long")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_band_pairs(
+                sig, "h", n_bands=4, band_bits=14, max_hamming=max_h
+            ).collect()
+        }
+        release_pins()
+        assert got == expect
