@@ -2641,7 +2641,13 @@ def with_fingerprint_audio(docs: DataFrame) -> DataFrame:
             *frames,
         )
     )
-    return docs.select("doc_id", payload.alias("payload"))
+    # repartition to core parallelism BEFORE the downstream Python
+    # decode stage: the one-row-group testdata scan would otherwise
+    # funnel every clip through a single Arrow worker (the gotcha the
+    # gif/avi fixtures hit in round 9)
+    return docs.repartition(_python_parallelism(docs)).select(
+        "doc_id", payload.alias("payload")
+    )
 
 
 AUDIO_FP_SCHEMA = StructType(
@@ -2761,7 +2767,11 @@ def with_fingerprint_video(docs: DataFrame) -> DataFrame:
     payload = F.concat(
         F.encode(hdr, "UTF-8"), F.unhex(F.concat(*frames))
     )
-    return docs.select("doc_id", payload.alias("payload"))
+    # repartition before the downstream Python decode (see
+    # with_fingerprint_audio — the one-row-group scan funnel)
+    return docs.repartition(_python_parallelism(docs)).select(
+        "doc_id", payload.alias("payload")
+    )
 
 
 VIDEO_FP_SCHEMA = StructType(
