@@ -723,32 +723,13 @@ def simhash_pairs(
     )
 
 
-def hamming_band_pairs(
-    sig: DataFrame,
-    hash_col: str,
-    n_bands: int,
-    band_bits: int,
-    max_hamming: int,
-    id_col: str = "doc_id",
+def _hash_band_table(
+    sig: DataFrame, hash_col: str, n_bands: int, band_bits: int, id_col: str
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= ``max_hamming`` over an
-    arbitrary packed-bits column — the pigeonhole band trick of
-    simhash_pairs generalized to any (n_bands x band_bits) layout:
-    <= max_hamming differing bits can touch at most max_hamming bands,
-    so with ``n_bands > max_hamming`` every qualifying pair shares at
-    least one intact band -> equi-join on (band_idx, band_value) finds
-    all of them with zero recall loss; bit_count(xor) verifies
-    candidates.
-
-    Used by the multimodal perceptual-hash dedup (56-bit dHash in 4 x
-    14-bit bands, Hamming <= 3). The signature table is pinned — it is
-    one row per document and feeds both sides of the band self-join.
-    """
-    assert n_bands > max_hamming, "pigeonhole recall needs bands > hamming"
-    sig = pin(sig)
-    sig.count()  # materialize before the band self-join (ngram note)
+    """(_id, _sh, idx, val) band rows for a packed-bits signature —
+    band i is bits [band_bits*i, band_bits*(i+1))."""
     mask = (1 << band_bits) - 1
-    bands = sig.select(
+    return sig.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_sh"),
         F.explode(
@@ -767,14 +748,58 @@ def hamming_band_pairs(
     ).select(
         "_id", "_sh", F.col("nb.idx").alias("idx"), F.col("nb.val").alias("val")
     )
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_b: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= ``max_hamming`` over an
+    arbitrary packed-bits column — the pigeonhole band trick of
+    simhash_pairs generalized to any (n_bands x band_bits) layout:
+    <= max_hamming differing bits can touch at most max_hamming bands,
+    so with ``n_bands > max_hamming`` every qualifying pair shares at
+    least one intact band -> equi-join on (band_idx, band_value) finds
+    all of them with zero recall loss; bit_count(xor) verifies
+    candidates.
+
+    One-sided (``sig_b`` None): self-join with ``a._id < b._id`` —
+    each unordered pair once. Two-sided: ``sig`` is the BATCH side and
+    ``sig_b`` the INDEX side (the incremental batch-vs-index shape of
+    lsh_candidate_pairs; caller guarantees disjoint id sets), emitting
+    (id_a=batch, id_b=index) ordered pairs.
+
+    Used by the multimodal perceptual-hash dedup (image dHash, audio
+    and video fingerprints). The signature tables are pinned — one row
+    per item, feeding both sides of the band join.
+    """
+    assert n_bands > max_hamming, "pigeonhole recall needs bands > hamming"
+    sig = pin(sig)
+    sig.count()  # materialize before the band join (ngram note)
+    bands_a = _hash_band_table(sig, hash_col, n_bands, band_bits, id_col)
+    if sig_b is None:
+        bands_b = bands_a
+        cond_ids = F.col("a._id") < F.col("b._id")
+    else:
+        sig_b = pin(sig_b)
+        sig_b.count()
+        bands_b = _hash_band_table(
+            sig_b, hash_col, n_bands, band_bits, id_col
+        )
+        cond_ids = F.lit(True)
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
     return (
-        bands.alias("a")
+        bands_a.alias("a")
         .join(
-            bands.alias("b"),
+            bands_b.alias("b"),
             (F.col("a.idx") == F.col("b.idx"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a._id") < F.col("b._id")),
+            & cond_ids,
         )
         .filter(hamming <= max_hamming)
         .select(

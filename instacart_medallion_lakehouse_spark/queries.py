@@ -239,6 +239,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "audio_fp_dedup",
     "video_fp_table",
     "video_fp_dedup",
+    "incremental_image_dedup",
 )
 
 

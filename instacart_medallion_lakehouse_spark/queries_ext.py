@@ -3802,3 +3802,73 @@ def video_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=VIDEO_FP_BAND_BITS,
         max_hamming=3,
     )
+
+
+@_register(
+    "incremental_image_dedup",
+    f"""
+    WITH {_DHASH_CTES},
+    flagged AS (
+      SELECT h.doc_id, h.dhash,
+             substring(md5(CAST(h.doc_id AS VARCHAR)), 1, 2) < 'cd'
+               AS in_index
+      FROM hashes h
+    ),
+    bands AS (
+      SELECT doc_id, in_index, i.range AS band,
+             (dhash >> CAST(14 * i.range AS INT)) & 16383 AS key
+      FROM flagged, range(0, 4) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND NOT a.in_index AND b.in_index
+    )
+    SELECT c.batch_id, c.index_id,
+           CAST(bit_count(xor(fa.dhash, fb.dhash)) AS INT) AS hamming
+    FROM cand c
+    JOIN flagged fa ON c.batch_id = fa.doc_id
+    JOIN flagged fb ON c.index_id = fb.doc_id
+    WHERE bit_count(xor(fa.dhash, fb.dhash)) <= 3
+    """,
+)
+def incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL perceptual-hash dedup — the batch-vs-index shape of
+    incremental_minhash_dedup lifted to images: an arriving batch
+    (md5-gated ~20% of ids, standing in for today's crawl) is checked
+    against the already-indexed fingerprints WITHOUT any index-side
+    self-join — the two-sided band join probes only (batch x index)
+    bucket co-occupants, so ingest cost scales with the batch, not the
+    corpus. At production scale the index side's signatures come from
+    the committed fingerprint store and its pixels are never touched.
+    Output: (batch_id, index_id, hamming <= 3) — a batch image with
+    any match is a duplicate of the archive, its matches say of what."""
+    from .operators.dedup import hamming_band_pairs
+    from .operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        extract_dhash,
+        with_dhash_media,
+    )
+    from .pins import pin as _pin
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = _pin(
+        extract_dhash(with_dhash_media(docs)).select("doc_id", "dhash")
+    )
+    sig.count()  # decode ONCE; both gate sides read the cached table
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    pairs = hamming_band_pairs(
+        sig.filter(~gate),
+        "dhash",
+        n_bands=DHASH_BANDS,
+        band_bits=DHASH_BAND_BITS,
+        max_hamming=3,
+        sig_b=sig.filter(gate),
+    )
+    return pairs.select(
+        F.col("id_a").alias("batch_id"),
+        F.col("id_b").alias("index_id"),
+        "hamming",
+    )

@@ -49,7 +49,7 @@ class TestDriverWindow:
         # audio-fingerprint, and video-fingerprint pairs — queries.py
         # documents why, and why the new pairs lead round 11's
         # rotation)
-        assert len(q._WINDOW_PRIORITY) == 57
+        assert len(q._WINDOW_PRIORITY) == 58
 
     def test_round10_window_contract(self):
         """Round 10's rotation contract (VERDICT r9 items #1/#3): every
