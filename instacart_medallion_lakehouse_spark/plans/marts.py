@@ -38,7 +38,6 @@ from ..functions.scalar import (
     dround,
     popularity_tier,
     position_bucket,
-    safe_div,
     surrogate_key,
 )
 from ..operators.aggs import conditional_share, pct_of_total, rollup_orders
