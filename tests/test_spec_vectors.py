@@ -159,3 +159,74 @@ class TestImaAdpcmSpecVectors:
             ima_adpcm_decode([0], 40000, 0)
         with pytest.raises(ValueError):
             ima_adpcm_decode([0], 0, 89)
+
+
+def _mu_law_wav(codes: bytes) -> bytes:
+    """Minimal RIFF/WAVE container with format tag 7 (G.711 mu-law),
+    8-bit mono — hand-assembled per the canonical 44-byte layout."""
+    import struct as _s
+
+    n = len(codes)
+    return (
+        b"RIFF"
+        + _s.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + _s.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + _s.pack("<I", n)
+        + codes
+    )
+
+
+class TestG711SpecVectors:
+    """ITU-T G.711 mu-law expansion anchored to the published extreme
+    values. The CCITT formula (u = ~code; t = ((u & 0xF) << 3 + 0x84)
+    << segment; sign via bit 7) hand-stepped:
+
+      code 0xFF: u=0x00 -> t = (0 + 132) << 0 = 132 -> +0   (plus zero)
+      code 0x7F: u=0x80 -> t = 132, sign set        -> -0   (minus zero)
+      code 0x80: u=0x7F -> t = (120 + 132) << 7 = 32256
+                           -> +32124  (the published mu-law maximum)
+      code 0x00: u=0xFF -> same magnitude, sign set -> -32124
+    """
+
+    def test_extreme_codes_decode_to_published_values(self, spark):
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        wav = _mu_law_wav(bytes([0xFF, 0x7F, 0x80, 0x00]))
+        df = spark.createDataFrame(
+            [(0, bytearray(wav))], "doc_id long, payload binary"
+        )
+        r = multimodal.extract_g711_stats(df).collect()[0]
+        assert r.n_samples == 4
+        assert r.peak == 32124
+        assert r.dc_sum == 0  # +0, -0, +32124, -32124
+        assert r.energy == 2 * 32124 * 32124
+
+    def test_first_segment_step(self, spark):
+        # code 0xF0: u=0x0F -> t = (15*8 + 132) << 0 = 252 -> +120;
+        # code 0xFE: u=0x01 -> t = (8 + 132) = 140 -> +8 — the 8-unit
+        # quantization step of the first mu-law segment
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        wav = _mu_law_wav(bytes([0xF0, 0xFE]))
+        df = spark.createDataFrame(
+            [(0, bytearray(wav))], "doc_id long, payload binary"
+        )
+        r = multimodal.extract_g711_stats(df).collect()[0]
+        assert r.peak == 120
+        assert r.dc_sum == 120 + 8
+        assert r.energy == 120 * 120 + 8 * 8
+
+    def test_non_mulaw_tag_quarantined(self, spark):
+        import struct as _s
+
+        from instacart_medallion_lakehouse_spark.operators import multimodal
+
+        wav = bytearray(_mu_law_wav(bytes([0xFF])))
+        # flip the format tag to PCM (1): extractor must emit no row
+        wav[20:22] = _s.pack("<H", 1)
+        df = spark.createDataFrame(
+            [(0, bytes(wav))], "doc_id long, payload binary"
+        )
+        assert multimodal.extract_g711_stats(df).count() == 0
