@@ -2597,7 +2597,10 @@ def _audio_fp_amplitude(d: int, g: int, f: int) -> int:
     oracle, replayed by tests. The odd group member gets ONE bumped
     frame, so a pair's fingerprints differ by 0-2 bits: a planted
     near-duplicate clip (same recording, one transient)."""
-    a = ((g * (f + 2) + 11 * f * f + 23 * g) % 997) * 8
+    a = (
+        (g * (f + 2) + 11 * f * f + 23 * g) % 997
+        + ((g * 31 + 7 * f * f + 3 * g * f) % 131) * 9
+    ) * 8
     if d % 2 == 1 and f == g % AUDIO_FP_FRAMES:
         a += 24
     return a
@@ -2615,7 +2618,16 @@ def with_fingerprint_audio(docs: DataFrame) -> DataFrame:
     g = F.floor(d / 2).cast("bigint")
     frames = []
     for f in range(AUDIO_FP_FRAMES):
-        a = ((g * (f + 2) + F.lit(11 * f * f) + F.lit(23) * g) % 997) * 8
+        # two co-prime moduli with f-coupled second residue: a single
+        # mod-997 form keys every clip's whole GRADIENT-SIGN pattern to
+        # g mod 997 alone (~1600 fingerprint classes corpus-wide -> hot
+        # band buckets, a fixture artifact no real corpus has); the
+        # mixed term makes fingerprints effectively unique per group
+        # (2498/2500 distinct at sf0.1)
+        a = (
+            (g * (f + 2) + F.lit(11 * f * f) + F.lit(23) * g) % 997
+            + ((g * 31 + F.lit(7 * f * f) + F.lit(3 * f) * g) % 131) * 9
+        ) * 8
         a = a + F.when(
             (d % 2 == 1) & (g % AUDIO_FP_FRAMES == f), 24
         ).otherwise(0)
@@ -2732,7 +2744,9 @@ def _video_fp_luma(d: int, g: int, k: int) -> int:
     ``g = d // 2``). The odd group member gets ONE bumped frame — a
     re-encode/transient variant of the same clip, flipping 0-2
     temporal-gradient bits."""
-    a = (g * (k + 3) + 5 * k * k + 41 * g) % 199
+    a = (g * (k + 3) + 5 * k * k + 41 * g) % 199 + (
+        (g * 17 + 3 * k * k + g * k) % 23
+    ) * 2
     if d % 2 == 1 and k == g % VIDEO_FP_FRAMES:
         a += 7
     return a
@@ -2753,7 +2767,12 @@ def with_fingerprint_video(docs: DataFrame) -> DataFrame:
     )
     frames = []
     for k in range(VIDEO_FP_FRAMES):
-        a = (g * (k + 3) + F.lit(5 * k * k) + F.lit(41) * g) % 199
+        # two co-prime moduli (see with_fingerprint_audio): max luma
+        # 198 + 44 + 7 = 249, still a valid byte
+        a = (
+            (g * (k + 3) + F.lit(5 * k * k) + F.lit(41) * g) % 199
+            + ((g * 17 + F.lit(3 * k * k) + g * F.lit(k)) % 23) * 2
+        )
         a = a + F.when(
             (d % 2 == 1) & (g % VIDEO_FP_FRAMES == k), 7
         ).otherwise(0)

@@ -3602,7 +3602,9 @@ _AUDIO_FP_CTES = """
     frames AS (
       SELECT d.doc_id, d.g, f.range AS f,
              ((d.g * (f.range + 2) + 11 * f.range * f.range
-               + 23 * d.g) % 997) * 8
+               + 23 * d.g) % 997
+              + ((d.g * 31 + 7 * f.range * f.range
+                  + 3 * d.g * f.range) % 131) * 9) * 8
              + CASE WHEN d.doc_id % 2 = 1 AND f.range = d.g % 32
                     THEN 24 ELSE 0 END AS a
       FROM dims d, range(0, 32) f
@@ -3708,6 +3710,8 @@ _VIDEO_FP_CTES = """
       SELECT d.doc_id, d.g, k.range AS k,
              (d.g * (k.range + 3) + 5 * k.range * k.range
               + 41 * d.g) % 199
+             + ((d.g * 17 + 3 * k.range * k.range
+                 + d.g * k.range) % 23) * 2
              + CASE WHEN d.doc_id % 2 = 1 AND k.range = d.g % 32
                     THEN 7 ELSE 0 END AS a
       FROM dims d, range(0, 32) k
