@@ -2465,7 +2465,9 @@ def _dhash_block_value(d: int, g: int, bx: int, by: int) -> int:
     group; the odd member gets one +3-bumped block, so a pair's
     hashes differ by 0-2 bits (the two comparisons that block touches)
     — a planted NEAR-duplicate, not an exact one."""
-    v = (g * bx + 7 * bx * bx + 17 * by + 29 * g) % 251
+    v = (g * bx + 7 * bx * bx + 17 * by + 29 * g) % 199 + (
+        (g * 13 + 5 * bx * bx + g * by + 3 * bx * by) % 23
+    ) * 2
     if d % 2 == 1 and bx == g % DHASH_GRID_W and by == g % DHASH_GRID_H:
         v += 3
     return v

@@ -3493,7 +3493,9 @@ _DHASH_CTES = """
     blocks AS (
       SELECT d.doc_id, d.g, bx.range AS bx, by.range AS by,
              (d.g * bx.range + 7 * bx.range * bx.range
-              + 17 * by.range + 29 * d.g) % 251
+              + 17 * by.range + 29 * d.g) % 199
+             + ((d.g * 13 + 5 * bx.range * bx.range
+                 + d.g * by.range + 3 * bx.range * by.range) % 23) * 2
              + CASE WHEN d.doc_id % 2 = 1 AND bx.range = d.g % 9
                          AND by.range = d.g % 7
                     THEN 3 ELSE 0 END AS v
