@@ -3482,7 +3482,65 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Perceptual-hash image dedup (round 10) — multimodal near-dup, the
 # missing dedup modality (text: shingle/minhash/simhash; embeddings:
 # cosine/semdedup; images: THIS)
+#
+# The fingerprint layer is a persisted store asset (queries.shared_table),
+# exactly like the text family's shingle/signature stores: the decode —
+# the only expensive part, a full pixel/sample pass over the corpus —
+# runs ONCE under the *_table build entry and lands in scratch parquet
+# (one int64 per item); every dedup consumer scans the tiny signature
+# table instead of re-decoding. At 100 TB this is not an optimization
+# but the only workable shape: you never re-decode the corpus per query.
 # ---------------------------------------------------------------------------
+
+
+def _shared_dhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_dhash, with_dhash_media
+    from .queries import shared_table
+
+    return shared_table(
+        spark,
+        sf_dir,
+        "dhash_sigs",
+        lambda: extract_dhash(with_dhash_media(_t(spark, sf_dir, "documents"))),
+        token="dhash-v1",
+    )
+
+
+def _shared_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        extract_audio_fingerprint,
+        with_fingerprint_audio,
+    )
+    from .queries import shared_table
+
+    return shared_table(
+        spark,
+        sf_dir,
+        "audio_fps",
+        lambda: extract_audio_fingerprint(
+            with_fingerprint_audio(_t(spark, sf_dir, "documents"))
+        ),
+        token="afp-v1",
+    )
+
+
+def _shared_video_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        extract_video_fingerprint,
+        with_fingerprint_video,
+    )
+    from .queries import shared_table
+
+    return shared_table(
+        spark,
+        sf_dir,
+        "video_fps",
+        lambda: extract_video_fingerprint(
+            with_fingerprint_video(_t(spark, sf_dir, "documents"))
+        ),
+        token="vfp-v1",
+    )
+
 
 _DHASH_CTES = """
     dims AS (
@@ -3530,11 +3588,9 @@ def image_dhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.extract_dhash). The oracle recomputes the
     expected hash from the closed-form block values — a decoder bug, a
     wrong block boundary, or a bit-order mistake all surface as a
-    cross-engine mismatch."""
-    from .operators.multimodal import extract_dhash, with_dhash_media
-
-    docs = _t(spark, sf_dir, "documents")
-    return extract_dhash(with_dhash_media(docs))
+    cross-engine mismatch. Doubles as the BUILD entry for the persisted
+    dHash signature store the dedup consumers scan."""
+    return _shared_dhash_sigs(spark, sf_dir)
 
 
 @_register(
@@ -3571,18 +3627,13 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash collisions the closed form implies — which the oracle, running
     the same band join over the same arithmetic, reproduces exactly.
     Scale shape: the signature table is one row per image; the band
-    join shuffles (band, key, id, hash) — never pixels; decode
-    parallelism is the repartition count of the Arrow stage."""
+    join shuffles (band, key, id, hash) — never pixels; the decode ran
+    once under image_dhash_table's build and is scanned from the
+    signature store here."""
     from .operators.dedup import hamming_band_pairs
-    from .operators.multimodal import (
-        DHASH_BAND_BITS,
-        DHASH_BANDS,
-        extract_dhash,
-        with_dhash_media,
-    )
+    from .operators.multimodal import DHASH_BAND_BITS, DHASH_BANDS
 
-    docs = _t(spark, sf_dir, "documents")
-    sig = extract_dhash(with_dhash_media(docs)).select("doc_id", "dhash")
+    sig = _shared_dhash_sigs(spark, sf_dir).select("doc_id", "dhash")
     return hamming_band_pairs(
         sig,
         "dhash",
@@ -3639,14 +3690,9 @@ def audio_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.extract_audio_fingerprint). The oracle
     recomputes the expected fingerprint from the closed-form
     amplitudes — energies are 4*a^2 with a >= 0, so the gradient
-    comparison reduces to the amplitudes themselves."""
-    from .operators.multimodal import (
-        extract_audio_fingerprint,
-        with_fingerprint_audio,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return extract_audio_fingerprint(with_fingerprint_audio(docs))
+    comparison reduces to the amplitudes themselves. Doubles as the
+    BUILD entry for the persisted fingerprint store."""
+    return _shared_audio_fps(spark, sf_dir)
 
 
 @_register(
@@ -3682,17 +3728,12 @@ def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (one bumped frame flips 0-2 gradient bits) is the same
     recording with one transient — the match an audio dedup pass must
     catch. Scale shape: one int64 per clip; the band join never
-    shuffles samples."""
+    shuffles samples — the decode ran once under audio_fp_table's
+    build and is scanned from the fingerprint store here."""
     from .operators.dedup import hamming_band_pairs
-    from .operators.multimodal import (
-        AUDIO_FP_BAND_BITS,
-        AUDIO_FP_BANDS,
-        extract_audio_fingerprint,
-        with_fingerprint_audio,
-    )
+    from .operators.multimodal import AUDIO_FP_BAND_BITS, AUDIO_FP_BANDS
 
-    docs = _t(spark, sf_dir, "documents")
-    sig = extract_audio_fingerprint(with_fingerprint_audio(docs)).select(
+    sig = _shared_audio_fps(spark, sf_dir).select(
         "doc_id", F.col("fingerprint").alias("fp")
     )
     return hamming_band_pairs(
@@ -3746,14 +3787,9 @@ def video_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons into an int64
     (operators/multimodal.extract_video_fingerprint). Neutral chroma
     makes the decoded RGB equal the luma byte exactly, so the oracle
-    recomputes the fingerprint from the closed-form luma values."""
-    from .operators.multimodal import (
-        extract_video_fingerprint,
-        with_fingerprint_video,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return extract_video_fingerprint(with_fingerprint_video(docs))
+    recomputes the fingerprint from the closed-form luma values.
+    Doubles as the BUILD entry for the persisted fingerprint store."""
+    return _shared_video_fps(spark, sf_dir)
 
 
 @_register(
@@ -3787,18 +3823,13 @@ def video_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.hamming_band_pairs) and a bit_count(xor) verify on
     candidates. With the text, embedding, image, and audio families
     this completes per-modality near-dup coverage; all five share the
-    same scale shape — a fixed-width signature per item, band-bucket
-    candidate generation, verify on candidates only."""
+    same scale shape — a fixed-width signature per item persisted once
+    to the store (video_fp_table's build), band-bucket candidate
+    generation over the scanned signatures, verify on candidates only."""
     from .operators.dedup import hamming_band_pairs
-    from .operators.multimodal import (
-        VIDEO_FP_BAND_BITS,
-        VIDEO_FP_BANDS,
-        extract_video_fingerprint,
-        with_fingerprint_video,
-    )
+    from .operators.multimodal import VIDEO_FP_BAND_BITS, VIDEO_FP_BANDS
 
-    docs = _t(spark, sf_dir, "documents")
-    sig = extract_video_fingerprint(with_fingerprint_video(docs)).select(
+    sig = _shared_video_fps(spark, sf_dir).select(
         "doc_id", F.col("fingerprint").alias("fp")
     )
     return hamming_band_pairs(
@@ -3851,19 +3882,16 @@ def incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (batch_id, index_id, hamming <= 3) — a batch image with
     any match is a duplicate of the archive, its matches say of what."""
     from .operators.dedup import hamming_band_pairs
-    from .operators.multimodal import (
-        DHASH_BAND_BITS,
-        DHASH_BANDS,
-        extract_dhash,
-        with_dhash_media,
-    )
+    from .operators.multimodal import DHASH_BAND_BITS, DHASH_BANDS
     from .pins import pin as _pin
+    from .queries import store_backed
 
-    docs = _t(spark, sf_dir, "documents")
-    sig = _pin(
-        extract_dhash(with_dhash_media(docs)).select("doc_id", "dhash")
-    )
-    sig.count()  # decode ONCE; both gate sides read the cached table
+    sig = _shared_dhash_sigs(spark, sf_dir).select("doc_id", "dhash")
+    if not store_backed(sig):
+        # fallback build path (store disabled / synthetic input): decode
+        # ONCE so both gate sides read the cached table
+        sig = _pin(sig)
+        sig.count()
     gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
     pairs = hamming_band_pairs(
         sig.filter(~gate),
