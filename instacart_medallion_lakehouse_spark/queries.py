@@ -231,7 +231,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # image-dHash pair (NEW this round, added after the window filled)
     # and the acoustic-fingerprint pair (same) are FIRST in round 11's
     # rotation priority — new entries with no
-    # lifetime driver row outrank everything else.
+    # lifetime driver row outrank everything else. The retrieval /
+    # privacy quartet (bm25_topk, phrase_search, hybrid_rrf_topk,
+    # k_anonymity_profile — NEW, post-close extension) joins them at
+    # the same no-lifetime-row priority.
     "cross_source_dup_matrix",
     "image_dhash_table",
     "image_dhash_dedup",
@@ -240,6 +243,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "video_fp_table",
     "video_fp_dedup",
     "incremental_image_dedup",
+    "bm25_topk",
+    "phrase_search",
+    "hybrid_rrf_topk",
+    "k_anonymity_profile",
 )
 
 

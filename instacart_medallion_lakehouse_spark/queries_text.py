@@ -1043,6 +1043,390 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bm25_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+    qterms AS (SELECT tok, df FROM dfreq ORDER BY df ASC, tok LIMIT 5),
+    tf AS (
+      SELECT t.doc_id, t.tok, q.df, count(*) AS tf
+      FROM t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok, q.df
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1e0 + (s.n - tf.df + 0.5e0) / (tf.df + 0.5e0))
+               * (tf.tf * 2.2e0)
+               / (tf.tf + 1.2e0
+                  * (0.25e0 + 0.75e0 * d.dl / s.avgdl))
+               * 1e6 + 0.5e0) AS BIGINT) AS micro
+      FROM tf JOIN dl d ON tf.doc_id = d.doc_id CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, sum(micro) AS score_micro
+      FROM contrib GROUP BY doc_id
+      ORDER BY score_micro DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id,
+           CAST(score_micro AS DOUBLE) / 1e6 AS score,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scored retrieval (k1=1.2, b=0.75): score every
+    document against a 5-term query and return the top 10. The query is
+    chosen deterministically AS DATA — the corpus's 5 rarest terms by
+    document frequency (df ASC, term ASC), the band where idf actually
+    separates documents. Per-term contributions are quantized to exact
+    1e-6 units and summed as LONGs (the avg_fixedpoint discipline), so
+    cross-engine float summation order cannot flip the ranking or the
+    hash. Scale shape: one explode + two hash aggregates build the
+    posting stats; the 5-row query set and the 1-row corpus stats are
+    broadcast, so the scoring pass is a map-side join over the token
+    table — no shuffle grows with the query; top-10 is a TakeOrdered,
+    never a global sort."""
+    from .functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    qterms = dfreq.orderBy(F.col("df").asc(), "tok").limit(5)
+    tf = (
+        tok.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+    )
+    micro = F.floor(
+        idf * (F.col("tf") * F.lit(2.2)) / denom * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", micro.alias("micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("micro").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        (F.col("score_micro").cast("double") / F.lit(1e6)).alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+@_register(
+    "phrase_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS term
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ),
+    tri AS (
+      SELECT doc_id, term AS t1,
+             lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+             lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      FROM tok
+    ),
+    tri2 AS (SELECT * FROM tri WHERE t3 IS NOT NULL),
+    top AS (
+      SELECT t1, t2, t3 FROM tri2
+      GROUP BY t1, t2, t3
+      ORDER BY count(*) DESC, t1, t2, t3 LIMIT 1
+    )
+    SELECT d.doc_id,
+           t.t1 || ' ' || t.t2 || ' ' || t.t3 AS phrase,
+           count(*) AS n_occ
+    FROM tri2 d
+    JOIN top t ON d.t1 = t.t1 AND d.t2 = t.t2 AND d.t3 = t.t3
+    GROUP BY d.doc_id, phrase
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over a positional index: find every document
+    containing the corpus's most frequent 3-token phrase (ties broken
+    lexicographically so the probe phrase is deterministic) with its
+    per-document occurrence count — the positional-postings primitive
+    under quote detection, boilerplate lineage, and n-gram
+    decontamination lookups. Adjacency comes from two lead() windows
+    over token position (one doc_id shuffle, same shape as
+    bigram_topk); the trigram stream feeds BOTH the corpus-wide count
+    and the occurrence filter from one exchange (ReuseExchange — no
+    cache pin needed), and the 1-row winning phrase is broadcast, so
+    the probe is a map-side semi filter. At 100 TB: phrase frequency is
+    a map-side-combine aggregate; the occurrence scan never shuffles
+    more than (doc_id, trigram) pairs."""
+    from .functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "t1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tok.select(
+        "doc_id",
+        "t1",
+        F.lead("t1", 1).over(w).alias("t2"),
+        F.lead("t1", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    top = (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "t1", "t2", "t3")
+        .limit(1)
+        .drop("_n")
+    )
+    return (
+        tri.join(F.broadcast(top), ["t1", "t2", "t3"])
+        .groupBy(
+            "doc_id",
+            F.concat_ws(" ", "t1", "t2", "t3").alias("phrase"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+@_register(
+    "hybrid_rrf_topk",
+    f"""
+    WITH {_PREP_SQL},
+    dense_scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2) AS c
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    dense_ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, neighbor_id) AS r
+      FROM dense_scored
+    ),
+    dense AS (SELECT * FROM dense_ranked WHERE r <= 20),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+             count(*) AS i
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND b.doc_id <> a.doc_id
+      WHERE a.doc_id < 10
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    lex_scored AS (
+      SELECT i.query_id, i.neighbor_id,
+             CAST(i.i AS DOUBLE) / (sa.s + sb.s - i.i) AS j
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.query_id
+      JOIN sz sb ON sb.doc_id = i.neighbor_id
+    ),
+    lex_ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY j DESC, neighbor_id) AS r
+      FROM lex_scored
+    ),
+    lex AS (SELECT * FROM lex_ranked WHERE r <= 20),
+    fused AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+             COALESCE(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+             COALESCE(1000000 // (60 + d.r), 0)
+             + COALESCE(1000000 // (60 + l.r), 0) AS rrf_ppm
+      FROM dense d FULL OUTER JOIN lex l
+        ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+    ),
+    final AS (
+      SELECT query_id, neighbor_id, rrf_ppm,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_ppm DESC, neighbor_id) AS rank
+      FROM fused
+    )
+    SELECT query_id, neighbor_id, rrf_ppm, rank FROM final WHERE rank <= 5
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via Reciprocal-Rank Fusion: for each of 10 query
+    documents (vec_id == doc_id across the tables), fuse (a) the DENSE
+    ranking — exact cosine over quantized embeddings, the ann_topk
+    machinery at k=20 — with (b) the LEXICAL ranking — token-set
+    Jaccard against every other document, k=20 — by
+    rrf = sum(1_000_000 // (60 + rank)) over the lists an item appears
+    in (the classic RRF constant, integer ppm units so the fusion is
+    exact cross-engine arithmetic), and return each query's top 5.
+    Both base rankings order by bit-identical doubles (integer dot
+    products / integer set sizes through IEEE sqrt and division) with
+    id tie-breaks, so ranks — and therefore the fusion — are
+    deterministic. Scale shape: the dense side is the chunked-GEMM
+    Arrow path; the lexical side joins a BROADCAST 10-query token set
+    against the posting list; fusion is a full outer join of two
+    (10 x 20)-row rank tables — constant-size, never corpus-size."""
+    from .operators.vectors import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = (
+        brute_force_topk(emb, query_ids_max=10, k=20)
+        .select("query_id", "neighbor_id", F.col("rank").alias("dr"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    qt = toks.filter(F.col("doc_id") < 10)
+    inter = (
+        F.broadcast(qt.withColumnRenamed("doc_id", "query_id"))
+        .join(
+            toks.withColumnRenamed("doc_id", "neighbor_id"),
+            "tok",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    lex_scored = (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("doc_id", "query_id")).select(
+                "query_id", F.col("s").alias("sa")
+            ),
+            "query_id",
+        )
+        .join(
+            sz.withColumnRenamed("doc_id", "neighbor_id").select(
+                "neighbor_id", F.col("s").alias("sb")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("i").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("i"))
+            ).alias("j"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("j").desc(), "neighbor_id"
+    )
+    lex = (
+        lex_scored.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= 20)
+        .select("query_id", "neighbor_id", "lr")
+    )
+
+    def _rrf(rank_col: str):
+        return F.floor(F.lit(1000000) / (F.lit(60) + F.col(rank_col))).cast(
+            "bigint"
+        )
+
+    # union + hash aggregate, NOT a full outer join: Spark cannot
+    # broadcast a full outer (it would fall back to sort-merge), and
+    # summing per-list contributions map-side-combines for free
+    fused = (
+        dense.select("query_id", "neighbor_id", _rrf("dr").alias("c"))
+        .unionByName(
+            lex.select("query_id", "neighbor_id", _rrf("lr").alias("c"))
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("c").alias("rrf_ppm"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), "neighbor_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rrf_ppm", "rank")
+    )
+
+
+@_register(
+    "k_anonymity_profile",
+    """
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (SELECT sum(n) AS total FROM cells),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT k.k,
+           sum(CASE WHEN c.n < k.k THEN 1 ELSE 0 END) AS n_groups_below,
+           sum(CASE WHEN c.n < k.k THEN c.n ELSE 0 END) AS rows_at_risk,
+           round(CAST(sum(CASE WHEN c.n < k.k THEN c.n ELSE 0 END)
+                      AS DOUBLE) / t.total, 6) AS pct_at_risk
+    FROM cells c CROSS JOIN ks k CROSS JOIN tot t
+    GROUP BY k.k, t.total
+    """,
+)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs next to pii_scrub: bucket customers by
+    the quasi-identifier pair (nation, market segment) and, for
+    k in {2, 5, 10}, report how many buckets fall below k and how many
+    rows sit in them (those rows are re-identifiable at that k and
+    must be generalized or suppressed before release). Exact integer
+    counts; the share is one double division rounded last. Scale
+    shape: one hash aggregate over the quasi-identifier key, then a
+    3-row k-grid cross join against the (tiny) cell table — the
+    grand total rides along as a broadcast scalar, so adding more k
+    thresholds never re-scans the input."""
+    cust = _t(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(F.sum("n").alias("total"))
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    return (
+        cells.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "total")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0)).alias(
+                "n_groups_below"
+            ),
+            F.sum(
+                F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0)
+            ).alias("rows_at_risk"),
+        )
+        .select(
+            "k",
+            "n_groups_below",
+            "rows_at_risk",
+            dround(
+                F.col("rows_at_risk").cast("double") / F.col("total"), 6
+            ).alias("pct_at_risk"),
+        )
+    )
+
+
+@_register(
     "nation_segments",
     """
     SELECT n.n_name AS nation_name,
