@@ -3691,7 +3691,12 @@ def audio_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the expected fingerprint from the closed-form
     amplitudes — energies are 4*a^2 with a >= 0, so the gradient
     comparison reduces to the amplitudes themselves. Doubles as the
-    BUILD entry for the persisted fingerprint store."""
+    BUILD entry for the persisted fingerprint store — its bench timing
+    carries the corpus decode + store write ON PURPOSE (so consumers
+    measure plans, not builds); its DuckDB twin verifies the closed
+    form without decoding a single byte of media, so the per-query
+    ratio compares a decode to an arithmetic restatement — the fair
+    engine-vs-oracle comparison is the dedup consumers."""
     return _shared_audio_fps(spark, sf_dir)
 
 
@@ -3788,7 +3793,10 @@ def video_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.extract_video_fingerprint). Neutral chroma
     makes the decoded RGB equal the luma byte exactly, so the oracle
     recomputes the fingerprint from the closed-form luma values.
-    Doubles as the BUILD entry for the persisted fingerprint store."""
+    Doubles as the BUILD entry for the persisted fingerprint store;
+    like audio_fp_table, its bench timing deliberately carries the
+    decode + store write, and its closed-form oracle pays neither —
+    judge the dedup consumers for engine-vs-oracle speed."""
     return _shared_video_fps(spark, sf_dir)
 
 
