@@ -247,6 +247,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "phrase_search",
     "hybrid_rrf_topk",
     "k_anonymity_profile",
+    # full-outer snapshot reconciliation (same extension; its
+    # recursive-CTE sibling decayed_monthly_revenue is pytest-only —
+    # see its docstring for the UnionLoop per-iteration cost argument)
+    "snapshot_reconcile_diff",
 )
 
 

@@ -1652,3 +1652,126 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE + snapshot reconciliation (round-10 extension)
+# ---------------------------------------------------------------------------
+
+
+def decayed_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE recursion through Spark 4's iterative WITH RECURSIVE
+    execution (UnionLoop): an exponential-decay running revenue,
+    w(t) = w(t-1) DIV 2 + revenue(t) over the month sequence, in EXACT
+    integer cents. The integer floor-division makes the recurrence
+    non-associative — no window-function closed form exists (unlike a
+    float EWMA, which unrolls to sum(rev_i * d^(t-i))), so this is the
+    class of sequential computation that genuinely needs the recursive
+    operator rather than a window.
+
+    DELIBERATELY NOT a registry/bench entry: it verified against its
+    DuckDB recursive-CTE twin at sf0.001/0.01/0.1 during development
+    (hash-equal at all three), but Spark 4.1's UnionLoopExec schedules
+    every iteration as its own job — measured ~0.9s/iteration on
+    local[32] EVEN when the recursion input is a cached or local
+    12-row month table and regardless of broadcast hints — so an
+    80-month recursion is a ~40s bench entry that times the scheduler
+    floor, not the plan. The capability stays covered by the
+    known-answer replay test (tests/test_reconcile_recursive.py); at
+    real cluster scale the same caveat applies: prefer the recursive
+    operator for depth-bounded calendars and pointer-jumping
+    (operators/graph.py) for deep chains. Scale shape of THIS query:
+    the recursion runs over the month table (one row per month), never
+    the fact table; depth = month count (~80 here), inside Spark's
+    default 100-level CTE recursion budget."""
+    # self-registered single view (not ensure_star_views): the query
+    # touches only orders, and the recursive SQL face must stay usable
+    # on a bare orders table (tests feed hand-built snapshots)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_dmr_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months AS (
+          SELECT month, rev_cents,
+                 row_number() OVER (ORDER BY month) AS i
+          FROM (SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         AS rev_cents
+                FROM _dmr_orders
+                GROUP BY date_format(o_orderdate, 'yyyy-MM'))
+        ),
+        w(i, month, w_cents) AS (
+          SELECT i, month, rev_cents FROM months WHERE i = 1
+          UNION ALL
+          SELECT m.i, m.month, (p.w_cents DIV 2) + m.rev_cents
+          FROM w p JOIN months m ON m.i = p.i + 1
+        )
+        SELECT month, w_cents FROM w
+        """
+    )
+
+
+@_register(
+    "snapshot_reconcile_diff",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    a AS (SELECT o_orderkey, cents AS old_cents FROM o
+          WHERE o_orderkey % 97 <> 0),
+    b AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 89 = 0 THEN cents + 150
+                      ELSE cents END AS new_cents
+          FROM o WHERE o_orderkey % 101 <> 0)
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           a.old_cents, b.new_cents
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.old_cents <> b.new_cents
+    """,
+)
+def snapshot_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the diff report a
+    lakehouse runs when a source restates data between loads: yesterday
+    (key-gated subset standing in for the pre-restatement snapshot) vs
+    today (a second gate drops some rows, a third bumps some prices),
+    classified added / removed / changed with both sides' values;
+    unchanged rows are filtered out so the report is the diff, not the
+    table. The full outer join is the one join shape the registry's
+    star marts never need but reconciliation always does. Scale shape:
+    both sides shuffle once on the join key (a full outer cannot
+    broadcast); the diff filter runs in-join-output before anything
+    else, so the report never materializes the unchanged majority."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    a = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("_ka"), F.col("cents").alias("old_cents")
+    )
+    b = o.filter(F.col("o_orderkey") % 101 != 0).select(
+        F.col("o_orderkey").alias("_kb"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("cents") + 150)
+        .otherwise(F.col("cents"))
+        .alias("new_cents"),
+    )
+    j = a.join(b, a["_ka"] == b["_kb"], "full_outer")
+    return j.filter(
+        F.col("_ka").isNull()
+        | F.col("_kb").isNull()
+        | (F.col("old_cents") != F.col("new_cents"))
+    ).select(
+        F.coalesce(F.col("_ka"), F.col("_kb")).alias("o_orderkey"),
+        F.when(F.col("_ka").isNull(), "added")
+        .when(F.col("_kb").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        "old_cents",
+        "new_cents",
+    )

@@ -44,14 +44,16 @@ class TestDriverWindow:
         # every priority name resolves; the window starts with the list
         names = list(q.queries())
         assert names[: len(q._WINDOW_PRIORITY)] == list(q._WINDOW_PRIORITY)
-        # 50 driver slots explicitly allocated + 12 bench-order-only
+        # 50 driver slots explicitly allocated + 14 bench-order-only
         # trailers (cross_source_dup_matrix, the image-dHash /
         # audio-fingerprint / video-fingerprint pairs,
-        # incremental_image_dedup, and the retrieval/privacy quartet
+        # incremental_image_dedup, the retrieval/privacy quartet
         # bm25_topk / phrase_search / hybrid_rrf_topk /
-        # k_anonymity_profile — queries.py documents why, and why the
-        # new entries lead round 11's rotation)
-        assert len(q._WINDOW_PRIORITY) == 62
+        # k_anonymity_profile, and the full-outer reconciliation
+        # snapshot_reconcile_diff — queries.py documents why, and why
+        # the new entries lead round 11's rotation (the recursive-CTE
+        # sibling decayed_monthly_revenue is pytest-only by design)
+        assert len(q._WINDOW_PRIORITY) == 63
 
     def test_round10_window_contract(self):
         """Round 10's rotation contract (VERDICT r9 items #1/#3): every
