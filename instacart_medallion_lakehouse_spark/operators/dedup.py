@@ -637,27 +637,48 @@ def simhash32(toks: Column) -> Column:
 
 
 def simhash_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) via explode + hash aggregate — the scale form.
+    """(id, simhash) via dictionary-encoded hashing + hash aggregate.
 
     Identical fingerprints to simhash32 (same per-(token, position)
-    bits, and sign-sum order cannot matter), but computed as: explode
-    tokens, md5 ONCE per token, 32 conditional sums in one codegen'd
-    HashAggregate with map-side partials, then pack. The array-expression
-    form evaluates interpreted lambdas and recomputes md5 per bit
-    position; this form shuffles only (id, 32 ints).
+    bits, and sign-sum order cannot matter), computed the scale way:
+    md5 runs ONCE PER DISTINCT TOKEN (the dictionary — Zipf makes the
+    vocabulary orders of magnitude smaller than the token stream), the
+    per-token ±1 bit pattern broadcast-joins back onto the exploded
+    stream, and 32 plain-integer sums collapse in one codegen'd
+    HashAggregate with map-side partials, then pack. Hashing the
+    instance stream instead (the naive form) recomputes md5 per token
+    occurrence — A/B at sf0.1: 2.0-2.2s naive vs 1.5s dictionary, with
+    identical outputs; the gap grows with corpus/vocabulary ratio. The
+    array-expression form is worse still (interpreted lambdas, md5 per
+    bit position). Shuffles: one distinct over tokens (tiny), one
+    (id, 32 ints) aggregate exchange.
     """
     ex = docs.select(
         F.col(id_col), F.explode(tokens(F.col("text"))).alias("_tok")
-    ).select(F.col(id_col), F.md5("_tok").alias("_h"))
-    sums = ex.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.substring("_h", p + 1, 1) >= "8", 1
-                ).otherwise(-1)
-            ).alias(f"_s{p}")
-            for p in range(SIMHASH_BITS)
-        ]
+    )
+    dictionary = (
+        ex.select("_tok")
+        .distinct()
+        .select("_tok", F.md5("_tok").alias("_h"))
+        .select(
+            "_tok",
+            *[
+                F.when(F.substring("_h", p + 1, 1) >= "8", 1)
+                .otherwise(-1)
+                .alias(f"_b{p}")
+                for p in range(SIMHASH_BITS)
+            ],
+        )
+    )
+    sums = (
+        ex.join(F.broadcast(dictionary), "_tok")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.col(f"_b{p}")).alias(f"_s{p}")
+                for p in range(SIMHASH_BITS)
+            ]
+        )
     )
     packed = None
     for p in range(SIMHASH_BITS):
