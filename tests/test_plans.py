@@ -161,3 +161,56 @@ class TestRound8Plans:
         assert "Exchange" not in plan
         assert "window" not in plan.lower()
         q.release_pins()
+
+
+class TestRound10ExtensionPlans:
+    def test_bm25_broadcasts_query_set_no_smj(self, spark, sf_dir):
+        """BM25's scale contract: the 5-term query set and the 1-row
+        corpus stats join the token table as BROADCASTS (scoring is a
+        map-side join over postings), the top-10 is TakeOrdered, and
+        nothing falls back to sort-merge."""
+        df = q.queries()["bm25_topk"](spark, sf_dir)
+        df.collect()
+        p = _plan(df)
+        assert p.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in p
+        assert "TakeOrderedAndProject" in p
+        q.release_pins()
+
+    def test_hybrid_rrf_fusion_has_no_sort_merge_join(self, spark, sf_dir):
+        """The RRF fusion is a union + hash aggregate BY DESIGN — a
+        full-outer formulation would plan a SortMergeJoin (full outer
+        cannot broadcast). This pins the rewrite."""
+        df = q.queries()["hybrid_rrf_topk"](spark, sf_dir)
+        df.collect()
+        p = _plan(df)
+        assert "SortMergeJoin" not in p
+        q.release_pins()
+
+    def test_snapshot_reconcile_is_the_documented_full_outer_smj(
+        self, spark, sf_dir
+    ):
+        """The one deliberate non-fact-fact SMJ in the registry: a FULL
+        OUTER join cannot broadcast, so the plan MUST carry exactly the
+        sort-merge the docstring documents — and classify via the join,
+        not a fallback nested loop."""
+        df = q.queries()["snapshot_reconcile_diff"](spark, sf_dir)
+        df.collect()
+        p = _plan(df)
+        assert "FullOuter" in p
+        assert "SortMergeJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
+        q.release_pins()
+
+    def test_fingerprint_dedup_consumers_scan_the_store(self, spark, sf_dir):
+        """After the build entry commits the fingerprint store, the
+        dedup consumer's plan must contain ZERO Python decode stages —
+        it scans the one-int64-per-item signature parquet (re-decoding
+        per consumer is exactly what the store exists to prevent)."""
+        q.queries()["audio_fp_table"](spark, sf_dir).count()  # build
+        df = q.queries()["audio_fp_dedup"](spark, sf_dir)
+        df.collect()
+        p = _plan(df)
+        assert "MapInPandas" not in p
+        assert "FileScan parquet" in p
+        q.release_pins()
