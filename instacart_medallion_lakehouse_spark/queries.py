@@ -251,6 +251,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # recursive-CTE sibling decayed_monthly_revenue is pytest-only —
     # see its docstring for the UnionLoop per-iteration cost argument)
     "snapshot_reconcile_diff",
+    # Spark-4 VARIANT semi-structured decode path (same extension)
+    "variant_extract",
 )
 
 
@@ -998,6 +1000,47 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         dround(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+@_register(
+    "variant_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           CAST(count(DISTINCT CAST(json_extract_string(props, '$.k')
+                AS INTEGER)) AS BIGINT) AS n_distinct_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing')
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_extra
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    parse_json ONCE into the binary variant encoding, then typed
+    try_variant_get path extractions — the modern engine path for
+    semi-structured columns at scale (the JSON string is decoded a
+    single time per row into a navigable binary form, where the
+    get_json_object form of json_extract re-parses the string once PER
+    PATH; with one path they tie, with k paths variant wins k-fold).
+    try_variant_get on an absent path returns NULL instead of raising —
+    the n_no_extra column pins that behavior cross-engine. The DuckDB
+    twin runs its own string-path extraction over the same JSON; values
+    must agree exactly (all-integer outputs, no float surface)."""
+    events = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_no_extra"),
     )
 
 

@@ -49,11 +49,12 @@ class TestDriverWindow:
         # audio-fingerprint / video-fingerprint pairs,
         # incremental_image_dedup, the retrieval/privacy quartet
         # bm25_topk / phrase_search / hybrid_rrf_topk /
-        # k_anonymity_profile, and the full-outer reconciliation
-        # snapshot_reconcile_diff — queries.py documents why, and why
-        # the new entries lead round 11's rotation (the recursive-CTE
-        # sibling decayed_monthly_revenue is pytest-only by design)
-        assert len(q._WINDOW_PRIORITY) == 63
+        # k_anonymity_profile, the full-outer reconciliation
+        # snapshot_reconcile_diff, and the Spark-4 VARIANT decode
+        # variant_extract — queries.py documents why, and why the new
+        # entries lead round 11's rotation (the recursive-CTE sibling
+        # decayed_monthly_revenue is pytest-only by design)
+        assert len(q._WINDOW_PRIORITY) == 64
 
     def test_round10_window_contract(self):
         """Round 10's rotation contract (VERDICT r9 items #1/#3): every
