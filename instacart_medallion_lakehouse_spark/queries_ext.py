@@ -3497,11 +3497,18 @@ def _shared_dhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_dhash, with_dhash_media
     from .queries import shared_table
 
+    # repartition AFTER the decode: the Arrow stage keeps full core
+    # parallelism, then the tiny signature rows exchange into 4 store
+    # files (writing 32 near-empty files costs more than the shuffle —
+    # measured ~0.2-0.3s/build at sf0.1 — and consumers scan fewer
+    # footers)
     return shared_table(
         spark,
         sf_dir,
         "dhash_sigs",
-        lambda: extract_dhash(with_dhash_media(_t(spark, sf_dir, "documents"))),
+        lambda: extract_dhash(
+            with_dhash_media(_t(spark, sf_dir, "documents"))
+        ).repartition(4),
         token="dhash-v1",
     )
 
@@ -3519,7 +3526,7 @@ def _shared_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "audio_fps",
         lambda: extract_audio_fingerprint(
             with_fingerprint_audio(_t(spark, sf_dir, "documents"))
-        ),
+        ).repartition(4),  # see _shared_dhash_sigs note
         token="afp-v1",
     )
 
@@ -3537,7 +3544,7 @@ def _shared_video_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video_fps",
         lambda: extract_video_fingerprint(
             with_fingerprint_video(_t(spark, sf_dir, "documents"))
-        ),
+        ).repartition(4),  # see _shared_dhash_sigs note
         token="vfp-v1",
     )
 
