@@ -253,6 +253,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "snapshot_reconcile_diff",
     # Spark-4 VARIANT semi-structured decode path (same extension)
     "variant_extract",
+    # windowed leaderboard: streaming (window,user) state + batch rank
+    "stream_window_topk",
 )
 
 

@@ -166,6 +166,35 @@ def hopping_counts_stream(
     )
 
 
+def windowed_user_cents_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling aggregation at (window, user) grain in
+    EXACT integer cents — the streaming half of the windowed-leaderboard
+    pattern (stream_window_topk): the stream maintains one running
+    aggregate per (window, user) in the state store; the per-window
+    top-k rank runs BATCH-side on the drained result, because a global
+    rank inside the stream would force complete-mode re-sorting of all
+    open windows every micro-batch. Cents (floor(value*100 + 0.5) as
+    LONG) make the downstream ordering engine-exact."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "cents",
+        )
+    )
+
+
 def session_windows_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -50,11 +50,12 @@ class TestDriverWindow:
         # incremental_image_dedup, the retrieval/privacy quartet
         # bm25_topk / phrase_search / hybrid_rrf_topk /
         # k_anonymity_profile, the full-outer reconciliation
-        # snapshot_reconcile_diff, and the Spark-4 VARIANT decode
-        # variant_extract — queries.py documents why, and why the new
-        # entries lead round 11's rotation (the recursive-CTE sibling
-        # decayed_monthly_revenue is pytest-only by design)
-        assert len(q._WINDOW_PRIORITY) == 64
+        # snapshot_reconcile_diff, the Spark-4 VARIANT decode
+        # variant_extract, and the windowed leaderboard
+        # stream_window_topk — queries.py documents why, and why the
+        # new entries lead round 11's rotation (the recursive-CTE
+        # sibling decayed_monthly_revenue is pytest-only by design)
+        assert len(q._WINDOW_PRIORITY) == 65
 
     def test_round10_window_contract(self):
         """Round 10's rotation contract (VERDICT r9 items #1/#3): every
