@@ -177,6 +177,39 @@ def zorder_key(a, b):
     return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
 
 
+def write_partitioned_backfill(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Backfill sink: overwrite ONLY the partitions present in ``df``.
+
+    The incremental-correction primitive of a partitioned lakehouse —
+    a restated day (late data, upstream fix) rewrites that day's
+    directory and leaves every other partition's files untouched,
+    where the default STATIC overwrite mode would first delete the
+    whole table root. Implemented with Spark's dynamic partition
+    overwrite (``spark.sql.sources.partitionOverwriteMode=dynamic``),
+    set ONLY for the duration of this write and restored after — the
+    mode is session-global and silently changing it for unrelated
+    writes would turn their full refreshes into partial ones.
+
+    At 100 TB this is how backfills stay O(restated partitions): the
+    job reads and writes one day out of thousands, commits
+    atomically per partition directory, and downstream readers keep
+    pruning on the unchanged partitions' existing files. For
+    snapshot-isolated readers and multi-writer safety the versioned
+    store (versioned.py) is the upgrade path; this is the plain-parquet
+    contract the reference's layer sinks use.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Schema-enforced JSON-lines scan (one object per line).
 

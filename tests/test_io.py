@@ -333,3 +333,71 @@ class TestJsonlQuarantine:
         good, bad = read_jsonl_quarantine(spark, out, src.schema)
         assert bad.count() == 0
         assert good.count() == src.count()
+
+
+class TestPartitionedBackfill:
+    def test_backfill_rewrites_only_named_partitions(self, spark, tmp_path):
+        """Dynamic partition overwrite: restating day=2 replaces that
+        partition's content, leaves day 1 and 3's FILES byte-identical
+        on disk (not rewritten), and restores the session's overwrite
+        mode afterwards."""
+        import os
+
+        path = str(tmp_path / "t")
+        full = spark.createDataFrame(
+            [(d, i, d * 100 + i) for d in (1, 2, 3) for i in range(4)],
+            "day int, id int, v int",
+        )
+        io.write_table(full, path, partition_by=["day"])
+
+        def files_of(day):
+            d = os.path.join(path, f"day={day}")
+            return sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+        before_1, before_3 = files_of(1), files_of(3)
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+
+        restated = spark.createDataFrame(
+            [(2, i, 999) for i in range(2)], "day int, id int, v int"
+        )
+        io.write_partitioned_backfill(restated, path, ["day"])
+
+        # untouched partitions: same files, same mtimes (never rewritten)
+        assert files_of(1) == before_1
+        assert files_of(3) == before_3
+        # restated partition: fully replaced, not appended
+        out = spark.read.parquet(path)
+        got = {
+            (r["day"], r["id"], r["v"]) for r in out.collect()
+        }
+        want = {(d, i, d * 100 + i) for d in (1, 3) for i in range(4)} | {
+            (2, i, 999) for i in range(2)
+        }
+        assert got == want
+        # session mode restored (the write must not leak the dynamic
+        # mode into unrelated writes)
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == prev_mode
+        )
+
+    def test_static_overwrite_would_have_dropped_the_rest(
+        self, spark, tmp_path
+    ):
+        """The contrast that motivates the helper: the same write in
+        default STATIC mode deletes every other partition."""
+        path = str(tmp_path / "t")
+        full = spark.createDataFrame(
+            [(d, d) for d in (1, 2, 3)], "day int, v int"
+        )
+        io.write_table(full, path, partition_by=["day"])
+        restated = spark.createDataFrame([(2, 99)], "day int, v int")
+        restated.write.mode("overwrite").partitionBy("day").parquet(path)
+        days = {r["day"] for r in spark.read.parquet(path).collect()}
+        assert days == {2}
