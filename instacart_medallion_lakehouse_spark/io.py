@@ -186,11 +186,14 @@ def write_partitioned_backfill(
     a restated day (late data, upstream fix) rewrites that day's
     directory and leaves every other partition's files untouched,
     where the default STATIC overwrite mode would first delete the
-    whole table root. Implemented with Spark's dynamic partition
-    overwrite (``spark.sql.sources.partitionOverwriteMode=dynamic``),
-    set ONLY for the duration of this write and restored after — the
-    mode is session-global and silently changing it for unrelated
-    writes would turn their full refreshes into partial ones.
+    whole table root. Implemented with the PER-WRITE
+    ``DataFrameWriter.option("partitionOverwriteMode", "dynamic")``
+    (which takes precedence over the session conf), NOT by mutating the
+    session-global ``spark.sql.sources.partitionOverwriteMode`` — a
+    session-conf flip would race with any concurrent static-overwrite
+    write on the same SparkSession (silently turning its full refresh
+    into a partial one) and its restore would pin a previously-unset
+    key.
 
     At 100 TB this is how backfills stay O(restated partitions): the
     job reads and writes one day out of thousands, commits
@@ -200,14 +203,12 @@ def write_partitioned_backfill(
     store (versioned.py) is the upgrade path; this is the plain-parquet
     contract the reference's layer sinks use.
     """
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "STATIC")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:

@@ -652,6 +652,15 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     array-expression form is worse still (interpreted lambdas, md5 per
     bit position). Shuffles: one distinct over tokens (tiny), one
     (id, 32 ints) aggregate exchange.
+
+    Broadcast bound: the explicit hint on the dictionary is safe while
+    the DISTINCT vocabulary (33 ints/row, ~300 B serialized) stays
+    under the broadcast limit — roughly 10 M distinct tokens at a
+    default driver. Corpora with unbounded vocab (URLs, hex blobs)
+    should cap the dictionary (hash-mod the long tail) or drop the
+    hint and let AQE decide at runtime; A/B at sf0.1: the hint is
+    worth 30% (2.40s vs 3.12s hint-less, identical output), so it
+    stays under the Zipf-vocabulary contract above.
     """
     ex = docs.select(
         F.col(id_col), F.explode(tokens(F.col("text"))).alias("_tok")

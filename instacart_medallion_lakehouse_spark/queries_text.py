@@ -1090,7 +1090,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates documents. Per-term contributions are quantized to exact
     1e-6 units and summed as LONGs (the avg_fixedpoint discipline), so
     cross-engine float summation order cannot flip the ranking or the
-    hash. Scale shape: one explode + two hash aggregates build the
+    hash. (Residual cross-engine risk, same accepted pattern as
+    zipf_tail_fit: ``ln`` is transcendental and DuckDB's libm vs the
+    JVM's Math.log carry a 1-ulp licence, so a contribution landing
+    exactly on a 1e-6 quantization boundary could floor differently —
+    unobserved across every sweep at both SFs; the quantization is what
+    makes the SUM exact once the per-term values agree.) Scale shape: one explode + two hash aggregates build the
     posting stats; the 5-row query set and the 1-row corpus stats are
     broadcast, so the scoring pass is a map-side join over the token
     table — no shuffle grows with the query; top-10 is a TakeOrdered,
@@ -1310,9 +1315,14 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "neighbor_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # query-side sizes: filter to the 10 query docs BEFORE broadcasting
+    # — broadcasting the full corpus-sized `sz` here would grow
+    # unboundedly with the corpus; only the neighbor-side join below is
+    # allowed to shuffle.
+    qsz = sz.filter(F.col("doc_id") < 10)
     lex_scored = (
         inter.join(
-            F.broadcast(sz.withColumnRenamed("doc_id", "query_id")).select(
+            F.broadcast(qsz.withColumnRenamed("doc_id", "query_id")).select(
                 "query_id", F.col("s").alias("sa")
             ),
             "query_id",
