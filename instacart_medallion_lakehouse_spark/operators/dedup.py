@@ -781,13 +781,15 @@ def _hash_band_table(
 
 
 def hamming_band_pairs(
-    sig: DataFrame,
+    sig: DataFrame | None,
     hash_col: str,
     n_bands: int,
     band_bits: int,
     max_hamming: int,
     id_col: str = "doc_id",
     sig_b: DataFrame | None = None,
+    bands: DataFrame | None = None,
+    bands_b: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= ``max_hamming`` over an
     arbitrary packed-bits column — the pigeonhole band trick of
@@ -807,21 +809,37 @@ def hamming_band_pairs(
     Used by the multimodal perceptual-hash dedup (image dHash, audio
     and video fingerprints). The signature tables are pinned — one row
     per item, feeding both sides of the band join.
+
+    ``bands``/``bands_b`` (r11): a PREBUILT band table (the
+    ``_hash_band_table`` schema ``(_id, _sh, idx, val)``) replaces the
+    corresponding ``sig`` side — the bucketed-band-store path
+    (queries.shared_bucketed_table): a store bucketed+sorted on
+    ``(idx, val)`` makes this join exchange-AND-sort-free on that
+    side, so the only remaining shuffle is the output-sized distinct.
+    No pin either: the store is a compact columnar scan, cheaper to
+    re-read than to write into executor cache.
     """
     assert n_bands > max_hamming, "pigeonhole recall needs bands > hamming"
-    sig = pin(sig)
-    sig.count()  # materialize before the band join (ngram note)
-    bands_a = _hash_band_table(sig, hash_col, n_bands, band_bits, id_col)
-    if sig_b is None:
-        bands_b = bands_a
-        cond_ids = F.col("a._id") < F.col("b._id")
+    if bands is not None:
+        bands_a = bands
     else:
+        sig = pin(sig)
+        sig.count()  # materialize before the band join (ngram note)
+        bands_a = _hash_band_table(sig, hash_col, n_bands, band_bits, id_col)
+    if bands_b is not None:
+        cond_ids = F.lit(True)
+    elif sig_b is not None:
         sig_b = pin(sig_b)
         sig_b.count()
         bands_b = _hash_band_table(
             sig_b, hash_col, n_bands, band_bits, id_col
         )
         cond_ids = F.lit(True)
+    else:
+        # one-sided self-join: with a prebuilt (bucketed) band table
+        # both scans come from the store, bucket-wise co-located
+        bands_b = bands_a
+        cond_ids = F.col("a._id") < F.col("b._id")
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
     return (
         bands_a.alias("a")

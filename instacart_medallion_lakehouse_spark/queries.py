@@ -382,6 +382,75 @@ def shared_table(
     return spark.read.parquet(path)
 
 
+def shared_bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], DataFrame],
+    bucket_by: list[str],
+    num_buckets: int = 8,
+    sort_by: list[str] | None = None,
+    sources: tuple[str, ...] = ("documents.parquet",),
+    token: str = "v1",
+) -> DataFrame:
+    """Bucketed sibling of ``shared_table``: persist ``builder()`` as a
+    HASH-BUCKETED catalog table (``io.write_bucketed``) keyed by the
+    same source-mtime+token fingerprint, and serve it via
+    ``spark.table``. Returns ``None`` when the store is disabled or the
+    sources aren't fingerprintable — callers fall back to their
+    unbucketed in-plan build (with its pins), keeping fallback
+    semantics byte-identical to the pre-store path. Every later self-join or aggregate whose keys
+    start with ``bucket_by`` then runs with NO exchange on the stored
+    side — the shuffle happened ONCE at write time. This is the 100 TB
+    shape for the dedup band stores (VERDICT r10 #6): band tables are
+    corpus-sized, and an unbucketed store re-shuffles both sides of
+    the candidate join on EVERY consumer run.
+
+    Bucketed writes must go through ``saveAsTable``, so unlike the
+    parquet store this asset lives in the session catalog (in-memory
+    here — a new session re-registers by rebuilding; the files land
+    under ``spark.sql.warehouse.dir``). The fingerprint is baked into
+    the TABLE NAME, so a testdata regeneration or builder-logic change
+    can never serve a stale table; a leftover same-name warehouse dir
+    from a killed run (catalog forgot it, files remain) is deleted
+    before the rebuild — managed-table creation refuses to reuse an
+    existing location.
+
+    ``num_buckets`` sizes join parallelism for the STORE's consumers
+    (tasks-per-join == buckets); 8 fits the sub-100k-row band tables
+    at bench scale — a cluster sizes it once per corpus (write-time
+    contract, see write_bucketed).
+    """
+    import hashlib
+    import shutil
+
+    from .io import write_bucketed
+
+    if _shared_dir() is None:  # store disabled: same gate as shared_table
+        return None
+    fp = hashlib.md5()
+    fp.update(sf_dir.encode())
+    fp.update(f"|{token}|".encode())
+    try:
+        for s in sources:
+            p = os.path.join(sf_dir, s)
+            st = os.stat(p)
+            fp.update(f"{s}:{st.st_mtime_ns}:{st.st_size}".encode())
+    except FileNotFoundError:
+        # synthetic/in-memory input (tests): no fingerprintable source
+        return None
+    tbl = f"{name}_{fp.hexdigest()[:16]}"
+    if not spark.catalog.tableExists(tbl):
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        write_bucketed(
+            builder(), tbl, bucket_by, num_buckets, sort_by=sort_by
+        )
+    return spark.table(tbl)
+
+
 def store_backed(df: DataFrame) -> bool:
     """True when ``df`` scans the persisted derived-table store (i.e.
     ``shared_table`` served it from parquet rather than falling back to

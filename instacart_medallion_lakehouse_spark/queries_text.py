@@ -393,10 +393,35 @@ def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(_id, band, key) LSH band table (r=2) derived from the stored
-    signature asset — a trivial md5 projection over the |docs|-row
-    signature table, shared by minhash_lsh_dedup, lsh_bucket_profile,
-    dedup_clusters, cluster_canonicals."""
+    """(_id, band, key) LSH band table (r=2), served from a BUCKETED
+    catalog store (r11, VERDICT r10 #6): bucketed AND sorted on
+    (band, key) — the candidate self-join's keys — via
+    queries.shared_bucketed_table, so every consumer's band join
+    (minhash_lsh_dedup, dedup_clusters, cluster_canonicals, the
+    incremental probe's index side) and the (band, key) aggregate of
+    lsh_bucket_profile run with NO exchange over the stored side. At
+    100 TB the band table is |docs| x 8 rows; re-shuffling it per
+    consumer run was the one recurring cost the derive-on-scan form
+    kept. Built from the stored signature asset with a scan-local md5
+    projection; falls back to exactly that in-plan projection when the
+    store is disabled (shared_bucketed_table returns None)."""
+    from .queries import shared_bucketed_table
+
+    bands = shared_bucketed_table(
+        spark,
+        sf_dir,
+        "minhash_bands_n3_h16r2",
+        lambda: dedup.bands_from_signatures(
+            shared_minhash_sigs(spark, sf_dir), num_hashes=16, band_rows=2
+        ),
+        bucket_by=["band", "key"],
+        num_buckets=8,
+        sort_by=["band", "key"],
+        # bump when tokens()/shingle_table/minhash hash-family change
+        token="md5-seeded-16x-3shingle-v1-bands",
+    )
+    if bands is not None:
+        return bands
     return dedup.bands_from_signatures(
         shared_minhash_sigs(spark, sf_dir), num_hashes=16, band_rows=2
     )
@@ -521,10 +546,12 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a committed table, not a subquery — this entry is that commit,
     and in a multi-query session it runs FIRST so every downstream
     dedup query's timing measures its own plan, not the shared build
-    (the window order in queries._WINDOW_PRIORITY encodes that)."""
-    return shared_minhash_sigs(spark, sf_dir).select(
-        "doc_id", *[f"sig_{i}" for i in range(16)]
-    )
+    (the window order in queries._WINDOW_PRIORITY encodes that).
+    r11: also commits the BUCKETED band store derived from the
+    signatures, for the same attribution reason."""
+    sig = shared_minhash_sigs(spark, sf_dir)
+    shared_minhash_bands(spark, sf_dir)  # commit the band store too
+    return sig.select("doc_id", *[f"sig_{i}" for i in range(16)])
 
 
 _NGRAM_CAP_DF = 64  # stop-shingle document-frequency cap (lockstep w/ SQL)

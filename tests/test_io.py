@@ -401,3 +401,97 @@ class TestPartitionedBackfill:
         restated.write.mode("overwrite").partitionBy("day").parquet(path)
         days = {r["day"] for r in spark.read.parquet(path).collect()}
         assert days == {2}
+
+
+class TestSharedBucketedTable:
+    """queries.shared_bucketed_table (r11): the bucketed band-store
+    primitive under the dedup candidate joins — build-once semantics,
+    exchange-free self-join on the bucket keys, and the documented
+    fallbacks."""
+
+    def _get(self, spark, sf_dir, builder, calls):
+        from instacart_medallion_lakehouse_spark import queries as q
+
+        def counted():
+            calls.append(1)
+            return builder()
+
+        return q.shared_bucketed_table(
+            spark,
+            sf_dir,
+            "t_bands",
+            counted,
+            bucket_by=["idx", "val"],
+            num_buckets=4,
+            sort_by=["idx", "val"],
+            sources=("documents.parquet",),
+            token="t1",
+        )
+
+    def test_build_once_and_self_join_has_no_exchange(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        monkeypatch.setenv("SPARK_GRAFT_SHARED_DIR", str(tmp_path))
+
+        def builder():
+            return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                F.col("doc_id").alias("_id"),
+                (F.col("doc_id") % 4).alias("idx"),
+                (F.col("doc_id") % 7).alias("val"),
+            )
+
+        calls: list[int] = []
+        try:
+            bands = self._get(spark, sf_dir, builder, calls)
+            assert bands is not None and calls == [1]
+            again = self._get(spark, sf_dir, builder, calls)
+            assert calls == [1]  # second request served from the catalog
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                # force SMJ so bucket-side shuffle elimination is observable
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                j = bands.alias("a").join(
+                    again.alias("b"),
+                    (F.col("a.idx") == F.col("b.idx"))
+                    & (F.col("a.val") == F.col("b.val")),
+                )
+                plan = j._jdf.queryExecution().executedPlan().toString()
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan  # co-bucketed: no shuffle
+                expect = builder().alias("a").join(
+                    builder().alias("b"),
+                    (F.col("a.idx") == F.col("b.idx"))
+                    & (F.col("a.val") == F.col("b.val")),
+                ).count()
+                assert j.count() == expect
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            for t in spark.catalog.listTables():
+                if t.name.startswith("t_bands_"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+    def test_fallback_returns_none(self, spark, sf_dir, tmp_path, monkeypatch):
+        from instacart_medallion_lakehouse_spark import queries as q
+
+        builder = lambda: spark.range(1)  # noqa: E731
+        # store disabled ('' disables; unset means a default tmp store)
+        monkeypatch.setenv("SPARK_GRAFT_SHARED_DIR", "")
+        assert (
+            q.shared_bucketed_table(
+                spark, sf_dir, "t_x", builder, bucket_by=["id"]
+            )
+            is None
+        )
+        # unfingerprintable sources
+        monkeypatch.setenv("SPARK_GRAFT_SHARED_DIR", str(tmp_path))
+        assert (
+            q.shared_bucketed_table(
+                spark,
+                str(tmp_path / "nope"),
+                "t_x",
+                builder,
+                bucket_by=["id"],
+            )
+            is None
+        )
