@@ -203,11 +203,102 @@ class TestAvi:
         assert len(pngs) == 2
         assert (decode(pngs[1]) == frames[2]).all()
 
-    def test_mp4_still_not_implemented(self):
-        with pytest.raises(NotImplementedError):
+    def test_headeronly_mp4_raises_value_error(self):
+        # r11: mp4 routes through the real sample-table walk now; a
+        # probe-only payload (no moov) fails the walk loudly
+        with pytest.raises(ValueError):
             multimodal.sample_frames(
                 b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32
             )
+
+
+class TestMp4Mjpeg:
+    """MJPEG-in-MP4 demux/mux (operators/mp4codec.py, r11): the
+    stsd/stts/stsc/stsz/stco sample-table walk, exact lossless frame
+    round-trips, step sampling, the stsc two-per-chunk run map, and
+    the loud inter-frame boundary."""
+
+    def _payload(self, n=4, h=12, w=16, lossless=True):
+        rng = np.random.RandomState(7)
+        frames = [
+            rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            for _ in range(n)
+        ]
+        from instacart_medallion_lakehouse_spark.operators.mp4codec import (
+            encode_mp4_mjpeg,
+        )
+
+        jpegs = [encode_jpeg(f, lossless=lossless) for f in frames]
+        return frames, encode_mp4_mjpeg(jpegs, w, h)
+
+    def test_lossless_roundtrip_exact(self):
+        from instacart_medallion_lakehouse_spark.operators.mp4codec import (
+            iter_mp4_frames,
+            parse_mp4_samples,
+        )
+
+        frames, mp4 = self._payload()
+        meta = parse_mp4_samples(mp4)
+        assert (meta["width"], meta["height"]) == (16, 12)
+        assert meta["fourcc"] == "jpeg"
+        assert len(meta["samples"]) == 4
+        assert meta["durations"] == [25, 25, 25, 25]
+        for a, b in zip(iter_mp4_frames(mp4), frames):
+            assert (a == b).all()
+
+    def test_odd_count_second_stsc_run(self):
+        # 5 samples -> chunks of 2,2,1: the second stsc run must be
+        # honored or the last sample's byte range is wrong
+        from instacart_medallion_lakehouse_spark.operators.mp4codec import (
+            iter_mp4_frames,
+            parse_mp4_samples,
+        )
+
+        frames, mp4 = self._payload(n=5)
+        meta = parse_mp4_samples(mp4)
+        assert len(meta["samples"]) == 5
+        dec = list(iter_mp4_frames(mp4))
+        assert (dec[4] == frames[4]).all()
+
+    def test_step_skips_decode(self):
+        from instacart_medallion_lakehouse_spark.operators.mp4codec import (
+            iter_mp4_frames,
+        )
+
+        frames, mp4 = self._payload(n=6)
+        sampled = list(iter_mp4_frames(mp4, step=3))
+        assert len(sampled) == 2
+        assert (sampled[1] == frames[3]).all()
+
+    def test_interframe_codec_raises_loudly(self):
+        from instacart_medallion_lakehouse_spark.operators.mp4codec import (
+            iter_mp4_frames,
+        )
+
+        _, mp4 = self._payload(n=2)
+        with pytest.raises(NotImplementedError, match="avc1"):
+            list(iter_mp4_frames(mp4.replace(b"jpeg", b"avc1")))
+
+    def test_corrupt_raises(self):
+        from instacart_medallion_lakehouse_spark.operators.mp4codec import (
+            parse_mp4_samples,
+        )
+
+        _, mp4 = self._payload(n=1)
+        with pytest.raises(ValueError):
+            parse_mp4_samples(mp4[:40])
+
+    def test_sample_frames_and_probe_agree(self):
+        from instacart_medallion_lakehouse_spark.operators.mp4probe import (
+            parse_mp4,
+        )
+
+        frames, mp4 = self._payload(n=4)
+        assert multimodal.sniff_format(mp4) == "mp4"
+        pngs = multimodal.sample_frames(mp4, every_n=2)
+        assert len(pngs) == 2
+        assert (decode(pngs[1]) == frames[2]).all()
+        assert parse_mp4(mp4)["n_tracks"] == 1
 
 
 class TestSparkIntegration:
