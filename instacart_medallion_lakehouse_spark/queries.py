@@ -129,15 +129,38 @@ def _register(name: str, oracle: str | None):
 # the WHOLE registry stays gated locally by tools/check_oracle.py
 # regardless of order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- round 10, part 0: persisted-store BUILD entries pinned first,
-    # in DERIVED-TABLE DAG order, so ordered multi-query runs (bench
-    # included) attribute each shared build cost to its build entry,
-    # not to whichever consumer happens to run first. Round 10
-    # completes the set (VERDICT r9 item #1): shingle_index_table is
-    # NEW (the root asset — signatures and contamination flags chain
-    # from it), scored_docs_table / doc_repetition_table /
-    # contamination_flags_table are NEW (the curation silver layer,
-    # previously billed to curated_docs_v2's timing).
+    # =========== ROUND 11 WINDOW ===========
+    # Priority per the r10 rotation plan (VERDICT r10 #1): (1) every
+    # round-10 addition with NO lifetime driver correctness row — the
+    # fingerprint store/dedup families, the retrieval/privacy quartet,
+    # the full-outer/VARIANT/streaming-leaderboard extension; (2) the
+    # round-11 addition (mp4_frame_stats); (3) the persisted-store
+    # BUILD entries in derived-table DAG order (they keep owning their
+    # build costs in ordered runs — and minhash_signature_table's plan
+    # changed this round: it now also commits the bucketed band
+    # store); (4) every query whose PLAN round 11 rewrote (dim_parts
+    # two-level distinct; the minhash/fingerprint consumers now
+    # reading bucketed band stores); (5) cross_source_dup_matrix
+    # (r8-stamped, displaced from the r10 window); (6) the r7 cohort,
+    # alphabetical, as far as fits.
+    # --- (1) r10 additions, *_table builds before their consumers ---
+    "image_dhash_table",
+    "image_dhash_dedup",
+    "incremental_image_dedup",
+    "audio_fp_table",
+    "audio_fp_dedup",
+    "video_fp_table",
+    "video_fp_dedup",
+    "bm25_topk",
+    "phrase_search",
+    "hybrid_rrf_topk",
+    "k_anonymity_profile",
+    "snapshot_reconcile_diff",
+    "variant_extract",
+    "stream_window_topk",
+    # --- (2) NEW round 11: MJPEG-in-MP4 sample-table demux ---
+    "mp4_frame_stats",
+    # --- (3) store BUILD entries, DAG order (see r10 notes above) ---
     "shingle_index_table",
     "minhash_signature_table",
     "scored_docs_table",
@@ -145,116 +168,45 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "contamination_flags_table",
     "span_run_index",
     "token_table",
-    # boilerplate_phrases doubles as the PHRASE-store build (its first
-    # run commits shared_boilerplate_phrases) — pinned with the builds
-    # so doc_boilerplate_ratio (r6 cohort, alphabetically earlier)
-    # doesn't pay the phrase build in ordered runs (r10 bench showed
-    # exactly that: 1.44s -> 2.54s when the window order flipped).
     "boilerplate_phrases",
-    # --- round 10, part 1: queries whose PLANS were rewritten this
-    # round (store-backed shingle reuse replaced per-query pin+count
-    # cache materialization; curated_docs_v2's final verify now reads
-    # the shingle store instead of re-tokenizing survivors), so their
-    # old driver rows describe stale plans. minhash_lsh_dedup is also
-    # the r6 cohort's staleness leader.
+    # --- (4) plans rewritten in round 11 ---
+    "dim_parts_rollup",
     "minhash_lsh_dedup",
-    "minhash_estimate_error",
     "incremental_minhash_dedup",
-    "benchmark_contamination",
-    "curated_docs_v2",
-    "containment_pairs",
-    "ngram_jaccard_dedup",
-    # --- round 10, part 2: the ENTIRE r6 cohort remainder (newest
-    # driver row round 6 — the stalest oracle-twinned queries in the
-    # registry), alphabetical. After this round no twin's newest driver
-    # row is older than r7. (price_percentiles_approx and
-    # stream_running_totals are r6-stamped but no-oracle by design —
-    # they would burn a slot on an `err: no_oracle` row.)
-    "corpus_mixture",
-    "customer_quartiles",
-    "daily_count_revenue_corr",
-    "decile_buckets",
-    "doc_boilerplate_ratio",
-    "doc_chunks",
-    "embedding_norms",
-    "errors_in_sessions",
-    "forward_fill_values",
-    "funnel_steps",
-    "incremental_exact_dedup",
-    "key_skew_profile",
-    "label_centroids",
     "lsh_bucket_profile",
-    "mixture_temperature_weights",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q6_forecast_revenue",
-    "quality_resample",
-    "revenue_gini",
-    "revenue_trend_by_nation",
-    "scd2_user_states",
-    "semantic_contamination",
-    "sequence_packing",
-    "source_entropy",
-    "stratified_sample",
-    "stream_enriched_totals",
-    "supplier_balance_ranks",
-    "time_rollup_revenue",
-    "triangle_count",
-    "unpivot_part_metrics",
-    "urgent_customers_by_segment",
-    "user_burstiness",
-    "winnowing_fingerprints",
-    # --- round 10, part 3: one slot left — taken by the round's NEW
-    # entry (stop-shingle-capped exact dedup, the 100 TB form of the
-    # inverted-index join; VERDICT r9 #6), which needs its first driver
-    # row. ROTATION PLAN
-    # for round 11, in priority order: (1) anything round 11 rewrites,
-    # (2) the r7 cohort (ann_topk, asof_click_view, bigram_topk,
-    # blocklist_filter, bronze_meta_scan, cms_heavy_hitters,
-    # dedup_first, dim_customers_rollup, dim_parts_rollup,
-    # doc_fingerprint, duplicate_rate, enrich_case, events_near_errors,
-    # fct_surrogate_key, hash_shuffled_export, json_extract,
-    # language_id, null_rate, null_safe_filter, pivot_status_revenue,
-    # q1..q21 TPC-H members, quality_score, region_performance,
+    "minhash_estimate_error",
+    "dedup_clusters",
+    "cluster_canonicals",
+    # --- (5) displaced from the r10 window at r8 staleness ---
+    "cross_source_dup_matrix",
+    # --- (6) r7 cohort, alphabetical head (19 slots left). ROTATION
+    # PLAN for round 12, in priority order: (a) anything round 12
+    # rewrites, (b) the r7 cohort remainder (pivot_status_revenue,
+    # q1..q22 TPC-H members, quality_score, region_performance,
     # region_performance_sql, repetition_ratio, return_velocity,
     # ri_orphans, rolling_active_users, rollup_revenue, sessionize,
     # source_quality_profile, stream_hopping_events,
     # top_brands_per_nation, winsorized_order_stats, zipf_slope),
-    # (3) the r8 cohort, alphabetical. (ann_lsh_topk rejoins the r7
-    # cohort's alphabetical head next round.)
-    "ngram_jaccard_dedup_capped",
-    # --- positions 51+, OUTSIDE the driver's 50-row window but still
-    # bench-ordered with their families: cross_source_dup_matrix shares
-    # the store-backed-shingle rewrite already driver-covered by the
-    # seven family members above (its last green row is r8; it
-    # re-enters the rotation with the r8 cohort in round 11); the
-    # image-dHash pair (NEW this round, added after the window filled)
-    # and the acoustic-fingerprint pair (same) are FIRST in round 11's
-    # rotation priority — new entries with no
-    # lifetime driver row outrank everything else. The retrieval /
-    # privacy quartet (bm25_topk, phrase_search, hybrid_rrf_topk,
-    # k_anonymity_profile — NEW, post-close extension) joins them at
-    # the same no-lifetime-row priority.
-    "cross_source_dup_matrix",
-    "image_dhash_table",
-    "image_dhash_dedup",
-    "audio_fp_table",
-    "audio_fp_dedup",
-    "video_fp_table",
-    "video_fp_dedup",
-    "incremental_image_dedup",
-    "bm25_topk",
-    "phrase_search",
-    "hybrid_rrf_topk",
-    "k_anonymity_profile",
-    # full-outer snapshot reconciliation (same extension; its
-    # recursive-CTE sibling decayed_monthly_revenue is pytest-only —
-    # see its docstring for the UnionLoop per-iteration cost argument)
-    "snapshot_reconcile_diff",
-    # Spark-4 VARIANT semi-structured decode path (same extension)
-    "variant_extract",
-    # windowed leaderboard: streaming (window,user) state + batch rank
-    "stream_window_topk",
+    # (c) the r8 cohort, alphabetical. ---
+    "ann_lsh_topk",
+    "ann_topk",
+    "asof_click_view",
+    "bigram_topk",
+    "blocklist_filter",
+    "bronze_meta_scan",
+    "cms_heavy_hitters",
+    "dedup_first",
+    "dim_customers_rollup",
+    "doc_fingerprint",
+    "duplicate_rate",
+    "enrich_case",
+    "events_near_errors",
+    "fct_surrogate_key",
+    "hash_shuffled_export",
+    "json_extract",
+    "language_id",
+    "null_rate",
+    "null_safe_filter",
 )
 
 
