@@ -47,10 +47,24 @@ def main() -> None:
     os.environ["SPARK_GRAFT_SHARED_DIR"] = tempfile.mkdtemp(
         prefix="spark_graft_bench_store_"
     )
+    # wall-clock breakdown (VERDICT r10 #3): stamp every non-query
+    # phase so the wall-vs-query-sum gap is itemized in BENCH_DETAIL —
+    # a regression in session bring-up or store ordering cannot hide
+    # in an unexplained residual.
+    wall_t0 = time.perf_counter()
+    wall: dict[str, float] = {}
+
+    def _stamp(key: str, t0: float) -> None:
+        wall[key] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    _stamp("session_init", t0)
     # JVM/codegen warmup on a trivial job so the first query isn't taxed
+    t0 = time.perf_counter()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    _stamp("jvm_warmup", t0)
     # Streaming-engine warmup: the FIRST streaming query in a session
     # pays one-time micro-batch engine + state-store classloading that
     # would otherwise land on whichever stream_* entry runs first —
@@ -60,14 +74,30 @@ def main() -> None:
         drain_to_batch,
     )
 
-    _ws = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", "10")
-        .load()
-        .groupBy("value")
-        .count()
-    )
-    drain_to_batch(_ws, output_mode="complete", timeout_sec=60)
+    def _tiny_stream():
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "10")
+            .load()
+            .groupBy("value")
+            .count()
+        )
+
+    t0 = time.perf_counter()
+    drain_to_batch(_tiny_stream(), output_mode="complete", timeout_sec=60)
+    _stamp("streaming_warmup", t0)
+    # Steady-state streaming drain floor (VERDICT r10 #8): a SECOND
+    # minimal drain, after engine bring-up, measures the fixed
+    # micro-batch + state-store checkpoint cost EVERY stream_* query
+    # pays regardless of its plan. BENCH_DETAIL reports stream_*
+    # ratios both raw and with this floor subtracted
+    # (ratios_stream_adjusted) — comparing a streaming drain against a
+    # batch DuckDB GROUP BY without the floor reports engine topology,
+    # not plan cost.
+    t0 = time.perf_counter()
+    drain_to_batch(_tiny_stream(), output_mode="complete", timeout_sec=60)
+    stream_floor = round(time.perf_counter() - t0, 3)
+    wall["stream_floor_probe"] = stream_floor
 
     # Representative warmup, untimed: range() warms the JVM but not the
     # parquet reader, broadcast machinery, window codegen, or the Python
@@ -78,9 +108,11 @@ def main() -> None:
     # (Python worker pool + Arrow serde) cover those paths; pins and any
     # store asset they build are dropped before the timed passes.
     reg = q.queries()
+    t0 = time.perf_counter()
     materialize(reg["region_performance"](spark, SF_DIR))
     materialize(reg["ann_topk"](spark, SF_DIR))
     q.release_pins()
+    _stamp("representative_warmup", t0)
 
     # Two passes, per-query MIN: pass 1 doubles as warmup (JIT, python
     # worker pool, page cache — this host faults memory lazily and
@@ -111,8 +143,10 @@ def main() -> None:
             q.release_pins()
         pass_totals.append(round(time.perf_counter() - pass_t0, 3))
     total = round(sum(timings.values()), 3)
+    t0 = time.perf_counter()
     spark.stop()
     q.clear_shared_store()  # drop the run-private store directory
+    _stamp("teardown", t0)
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -144,7 +178,9 @@ def main() -> None:
     vs_prev = _compare_to_previous_round(timings, total, sf)
     if vs_prev:
         detail["vs_prev"] = vs_prev
+    t0 = time.perf_counter()
     duck = _bench_duckdb_baseline()
+    _stamp("duckdb_baseline", t0)
     if duck:
         detail["duckdb"] = duck
         # per-query spark/duckdb ratio (<1 = Spark faster) so the 2x
@@ -169,6 +205,43 @@ def main() -> None:
             for name, t in timings.items()
             if dq.get(name, 0) >= 0.05
         }
+        # streaming-shaped floor adjustment (VERDICT r10 #8): stream_*
+        # queries drain a micro-batch engine with state-store
+        # checkpoints; their raw ratio against a batch DuckDB GROUP BY
+        # measures that topology, not the plan. The adjusted ratio
+        # subtracts the measured per-drain floor (stream_floor_probe:
+        # a minimal post-warmup stateful drain) from each stream_*
+        # timing — what remains is the plan-shaped cost on the same
+        # footing as the batch queries.
+        detail["stream_drain_floor_sec"] = stream_floor
+        detail["ratios_stream_adjusted"] = {
+            name: round(max(t - stream_floor, 0.0) / dq[name], 2)
+            for name, t in timings.items()
+            if name.startswith("stream_") and dq.get(name, 0) >= 0.05
+        }
+        if matched and m_duck:
+            adj_spark = sum(
+                max(timings[n] - stream_floor, 0.0)
+                if n.startswith("stream_")
+                else timings[n]
+                for n in matched
+            )
+            detail["ratio_total_stream_adjusted"] = round(
+                adj_spark / m_duck, 3
+            )
+
+    # itemized wall clock: everything outside the timed queries, plus
+    # the residual the breakdown does NOT explain (import time, python
+    # interpreter startup, JSON IO). Keep residual under ~10s or find
+    # out why (VERDICT r10 #3).
+    wall_total = round(time.perf_counter() - wall_t0, 3)
+    accounted = round(sum(wall.values()) + sum(pass_totals), 3)
+    detail["wall_breakdown"] = {
+        **wall,
+        "timed_pass_walls": pass_totals,
+        "wall_total": wall_total,
+        "residual_unexplained": round(wall_total - accounted, 3),
+    }
 
     with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -14,3 +14,13 @@ reference utils/quality.py which is likewise pure-DataFrame composition).
 """
 
 __version__ = "0.1.0"
+
+# Export the vendored-protobuf path (vendor/google/protobuf) into
+# PYTHONPATH at import time, before any SparkSession/JVM exists — the
+# driver's plain-session path never calls build_session, but every
+# entry point imports this package first. No-op when the real protobuf
+# wheel is installed. See session.ensure_vendored_protobuf.
+from .session import ensure_vendored_protobuf as _evp  # noqa: E402
+
+_evp()
+del _evp

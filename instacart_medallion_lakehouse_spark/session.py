@@ -29,6 +29,39 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"
 _JVM_OPTS = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
 
 
+def ensure_vendored_protobuf() -> None:
+    """transformWithStateInPandas' state-server workers import
+    ``google.protobuf``; this container ships no protobuf wheel, so the
+    repo vendors a MINIMAL runtime covering exactly the
+    StateMessage.proto subset (vendor/google/protobuf/_shim.py, r11).
+    Prepend it to PYTHONPATH (inherited by every python worker a LATER
+    JVM spawns — must run before the gateway launches) and sys.path,
+    ONLY when the real package is absent: an installed wheel always
+    wins. Called from _ensure_jvm_opts AND at package import (the
+    driver/plain-session path builds its own SparkSession without
+    build_session, but imports the package first)."""
+    import sys as _sys
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    _vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vendor",
+    )
+    if not os.path.isdir(os.path.join(_vendor, "google", "protobuf")):
+        return
+    if _vendor not in _sys.path:
+        _sys.path.insert(0, _vendor)
+    pp = os.environ.get("PYTHONPATH", "")
+    if _vendor not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _vendor + (os.pathsep + pp if pp else "")
+
+
+
 def _ensure_jvm_opts() -> None:
     """Inject launch-time process settings before the gateway starts the
     JVM. No-op if a JVM is already up (they can't apply retroactively)."""
@@ -42,6 +75,7 @@ def _ensure_jvm_opts() -> None:
     # reusable arena: first use pays, the rest run warm. Exported here so
     # the JVM and every python worker it spawns inherit it.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    ensure_vendored_protobuf()
 
     if SparkContext._jvm is not None:  # JVM already launched
         return

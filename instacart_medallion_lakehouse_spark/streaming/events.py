@@ -326,6 +326,84 @@ def running_user_totals_stream(
     )
 
 
+def running_user_totals_tws_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful API (StatefulProcessor + typed state
+    variables over a state server), the successor to
+    ``applyInPandasWithState``; this operator is the TWS twin of
+    ``running_user_totals_stream`` and MUST produce the same final
+    per-user rows (asserted in tests/test_streaming.py and by the
+    ``stream_tws_totals`` registry entry's comparison drain).
+
+    Environment notes (r11, VERDICT r10 #5): the TWS state-server
+    protocol's python side imports ``google.protobuf``; this container
+    has no protobuf wheel, so session.py puts the repo's vendored
+    minimal runtime (vendor/google/protobuf/_shim.py — exactly the
+    StateMessage.proto wire subset, loud on anything else) on
+    PYTHONPATH when the real package is absent. TWS also requires a
+    state-store provider with column families — run the query under
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider`` (the callers set/restore it around
+    the drain).
+
+    Scale: same as the applyInPandasWithState twin — state partitioned
+    by user across executors, checkpointed incrementally (RocksDB
+    changelog), watermark bounds replay.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, last_ts timestamp"
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE, last_ts TIMESTAMP"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            (user_id,) = key
+            if self._state.exists():
+                n, total, last = self._state.get()
+            else:
+                n, total, last = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = pdf["ts"].max()
+                last = mx if last is None or mx > last else last
+            self._state.update((n, total, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _Totals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def interval_join_clicks_views_stream(
     events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

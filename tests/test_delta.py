@@ -14,6 +14,11 @@ Everything else in the repo runs against the Parquet fallback plus the
 versioned.py snapshot twin, which covers the same semantics (atomic
 commit, MERGE, time travel) without the package.
 
+Install attempt record (round 11, 2026-08-16, VERDICT r10 #7): retried
+``pip download delta-spark==4.0.0 --no-deps`` — DNS resolution for the
+package index fails outright ("Name or service not known"), so the
+container still has no package-index access; unchanged from round 10.
+
 Install attempt record (round 10, 2026-08-16, VERDICT r9 #8): this
 sandbox has no package-index access — ``pip download
 delta-spark==4.0.0 --no-deps`` fails with "Could not find a version

@@ -89,6 +89,55 @@ class TestArbitraryStatefulProcessing:
             assert abs(f["total_value"] - b["total_value"]) < 1e-6
             assert f["last_ts"] == b["last_ts"]
 
+    def test_tws_totals_match_apply_in_pandas_twin(self, spark, sf_dir):
+        """transformWithStateInPandas (via the vendored protobuf shim,
+        r11) must produce the same final per-user state as its
+        applyInPandasWithState twin on identical input."""
+
+        def _final(drained):
+            final = {}
+            for r in drained.collect():
+                cur = final.get(r["user_id"])
+                if cur is None or r["n_events"] > cur["n_events"]:
+                    final[r["user_id"]] = r
+            return final
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            tws = _final(
+                se.drain_to_batch(
+                    se.running_user_totals_tws_stream(
+                        se.read_events_stream(spark, sf_dir)
+                    ),
+                    output_mode="update",
+                )
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        twin = _final(
+            se.drain_to_batch(
+                se.running_user_totals_stream(
+                    se.read_events_stream(spark, sf_dir)
+                ),
+                output_mode="update",
+            )
+        )
+        assert tws.keys() == twin.keys()
+        for uid, a in twin.items():
+            t = tws[uid]
+            assert t["n_events"] == a["n_events"]
+            assert abs(t["total_value"] - a["total_value"]) < 1e-6
+            assert t["last_ts"] == a["last_ts"]
+
 
 class TestFileSinkCheckpointing:
     def test_append_then_resume_no_duplicates(self, spark, sf_dir, tmp_path):
