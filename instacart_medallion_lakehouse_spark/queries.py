@@ -275,12 +275,29 @@ def _shared_dir() -> str | None:
 
 def clear_shared_store() -> None:
     """Drop every persisted derived table (bench calls this between
-    passes so each pass pays the build exactly once — honest timing)."""
+    passes so each pass pays the build exactly once — honest timing).
+    Also drops the BUCKETED catalog tables created this session
+    (shared_bucketed_table registers them in _BUCKETED_TABLES): the
+    catalog outlives the store directory, and a surviving band table
+    would make pass 2's build entries skip the band build — min()
+    over passes would then hide that cost entirely."""
     import shutil
 
     d = _shared_dir()
     if d and os.path.isdir(d):
         shutil.rmtree(d, ignore_errors=True)
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        for tbl in list(_BUCKETED_TABLES):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                _BUCKETED_TABLES.discard(tbl)
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+
+
+# catalog tables created by shared_bucketed_table this session
+_BUCKETED_TABLES: set[str] = set()
 
 
 def shared_table(
@@ -400,6 +417,7 @@ def shared_bucketed_table(
         write_bucketed(
             builder(), tbl, bucket_by, num_buckets, sort_by=sort_by
         )
+    _BUCKETED_TABLES.add(tbl)
     return spark.table(tbl)
 
 
