@@ -44,27 +44,37 @@ class TestDriverWindow:
         # every priority name resolves; the window starts with the list
         names = list(q.queries())
         assert names[: len(q._WINDOW_PRIORITY)] == list(q._WINDOW_PRIORITY)
-        # 50 driver slots explicitly allocated + 14 bench-order-only
-        # trailers (cross_source_dup_matrix, the image-dHash /
-        # audio-fingerprint / video-fingerprint pairs,
-        # incremental_image_dedup, the retrieval/privacy quartet
-        # bm25_topk / phrase_search / hybrid_rrf_topk /
-        # k_anonymity_profile, the full-outer reconciliation
-        # snapshot_reconcile_diff, the Spark-4 VARIANT decode
-        # variant_extract, and the windowed leaderboard
-        # stream_window_topk — queries.py documents why, and why the
-        # new entries lead round 11's rotation (the recursive-CTE
-        # sibling decayed_monthly_revenue is pytest-only by design)
-        assert len(q._WINDOW_PRIORITY) == 65
+        # round 11: exactly the 50 driver slots are allocated — every
+        # r10 no-lifetime-row addition, the new mp4_frame_stats, the
+        # store-build block, the r11 plan rewrites, and the r7 cohort
+        # head (queries.py documents the rotation plan for round 12)
+        assert len(q._WINDOW_PRIORITY) == 50
 
-    def test_round10_window_contract(self):
-        """Round 10's rotation contract (VERDICT r9 items #1/#3): every
-        persisted-store BUILD entry is pinned ahead of its consumers,
-        this round's rewrites and the brand-new entries sit inside the
-        50-entry driver window, and the ENTIRE r6 cohort remainder (the
-        stalest oracle-twinned rows) rotates in."""
+    def test_round11_window_contract(self):
+        """Round 11's rotation contract (VERDICT r10 item #1): every
+        round-10 addition with no lifetime driver row leads the window,
+        the store BUILD entries stay pinned ahead of their consumers,
+        the r11 plan rewrites rotate in, and the r7 cohort head fills
+        the remainder."""
         must_be_in = (
-            # the complete store-build block (VERDICT r9 item #1)
+            # r10 additions with no lifetime driver row
+            "image_dhash_table",
+            "image_dhash_dedup",
+            "incremental_image_dedup",
+            "audio_fp_table",
+            "audio_fp_dedup",
+            "video_fp_table",
+            "video_fp_dedup",
+            "bm25_topk",
+            "phrase_search",
+            "hybrid_rrf_topk",
+            "k_anonymity_profile",
+            "snapshot_reconcile_diff",
+            "variant_extract",
+            "stream_window_topk",
+            # the round-11 addition
+            "mp4_frame_stats",
+            # the complete store-build block
             "shingle_index_table",
             "minhash_signature_table",
             "scored_docs_table",
@@ -73,18 +83,19 @@ class TestDriverWindow:
             "span_run_index",
             "token_table",
             "boilerplate_phrases",
-            # round-10 rewrites + the new capped-dedup entry
+            # r11 plan rewrites (two-level distinct; bucketed band
+            # stores under the minhash/fingerprint consumers)
+            "dim_parts_rollup",
             "minhash_lsh_dedup",
-            "curated_docs_v2",
-            "ngram_jaccard_dedup",
-            "ngram_jaccard_dedup_capped",
-            # r6 cohort remainder spot checks (full list in queries.py)
-            "corpus_mixture",
-            "customer_quartiles",
+            "incremental_minhash_dedup",
             "lsh_bucket_profile",
-            "quality_resample",
-            "triangle_count",
-            "winnowing_fingerprints",
+            "minhash_estimate_error",
+            "dedup_clusters",
+            "cluster_canonicals",
+            # r7 cohort head spot checks (full list in queries.py)
+            "ann_lsh_topk",
+            "dedup_first",
+            "null_safe_filter",
         )
         names = list(q.queries())
         window = set(names[:50])
@@ -110,10 +121,16 @@ class TestDriverWindow:
             "dup_span_coverage"
         )
         assert names.index("token_table") < names.index("lm_perplexity")
+        # fingerprint *_table builds precede their dedup consumers
+        for fam in ("image_dhash", "audio_fp", "video_fp"):
+            assert names.index(f"{fam}_table") < names.index(
+                f"{fam}_dedup"
+            )
         # no-oracle entries stay OUT of the window (VERDICT r7 item #2)
         for no_oracle in ("region_performance_approx",
                           "price_percentiles_approx",
-                          "stream_running_totals"):
+                          "stream_running_totals",
+                          "stream_tws_totals"):
             assert no_oracle not in window, no_oracle
 
 class TestTfidfRoundingMargin:

@@ -77,7 +77,13 @@ class TestSampleFrames:
             assert np.abs(arr.astype(int) - want.astype(int)).max() <= 3
 
     def test_compressed_containers_still_stubbed(self):
+        # mkv (and any unknown magic) keeps the loud ffmpeg boundary;
+        # mp4 now routes through the real sample-table walk (r11,
+        # operators/mp4codec.py — tests/test_gif_avi.py::TestMp4Mjpeg),
+        # so a table-less mp4 fails the walk with ValueError instead
         with pytest.raises(NotImplementedError, match="ffmpeg"):
+            multimodal.sample_frames(b"\x1a\x45\xdf\xa3 fake mkv")
+        with pytest.raises(ValueError):
             multimodal.sample_frames(b"\x00\x00\x00\x18ftypmp42 fake mp4")
 
     def test_header_parser_recognizes_y4m(self):
