@@ -2319,6 +2319,19 @@ def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals_tws_stream,
     )
 
+    return _drain_tws_totals(spark, sf_dir)
+
+
+def _drain_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the TWS running-totals stream under the RocksDB provider
+    (TWS needs column families; the provider is pinned at stream start
+    so the restore cannot affect this query's own state)."""
+    from .streaming.events import (
+        drain_to_batch,
+        read_events_stream,
+        running_user_totals_tws_stream,
+    )
+
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(
@@ -2335,6 +2348,35 @@ def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@_register(
+    "stream_tws_final_state",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_tws_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-CHECKED face of the transformWithStateInPandas path
+    (r11): drain the TWS running-totals stream (update mode emits one
+    row per (user, micro-batch)), keep each user's FINAL state row —
+    n_events strictly increases per emitted row, so the per-user
+    argmax is unique and batch-boundary-independent — and compare it
+    against the batch aggregate the stream must converge to. The
+    compared columns are the exact ones (count, max timestamp); the
+    float running sum stays on the rows-only twin (stream_tws_totals)
+    where cross-batch summation order is the operator's contract, not
+    a defect. This makes the vendored-protobuf TWS path
+    value-hash-verified by the oracle, not just rows-only."""
+    drained = _drain_tws_totals(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "last_ts")
+    )
 
 
 @_register(
