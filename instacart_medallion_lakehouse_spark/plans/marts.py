@@ -118,17 +118,25 @@ def dim_parts(lineitem: DataFrame, orders: DataFrame, part: DataFrame) -> DataFr
     clustering), with ``count(*)`` of the first level as the exact
     distinct-customer count. Semantically identical on any input —
     inner-join multiplicity included, so it does NOT assume lineitem
-    referential integrity. The orderkey join carries no hint: at bench
-    scale AQE broadcasts the 2-column orders projection at runtime; at
-    100 TB (orders too big to broadcast) it shuffles on orderkey —
-    serve both sides from a `write_bucketed(o_orderkey)` store to make
-    it exchange-free. A/B sf0.1: 2.35s naive -> ~1.2-1.4s warm,
-    identical output (pandas-exact). At 100 TB swap the exact distinct
-    for ``F.approx_count_distinct`` (rsd 1%) to drop level one
-    entirely (SURVEY.md §7.4.4).
+    referential integrity. The ``repartition(l_partkey)`` sits BEFORE
+    the orderkey join on purpose: a broadcast-hash join preserves the
+    streamed side's partitioning, so the probe + both agg levels run
+    at full width while the single-row-group scan task only writes
+    shuffle blocks — repartitioning AFTER the join left probe+project
+    serialized in the 1-task scan stage (interleaved A/B sf0.1:
+    median 2.02s after-join vs 1.10s before-join, identical output).
+    The orderkey join carries no hint: at bench scale AQE broadcasts
+    the 2-column orders projection at runtime; at 100 TB (orders too
+    big to broadcast) it shuffles on orderkey — serve both sides from
+    a `write_bucketed(o_orderkey)` store to make it exchange-free,
+    and the pre-join repartition then becomes the bucketed scan's
+    own layout. Naive r10 form was 2.35s (9.85x its DuckDB twin). At
+    100 TB swap the exact distinct for ``F.approx_count_distinct``
+    (rsd 1%) to drop level one entirely (SURVEY.md §7.4.4).
     """
     li = (
         lineitem.select("l_orderkey", "l_partkey", "l_returnflag", "l_linenumber")
+        .repartition("l_partkey")
         .join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -140,7 +148,6 @@ def dim_parts(lineitem: DataFrame, orders: DataFrame, part: DataFrame) -> DataFr
             _is_return().alias("_ret1"),
             F.col("l_linenumber").cast("long").alias("_lnum"),
         )
-        .repartition("l_partkey")
     )
     per_cust = li.groupBy("l_partkey", "o_custkey").agg(
         F.count(F.lit(1)).alias("_cnt"),
