@@ -370,10 +370,13 @@ def running_user_totals_tws_stream(
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: N802
             (user_id,) = key
-            if self._state.exists():
-                n, total, last = self._state.get()
-            else:
-                n, total, last = 0, 0.0, None
+            # ONE state-server round trip, not two: get() returns None
+            # when the value state has never been set, so the
+            # exists()-then-get() idiom doubles the per-key socket
+            # round trips for nothing (guide §4 — the boundary cost is
+            # per message, and this runs once per key per micro-batch)
+            prev = self._state.get()
+            n, total, last = prev if prev is not None else (0, 0.0, None)
             for pdf in rows:
                 n += len(pdf)
                 total += float(pdf["value"].sum())
@@ -482,6 +485,7 @@ def drain_to_batch(
     output_mode: str = "complete",
     timeout_sec: int = 120,
     shuffle_partitions: int | None = 8,
+    no_data_batches: bool = False,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion and return its result.
 
@@ -496,9 +500,28 @@ def drain_to_batch(
     store instances scale with it — per-micro-batch overhead, so the
     default is low for test-scale drains; size it to the cluster for
     production volumes). Restored to the session value afterwards.
+
+    ``no_data_batches`` (r11, guide §1/§2 — measure, then remove work):
+    after the data batches, Spark by default schedules one extra EMPTY
+    micro-batch whose only job is advancing the watermark so stateful
+    operators can evict/finalize. Measured per drain here: 1.7-6s of
+    addBatch re-executing every stateful operator over zero rows. The
+    OUTPUT of that batch is empty or a re-emission for every shape this
+    module drains — complete-mode aggregations (re-emit the identical
+    table), update-mode TWS/applyInPandas totals (no keys changed →
+    no rows), and immediate-emission append shapes (dropDuplicates,
+    stream-stream inner interval join, stream-static join) — so the
+    default skips it. Set True for any APPEND-MODE WATERMARKED
+    AGGREGATION (tumbling/hopping/session windows emitted on
+    finalization) or event-time timers: those EMIT on watermark
+    advance, and skipping the no-data batch would silently drop the
+    final windows from the sink.
     """
     spark = streaming_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(nd_key, None)
+    spark.conf.set(nd_key, "true" if no_data_batches else "false")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
@@ -525,6 +548,10 @@ def drain_to_batch(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_nd is None:
+            spark.conf.unset(nd_key)
+        else:
+            spark.conf.set(nd_key, prev_nd)
     return spark.table(name)
 
 
