@@ -112,6 +112,29 @@ def main() -> None:
     materialize(reg["region_performance"](spark, SF_DIR))
     materialize(reg["ann_topk"](spark, SF_DIR))
     q.release_pins()
+    # Parquet-WRITE path warmup (r11, guide §1 — measured: the FIRST
+    # parquet write of a session pays ~4.5s of one-time committer /
+    # writer / codec classloading; warm writes are ~0.4s). The store
+    # build entries (image_dhash_table, shingle_index_table, ...) write
+    # parquet + bucketed catalog tables inside their timed window, so
+    # without this the session's whole write-classloading bill lands on
+    # whichever build entry runs first in pass 0. One 2-row synthetic
+    # write of each flavor (plain parquet + bucketed saveAsTable) warms
+    # the path; nothing derived from the dataset is kept.
+    import shutil
+    import tempfile as _tf
+
+    wtmp = _tf.mkdtemp(prefix="bench_write_warmup_")
+    tiny = spark.range(2).selectExpr("id", "id * 2 AS v")
+    tiny.write.mode("overwrite").parquet(os.path.join(wtmp, "p"))
+    (
+        tiny.write.mode("overwrite")
+        .bucketBy(2, "id")
+        .sortBy("id")
+        .saveAsTable("_bench_write_warmup")
+    )
+    spark.sql("DROP TABLE IF EXISTS _bench_write_warmup")
+    shutil.rmtree(wtmp, ignore_errors=True)
     _stamp("representative_warmup", t0)
 
     # Two passes, per-query MIN: pass 1 doubles as warmup (JIT, python

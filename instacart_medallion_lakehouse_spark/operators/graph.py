@@ -186,11 +186,22 @@ def connected_components(
     try:
         for _ in range(max_rounds):
             rhs = F.broadcast(labels) if broadcast_labels else labels
+            # the self-loop row (dst == src) carries the node's OWN
+            # previous-round label, so the same aggregate that takes
+            # the neighborhood min also extracts l_{i-1}(v) — change
+            # detection below then needs NO join against the previous
+            # label table (r11, guide §2.4: one |V|-sized join — and in
+            # broadcast mode one broadcast build — removed per round)
             stepped = (
                 sym.join(rhs, sym["dst"] == rhs["node"])
                 .groupBy("src")
-                .agg(F.min("label").alias("_l"))
-                .select(F.col("src").alias("node"), F.col("_l"))
+                .agg(
+                    F.min("label").alias("_l"),
+                    F.max(
+                        F.when(sym["dst"] == sym["src"], F.col("label"))
+                    ).alias("_old"),
+                )
+                .select(F.col("src").alias("node"), "_l", "_old")
             )
             inner = stepped.select(
                 F.col("node").alias("_pn"), F.col("_l").alias("_pl")
@@ -204,13 +215,10 @@ def connected_components(
                     F.least(
                         F.col("_l"), F.coalesce(F.col("_pl"), F.col("_l"))
                     ).alias("label"),
+                    "_old",
                 )
             )
-            changed = (
-                jumped.join(labels.withColumnRenamed("label", "_old"), "node")
-                .filter(F.col("label") != F.col("_old"))
-                .count()
-            )
+            changed = jumped.filter(F.col("label") != F.col("_old")).count()
             unpin(labels)
             labels = jumped
             if changed == 0:

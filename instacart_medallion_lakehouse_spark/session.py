@@ -116,6 +116,13 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy: preferSortMergeJoin and the AQE SMJ->SHJ
+        # rewrite threshold were A/B'd per-query in round 11 (q8,
+        # q21, dim_parts, top_brands, snapshot_reconcile — 3 reps,
+        # min): every delta inside noise, because AQE already
+        # broadcast-rewrites the small sides at runtime and the
+        # surviving SMJ inputs are exchange-floor-bound here. Left at
+        # defaults; see OPTIMIZATION_r11.md.
         .config("spark.sql.autoBroadcastJoinThreshold", "10m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
