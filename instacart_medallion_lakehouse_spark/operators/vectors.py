@@ -919,19 +919,89 @@ def pq_topk(
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m
 
-    # per-subspace codebooks (driver model state, like _kmeans_fit/IVF)
-    books: list[tuple] = []
+    # per-subspace codebooks (driver model state, like _kmeans_fit/IVF).
+    # All m Lloyd fits run FUSED: one Arrow pass per iteration computes
+    # every subspace's assignment partials (r11, guide §1.2/§2.4 — m
+    # sequential _kmeans_fit calls were m full jobs + m collects over
+    # the same pinned table; the merged arithmetic per subspace is
+    # byte-identical because partial sums are integer-valued doubles,
+    # so batch-boundary and merge order cannot change a total).
+    state: list[tuple] = []
     for s in range(m):
-        sub = raw.select(
-            "_vid", F.slice("_q", s * dsub + 1, dsub).alias("_q")
+        init = sorted(
+            (r for r in pre if r["_vid"] < k_codes), key=lambda r: r["_vid"]
         )
-        init = [
-            {"_vid": r["_vid"], "_q": list(r["_q"])[s * dsub : (s + 1) * dsub]}
-            for r in pre
-            if r["_vid"] < k_codes
+        cids_s = np.array([r["_vid"] for r in init], dtype=np.int64)
+        C_s = np.array(
+            [list(r["_q"])[s * dsub : (s + 1) * dsub] for r in init],
+            dtype=np.float64,
+        )
+        state.append((cids_s, C_s))
+
+    for _ in range(iterations):
+        models = [
+            (cids_s, (C_s * C_s).sum(axis=1), np.ascontiguousarray(C_s.T))
+            for cids_s, C_s in state
         ]
-        cids_s, C_s = _kmeans_fit(sub, k_codes, iterations, init_rows=init)
-        books.append((cids_s, np.ascontiguousarray(C_s)))
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["_q"]), dtype=np.float64)
+                out_s, out_cid, out_cnt, out_sum = [], [], [], []
+                for s, (cids_s, n2c, Ct) in enumerate(models):
+                    sub = mat[:, s * dsub : (s + 1) * dsub]
+                    # same argmin/tie-break as _assign_partials
+                    a = np.argmin(n2c[None, :] - 2.0 * (sub @ Ct), axis=1)
+                    for j in np.unique(a):
+                        sel = sub[a == j]
+                        out_s.append(s)
+                        out_cid.append(int(cids_s[j]))
+                        out_cnt.append(len(sel))
+                        out_sum.append(sel.sum(axis=0))
+                yield pd.DataFrame(
+                    {
+                        "_s": out_s,
+                        "_cid": out_cid,
+                        "_cnt": out_cnt,
+                        "_sum": out_sum,
+                    }
+                )
+
+        parts = (
+            raw.select("_vid", "_q")
+            .mapInPandas(
+                partials, "_s int, _cid long, _cnt long, _sum array<double>"
+            )
+            .collect()
+        )
+        new_state = []
+        for s in range(m):
+            sums: dict[int, np.ndarray] = {}
+            cnts: dict[int, int] = {}
+            for r in parts:
+                if r["_s"] != s:
+                    continue
+                c = r["_cid"]
+                vec = np.asarray(r["_sum"], dtype=np.float64)
+                if c in sums:
+                    sums[c] += vec
+                    cnts[c] += r["_cnt"]
+                else:
+                    sums[c] = vec
+                    cnts[c] = r["_cnt"]
+            cids_s = np.array(sorted(sums), dtype=np.int64)
+            C_s = np.array(
+                [np.floor(sums[c] * 1.0 / cnts[c]) for c in cids_s],
+                dtype=np.float64,
+            )
+            new_state.append((cids_s, C_s))
+        state = new_state
+
+    books: list[tuple] = [
+        (cids_s, np.ascontiguousarray(C_s)) for cids_s, C_s in state
+    ]
 
     # encode the corpus: one Arrow pass emitting m code ids per vector
     code_schema = "_vid long, " + ", ".join(f"_c{s} long" for s in range(m))
