@@ -1014,7 +1014,8 @@ def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
              count(*) AS n_events,
-             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ),
     r AS (

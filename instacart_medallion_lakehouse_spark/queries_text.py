@@ -1414,8 +1414,10 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(n) AS total FROM cells),
     ks AS (SELECT unnest([2, 5, 10]) AS k)
     SELECT k.k,
-           sum(CASE WHEN c.n < k.k THEN 1 ELSE 0 END) AS n_groups_below,
-           sum(CASE WHEN c.n < k.k THEN c.n ELSE 0 END) AS rows_at_risk,
+           CAST(sum(CASE WHEN c.n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below,
+           CAST(sum(CASE WHEN c.n < k.k THEN c.n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
            round(CAST(sum(CASE WHEN c.n < k.k THEN c.n ELSE 0 END)
                       AS DOUBLE) / t.total, 6) AS pct_at_risk
     FROM cells c CROSS JOIN ks k CROSS JOIN tot t

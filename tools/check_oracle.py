@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -35,6 +36,13 @@ def canon(v):
         return "NULL"
     if isinstance(v, bool):
         return str(v)
+    if isinstance(v, decimal.Decimal):
+        # DuckDB HUGEINT (un-CAST sum of integers) crosses Arrow as
+        # decimal128(38,0) -> Python Decimal. The driver's hash is
+        # type-sensitive, so Decimal('5') must NOT canon equal to int 5
+        # — that exact blindness shipped two red oracles in r11
+        # (VERDICT r11 #1: k_anonymity_profile, stream_window_topk).
+        return f"DECIMAL:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
