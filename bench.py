@@ -125,16 +125,22 @@ def main() -> None:
     import tempfile as _tf
 
     wtmp = _tf.mkdtemp(prefix="bench_write_warmup_")
-    tiny = spark.range(2).selectExpr("id", "id * 2 AS v")
-    tiny.write.mode("overwrite").parquet(os.path.join(wtmp, "p"))
-    (
-        tiny.write.mode("overwrite")
-        .bucketBy(2, "id")
-        .sortBy("id")
-        .saveAsTable("_bench_write_warmup")
-    )
+    # DROP upfront too: a previous bench killed mid-warmup leaves the
+    # catalog entry + bucketed files behind, and the overwrite write
+    # would race the stale entry (ADVICE r11)
     spark.sql("DROP TABLE IF EXISTS _bench_write_warmup")
-    shutil.rmtree(wtmp, ignore_errors=True)
+    try:
+        tiny = spark.range(2).selectExpr("id", "id * 2 AS v")
+        tiny.write.mode("overwrite").parquet(os.path.join(wtmp, "p"))
+        (
+            tiny.write.mode("overwrite")
+            .bucketBy(2, "id")
+            .sortBy("id")
+            .saveAsTable("_bench_write_warmup")
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _bench_write_warmup")
+        shutil.rmtree(wtmp, ignore_errors=True)
     _stamp("representative_warmup", t0)
 
     # Two passes, per-query MIN: pass 1 doubles as warmup (JIT, python

@@ -1343,8 +1343,12 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import interval_join_clicks_views_stream
 
     stream = read_events_stream(spark, sf_dir)
+    # inner interval join emits each matched pair the micro-batch it
+    # forms — the trailing no-data batch only evicts state, so skip it
     return drain_to_batch(
-        interval_join_clicks_views_stream(stream), output_mode="append"
+        interval_join_clicks_views_stream(stream),
+        output_mode="append",
+        no_data_batches=False,
     )
 
 
@@ -1896,7 +1900,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     doubled = stream.union(stream.filter(F.col("event_id") % 10 == 0))
-    return drain_to_batch(dedup_stream(doubled), output_mode="append")
+    # dropDuplicatesWithinWatermark emits survivors immediately — the
+    # trailing no-data batch only evicts state, so skip it
+    return drain_to_batch(
+        dedup_stream(doubled), output_mode="append", no_data_batches=False
+    )
 
 
 @_register(
@@ -2314,41 +2322,56 @@ def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf is set for the drain and restored after (per-query
     checkpoint: the provider is pinned at stream start, so the
     restore cannot corrupt this query's own state)."""
-    from .streaming.events import (
-        drain_to_batch,
-        read_events_stream,
-        running_user_totals_tws_stream,
-    )
-
     return _drain_tws_totals(spark, sf_dir)
 
 
 def _drain_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the TWS running-totals stream under the RocksDB provider
     (TWS needs column families; the provider is pinned at stream start
-    so the restore cannot affect this query's own state)."""
-    from .streaming.events import (
-        drain_to_batch,
-        read_events_stream,
-        running_user_totals_tws_stream,
-    )
+    so the restore cannot affect this query's own state).
 
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    The drained result is published through the persisted derived-table
+    store (r12, VERDICT r11 #2): stream_tws_totals and
+    stream_tws_final_state consume the IDENTICAL drain, and each TWS
+    drain pays a fixed ~1.2s python state-server spawn plus per-key
+    state round trips — at 100 TB you run the stream ONCE and every
+    consumer reads its output table, exactly like the fingerprint/band
+    stores. The store is wiped per bench pass inside the timed region,
+    so the first consumer each pass still pays the full drain."""
+    from .queries import shared_table
+
+    def _build() -> DataFrame:
+        from .streaming.events import (
+            drain_to_batch,
+            read_events_stream,
+            running_user_totals_tws_stream,
+        )
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            stream = read_events_stream(spark, sf_dir)
+            totals = running_user_totals_tws_stream(stream)
+            return drain_to_batch(totals, output_mode="update")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return shared_table(
+        spark,
+        sf_dir,
+        "tws_totals_drain",
+        _build,
+        sources=("events.parquet",),
+        token="v1",
     )
-    try:
-        stream = read_events_stream(spark, sf_dir)
-        totals = running_user_totals_tws_stream(stream)
-        return drain_to_batch(totals, output_mode="update")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
 
 
 @_register(

@@ -485,7 +485,7 @@ def drain_to_batch(
     output_mode: str = "complete",
     timeout_sec: int = 120,
     shuffle_partitions: int | None = 8,
-    no_data_batches: bool = False,
+    no_data_batches: bool | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion and return its result.
 
@@ -506,18 +506,23 @@ def drain_to_batch(
     micro-batch whose only job is advancing the watermark so stateful
     operators can evict/finalize. Measured per drain here: 1.7-6s of
     addBatch re-executing every stateful operator over zero rows. The
-    OUTPUT of that batch is empty or a re-emission for every shape this
-    module drains — complete-mode aggregations (re-emit the identical
-    table), update-mode TWS/applyInPandas totals (no keys changed →
-    no rows), and immediate-emission append shapes (dropDuplicates,
-    stream-stream inner interval join, stream-static join) — so the
-    default skips it. Set True for any APPEND-MODE WATERMARKED
-    AGGREGATION (tumbling/hopping/session windows emitted on
-    finalization) or event-time timers: those EMIT on watermark
-    advance, and skipping the no-data batch would silently drop the
-    final windows from the sink.
+    OUTPUT of that batch is empty or a re-emission for the shapes this
+    module drains in complete/update mode — complete-mode aggregations
+    re-emit the identical table, update-mode TWS/applyInPandas totals
+    emit only on data — so ``None`` resolves to SKIP for those modes.
+    APPEND mode is where the batch can carry real output: a watermarked
+    window aggregation (tumbling/hopping/session) or event-time timer
+    EMITS its final windows on watermark advance, and skipping the
+    no-data batch silently drops them from the sink — so ``None``
+    resolves to KEEP under append (r12, ADVICE r11: the old
+    skip-always default was a correctness footgun guarded only by a
+    docstring). Immediate-emission append shapes (dropDuplicates,
+    stream-stream inner join, stream-static join) opt out with an
+    explicit ``False`` at the call site.
     """
     spark = streaming_df.sparkSession
+    if no_data_batches is None:
+        no_data_batches = output_mode == "append"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev_nd = spark.conf.get(nd_key, None)
