@@ -131,6 +131,7 @@ def connected_components(
     max_rounds: int = 16,
     edges_unique: bool = False,
     broadcast_labels: bool = False,
+    pointer_jumps: int = 2,
 ) -> DataFrame:
     """EXACT connected components, run to convergence — the scalable
     form the fixed-k ``label_propagation`` approximates (and the
@@ -203,21 +204,35 @@ def connected_components(
                 )
                 .select(F.col("src").alias("node"), "_l", "_old")
             )
-            inner = stepped.select(
-                F.col("node").alias("_pn"), F.col("_l").alias("_pl")
-            )
-            if broadcast_labels:
-                inner = F.broadcast(inner)
-            jumped = pin(
-                stepped.join(inner, stepped["_l"] == inner["_pn"], "left")
-                .select(
+            # ``pointer_jumps`` successive jumps per round (r12, VERDICT
+            # r11 #6 — path doubling): each jump is one more self-join
+            # of the LABEL table (|V|-sized — broadcast here, and far
+            # smaller than the |E| neighborhood join either way), and
+            # k jumps give l <- l(l(...l(v))) 2^k-fold path compression
+            # per |E|-join round. Fewer rounds means fewer per-round
+            # count() actions (the driver floor at bench scale) and
+            # fewer |E| joins (the dominant cost at cluster scale).
+            # least() keeps every hop monotone — a label only ever
+            # decreases toward the component min, so extra jumps can
+            # never overshoot and the fixed point is unchanged.
+            cur = stepped.withColumnRenamed("_l", "label")
+            for _ in range(max(1, pointer_jumps)):
+                inner = cur.select(
+                    F.col("node").alias("_pn"), F.col("label").alias("_pl")
+                )
+                if broadcast_labels:
+                    inner = F.broadcast(inner)
+                cur = cur.join(
+                    inner, cur["label"] == inner["_pn"], "left"
+                ).select(
                     "node",
                     F.least(
-                        F.col("_l"), F.coalesce(F.col("_pl"), F.col("_l"))
+                        F.col("label"),
+                        F.coalesce(F.col("_pl"), F.col("label")),
                     ).alias("label"),
                     "_old",
                 )
-            )
+            jumped = pin(cur)
             changed = jumped.filter(F.col("label") != F.col("_old")).count()
             unpin(labels)
             labels = jumped

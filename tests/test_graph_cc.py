@@ -65,6 +65,25 @@ class TestConnectedComponents:
         out = _cc(spark, edges, edges_unique=True)
         assert set(out.values()) == {0}
 
+    def test_pointer_jumps_invariant(self, spark):
+        # r12: pointer_jumps only changes ROUND STRUCTURE (2^k-fold
+        # path compression per round), never the fixed point — every
+        # jump is monotone (least() toward the component min). Same
+        # components at 1, 2 and 3 jumps, with and without broadcast.
+        edges = [(i, i + 1) for i in range(30)] + [(50, 51), (51, 52)]
+        expected = {i: 0 for i in range(31)}
+        expected.update({50: 50, 51: 50, 52: 50})
+        for jumps in (1, 2, 3):
+            out = _cc(
+                spark, edges, edges_unique=True, pointer_jumps=jumps
+            )
+            assert out == expected, f"pointer_jumps={jumps}"
+        out = _cc(
+            spark, edges, edges_unique=True, pointer_jumps=2,
+            broadcast_labels=True,
+        )
+        assert out == expected
+
     def test_cap_raises_loudly(self, spark):
         # max_rounds=0 can never converge-check a chain: loud error,
         # not silently-partial labels
