@@ -927,16 +927,15 @@ def pq_topk(
     # byte-identical because partial sums are integer-valued doubles,
     # so batch-boundary and merge order cannot change a total).
     state: list[tuple] = []
+    init = sorted(  # shared by every subspace — hoisted (ADVICE r11)
+        (r for r in pre if r["_vid"] < k_codes), key=lambda r: r["_vid"]
+    )
+    init_cids = np.array([r["_vid"] for r in init], dtype=np.int64)
+    init_mat = np.array([list(r["_q"]) for r in init], dtype=np.float64)
     for s in range(m):
-        init = sorted(
-            (r for r in pre if r["_vid"] < k_codes), key=lambda r: r["_vid"]
+        state.append(
+            (init_cids, init_mat[:, s * dsub : (s + 1) * dsub].copy())
         )
-        cids_s = np.array([r["_vid"] for r in init], dtype=np.int64)
-        C_s = np.array(
-            [list(r["_q"])[s * dsub : (s + 1) * dsub] for r in init],
-            dtype=np.float64,
-        )
-        state.append((cids_s, C_s))
 
     for _ in range(iterations):
         models = [
@@ -976,13 +975,16 @@ def pq_topk(
             )
             .collect()
         )
+        # bucket partials by subspace in ONE pass (ADVICE r11 — the per-
+        # subspace merge used to rescan the full parts list m times)
+        by_s: dict[int, list] = {}
+        for r in parts:
+            by_s.setdefault(r["_s"], []).append(r)
         new_state = []
         for s in range(m):
             sums: dict[int, np.ndarray] = {}
             cnts: dict[int, int] = {}
-            for r in parts:
-                if r["_s"] != s:
-                    continue
+            for r in by_s.get(s, ()):
                 c = r["_cid"]
                 vec = np.asarray(r["_sum"], dtype=np.float64)
                 if c in sums:
