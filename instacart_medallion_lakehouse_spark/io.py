@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -326,9 +327,24 @@ def write_bucketed(
     once for the cluster (tasks-per-join ≈ num_buckets) — changing it
     requires a rewrite, which is why this is a write-time contract,
     not a reader hint.
+
+    The input is repartitioned onto the bucket key first (r12):
+    bucketBy alone splits each WRITE TASK's rows into per-bucket
+    files, so P input partitions produce up to P x num_buckets files —
+    and Spark only trusts a bucket's ``sortBy`` order when the bucket
+    is a SINGLE file, so multi-file buckets silently re-sort in every
+    consumer's merge join. Repartitioning by the bucket columns into
+    num_buckets partitions makes writer partition == bucket (both
+    sides use murmur3 pmod num_buckets), yielding exactly one file
+    per bucket: consumers get the sort-free scan, and the store stops
+    scattering small files. This is the pre-shuffle the docstring
+    already promised ("pre-shuffles ONCE at write time").
     """
-    writer = df.write.format("parquet").mode("overwrite").bucketBy(
-        num_buckets, *bucket_by
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_by])
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, *bucket_by)
     )
     if sort_by:
         writer = writer.sortBy(*sort_by)

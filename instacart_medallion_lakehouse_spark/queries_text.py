@@ -332,40 +332,68 @@ def _minhash_sql(num_hashes: int, band_rows: int) -> str:
     """
 
 
-def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full-corpus DISTINCT (doc_id, 3-shingle) table as a persisted
-    store asset — the inverted-index layer every text-dedup family
-    starts from (MinHash signatures, Jaccard/containment verifies,
-    benchmark decontamination, cross-source matrices). One
-    posexplode+window pass per corpus generation; consumers scan
-    parquet. At 100 TB this is the committed inverted index, a standard
-    stored artifact, not a subquery."""
-    return shared_table(
+def _shingle_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shingle_table(_t(spark, sf_dir, "documents"), 3, "doc_id")
+
+
+def shared_shingles_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame | None:
+    """The shingle inverted index as a ``_sh``-BUCKETED catalog store
+    (r12, VERDICT r11 #5): the hot path of every consumer keys on the
+    shingle — the pair-intersection self-join (ngram_jaccard_dedup,
+    containment_pairs), the document-frequency aggregate + anti-join
+    (ngram_jaccard_dedup_capped), the benchmark-overlap join
+    (contamination) — so a store bucketed+sorted on ``_sh`` serves
+    those joins and aggregates exchange-free. ``None`` when the store
+    is disabled or the sources aren't fingerprintable."""
+    from .queries import shared_bucketed_table
+
+    return shared_bucketed_table(
         spark,
         sf_dir,
         "shingles_n3",
-        lambda: dedup.shingle_table(
-            _t(spark, sf_dir, "documents"), 3, "doc_id"
-        ),
+        lambda: _shingle_build(spark, sf_dir),
+        bucket_by=["_sh"],
+        num_buckets=8,
+        sort_by=["_sh"],
         # bump when tokens()/shingle_table change
         token="tok-ws-3shingle-v1",
     )
 
 
+def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus DISTINCT (doc_id, 3-shingle) table as a persisted
+    store asset — the inverted-index layer every text-dedup family
+    starts from (MinHash signatures, Jaccard/containment verifies,
+    benchmark decontamination, cross-source matrices). One
+    posexplode+window pass per corpus generation; consumers scan the
+    stored table. At 100 TB this is the committed inverted index, a
+    standard stored artifact, not a subquery. r12: the asset is the
+    _sh-bucketed catalog store (shared_shingles_bucketed) so consumer
+    joins on the shingle skip their exchanges; with the store disabled
+    this degrades to the fresh in-plan build exactly as before."""
+    bucketed = shared_shingles_bucketed(spark, sf_dir)
+    if bucketed is not None:
+        return bucketed
+    return _shingle_build(spark, sf_dir)
+
+
 def _shingles_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shingle table prepared for MULTI-CONSUMER reuse (the
     exact-Jaccard verify reads it from two join sides plus the size
-    aggregate). Store-backed: return the parquet scan as-is — three
-    column-pruned scans of the compact store asset beat one full write
-    into executor cache (measured: the pin+count alone cost ~1-3s per
-    consumer query at sf0.1 under whole-registry memory pressure, the
-    r9 bench regression's biggest line item). Fallback-built (synthetic
-    test inputs, store disabled): pin + materialize so the
-    tokenize/posexplode/window/distinct chain runs once, not thrice."""
-    ex = shared_shingles(spark, sf_dir)
-    if store_backed(ex):
+    aggregate). Store-backed (bucketed catalog table): return the scan
+    as-is — three column-pruned scans of the compact store asset beat
+    one full write into executor cache (measured: the pin+count alone
+    cost ~1-3s per consumer query at sf0.1 under whole-registry memory
+    pressure, the r9 bench regression's biggest line item).
+    Fallback-built (synthetic test inputs, store disabled): pin +
+    materialize so the tokenize/posexplode/window/distinct chain runs
+    once, not thrice."""
+    ex = shared_shingles_bucketed(spark, sf_dir)
+    if ex is not None:
         return ex
-    ex = pin(ex)
+    ex = pin(_shingle_build(spark, sf_dir))
     ex.count()
     return ex
 
@@ -488,46 +516,74 @@ def shared_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _positioned_runs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("_pos")
+    parts = [F.col("_tok")] + [
+        F.lead("_tok", i).over(w_ord) for i in range(1, _RUN_N)
+    ]
+    return (
+        ex.select(
+            "doc_id",
+            "_pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def shared_positioned_runs_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame | None:
+    """The run index as an h-BUCKETED catalog store (r12, VERDICT r11
+    #5 — the same treatment the MinHash band store got in r11): every
+    span consumer keys on ``h`` — the pair self-joins
+    (long_run_overlap, span_dup_clusters), the dup-hash aggregate +
+    semi join (dup_span_coverage), and the canonical-owner window
+    (dedup_spans_text) — so a store bucketed AND sorted on ``h`` serves
+    them all exchange-free (the window even sort-free). ``None`` when
+    the store is disabled or the sources aren't fingerprintable;
+    callers fall back to the in-plan build + pin."""
+    from .queries import shared_bucketed_table
+
+    return shared_bucketed_table(
+        spark,
+        sf_dir,
+        "positioned_runs",
+        lambda: _positioned_runs_build(spark, sf_dir),
+        bucket_by=["h"],
+        num_buckets=8,
+        sort_by=["h"],
+        # bump when tokens() or the run length change
+        token=f"ws-tokens-n{_RUN_N}-v1",
+    )
+
+
 def shared_positioned_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, _pos, h): every 20-token contiguous run, md5'd, with its
     starting token position — the substring-dedup index (Lee et al.)
     as a persisted store asset. One posexplode + lead-window pass over
-    the corpus serves all three span queries (long_run_overlap detects
+    the corpus serves all the span queries (long_run_overlap detects
     pairs, dup_span_coverage measures damage, dedup_spans_text removes
     spans) instead of each rebuilding and pinning its own run table —
     at 100 TB the run index is built once per corpus snapshot, exactly
-    like the MinHash signature layer above."""
-    from .functions.text import tokens
-
-    def build() -> DataFrame:
-        docs = _t(spark, sf_dir, "documents")
-        ex = docs.select(
-            "doc_id",
-            F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok"),
-        )
-        w_ord = Window.partitionBy("doc_id").orderBy("_pos")
-        parts = [F.col("_tok")] + [
-            F.lead("_tok", i).over(w_ord) for i in range(1, _RUN_N)
-        ]
-        return (
-            ex.select(
-                "doc_id",
-                "_pos",
-                F.md5(F.concat_ws(" ", *parts)).alias("h"),
-                parts[-1].alias("_last"),
-            )
-            .filter(F.col("_last").isNotNull())
-            .drop("_last")
-        )
-
-    return shared_table(
-        spark,
-        sf_dir,
-        "positioned_runs",
-        build,
-        # bump when tokens() or the run length change
-        token=f"ws-tokens-n{_RUN_N}-v1",
-    )
+    like the MinHash signature layer above. r12: the asset is the
+    h-bucketed catalog store (shared_positioned_runs_bucketed), so
+    consumers' h-keyed joins/aggregates/windows skip their exchanges;
+    with the store disabled this degrades to the fresh in-plan build
+    exactly as before."""
+    bucketed = shared_positioned_runs_bucketed(spark, sf_dir)
+    if bucketed is not None:
+        return bucketed
+    return _positioned_runs_build(spark, sf_dir)
 
 
 def _sig_table_sql() -> str:
@@ -1976,15 +2032,22 @@ def long_run_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate count a downstream span-removal pass would consume. The
     run index comes from the persisted store (shared_positioned_runs
     — one posexplode + lead() pass per corpus snapshot, shared with
-    dup_span_coverage / dedup_spans_text); only the distinct
-    (doc, hash) projection is pinned here because the self-join's two
-    differently-aliased sides cannot share one exchange."""
-    runs = pin(
-        shared_positioned_runs(spark, sf_dir)
-        .select("doc_id", "h")
-        .distinct()
-    )
-    runs.count()  # materialize before the self-join (lazy-cache race)
+    dup_span_coverage / dedup_spans_text). r12: the store is bucketed
+    on h, so the distinct AND the self-join run exchange-free on the
+    bucketed scan — no pin needed (two column-pruned bucket scans beat
+    a cache write); the pin+count survives only on the store-disabled
+    fallback, where the two differently-aliased self-join sides would
+    otherwise each re-run the posexplode build."""
+    runs_b = shared_positioned_runs_bucketed(spark, sf_dir)
+    if runs_b is not None:
+        runs = runs_b.select("doc_id", "h").distinct()
+    else:
+        runs = pin(
+            _positioned_runs_build(spark, sf_dir)
+            .select("doc_id", "h")
+            .distinct()
+        )
+        runs.count()  # materialize before the self-join (cache race)
     a = runs.select(F.col("doc_id").alias("id_a"), "h")
     b = runs.select(F.col("doc_id").alias("id_b"), "h")
     return (
@@ -2061,12 +2124,18 @@ def span_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
 
     docs = _t(spark, sf_dir, "documents")
-    runs = pin(
-        shared_positioned_runs(spark, sf_dir)
-        .select("doc_id", "h")
-        .distinct()
-    )
-    runs.count()  # two differently-aliased self-join sides
+    runs_b = shared_positioned_runs_bucketed(spark, sf_dir)
+    if runs_b is not None:
+        # h-bucketed store: distinct + self-join are exchange-free on
+        # the bucketed scan — no pin (see long_run_overlap, r12)
+        runs = runs_b.select("doc_id", "h").distinct()
+    else:
+        runs = pin(
+            _positioned_runs_build(spark, sf_dir)
+            .select("doc_id", "h")
+            .distinct()
+        )
+        runs.count()  # two differently-aliased self-join sides
     a = runs.select(F.col("doc_id").alias("id_a"), "h")
     b = runs.select(F.col("doc_id").alias("id_b"), "h")
     pairs = (

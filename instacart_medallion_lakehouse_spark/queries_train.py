@@ -388,11 +388,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus against a label table bounded by the paired-node count
     (ids only — text never shuffles). 3 rounds bound the diameter;
     convergence is asserted in tests."""
-    from .queries_text import shared_minhash_bands, shared_shingles
+    from .queries_text import _shingles_ready, shared_minhash_bands
 
     docs = _t(spark, sf_dir, "documents")
-    ex = pin(shared_shingles(spark, sf_dir))
-    ex.count()  # materialize before multi-consumer reuse (dedup.py note)
+    # _shingles_ready (r12): store-backed scans are consumed as-is —
+    # the verify's three column-pruned reads of the stored asset beat
+    # writing it into executor cache first; the pin+count survives
+    # only on the store-disabled fallback (see queries_text)
+    ex = _shingles_ready(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs_from(
         ex, shared_minhash_bands(spark, sf_dir), threshold=0.5
     ).select("id_a", "id_b")
