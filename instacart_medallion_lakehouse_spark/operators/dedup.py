@@ -710,9 +710,14 @@ def simhash_pairs(
     zero recall loss. Verification is bit_count(xor) on the candidates.
     """
     assert max_hamming <= 3, "4-byte banding guarantees recall only for <= 3"
-    # pinned: the fingerprint table feeds both sides of the band self-join
-    sig = pin(simhash_table(docs, id_col))
-    sig.count()  # materialize before the band self-join (see ngram note)
+    # NOT pinned (r12): the two band self-join sides are byte-identical
+    # subtrees, so EnsureRequirements plans one Exchange on (idx, val)
+    # per side and ReuseExchange serves the second from the first — the
+    # signature pipeline executes ONCE either way. The old pin+count
+    # added a full blocking action (compute + cache write) on top of
+    # that shared exchange (the r4 cache-vs-ReuseExchange lesson:
+    # lm_perplexity A/B cached 1.9-2.6s vs uncached 1.1-1.4s).
+    sig = simhash_table(docs, id_col)
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.col("simhash").alias("_sh"),
@@ -754,14 +759,26 @@ def simhash_pairs(
 
 
 def _hash_band_table(
-    sig: DataFrame, hash_col: str, n_bands: int, band_bits: int, id_col: str
+    sig: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    band_bits: int,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(_id, _sh, idx, val) band rows for a packed-bits signature —
-    band i is bits [band_bits*i, band_bits*(i+1))."""
+    """(_id, _sh, idx, val[, extras]) band rows for a packed-bits
+    signature — band i is bits [band_bits*i, band_bits*(i+1)).
+
+    ``extra_cols`` (r12) rides signature-level metadata (e.g. a frame
+    count) through the explode so a persisted band store can be the
+    SINGLE stored asset for a fingerprint family: the signature face
+    projects back out of it (idx = 0) instead of keeping a second
+    store. Consumers that don't name the extras prune them at scan."""
     mask = (1 << band_bits) - 1
     return sig.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_sh"),
+        *extra_cols,
         F.explode(
             F.array(
                 *[
@@ -776,7 +793,11 @@ def _hash_band_table(
             )
         ).alias("nb"),
     ).select(
-        "_id", "_sh", F.col("nb.idx").alias("idx"), F.col("nb.val").alias("val")
+        "_id",
+        "_sh",
+        *extra_cols,
+        F.col("nb.idx").alias("idx"),
+        F.col("nb.val").alias("val"),
     )
 
 
