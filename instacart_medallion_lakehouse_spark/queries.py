@@ -129,84 +129,76 @@ def _register(name: str, oracle: str | None):
 # the WHOLE registry stays gated locally by tools/check_oracle.py
 # regardless of order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # =========== ROUND 11 WINDOW ===========
-    # Priority per the r10 rotation plan (VERDICT r10 #1): (1) every
-    # round-10 addition with NO lifetime driver correctness row — the
-    # fingerprint store/dedup families, the retrieval/privacy quartet,
-    # the full-outer/VARIANT/streaming-leaderboard extension; (2) the
-    # round-11 addition (mp4_frame_stats); (3) the persisted-store
-    # BUILD entries in derived-table DAG order (they keep owning their
-    # build costs in ordered runs — and minhash_signature_table's plan
-    # changed this round: it now also commits the bucketed band
-    # store); (4) every query whose PLAN round 11 rewrote (dim_parts
-    # two-level distinct; the minhash/fingerprint consumers now
-    # reading bucketed band stores); (5) cross_source_dup_matrix
-    # (r8-stamped, displaced from the r10 window); (6) the r7 cohort,
-    # alphabetical, as far as fits.
-    # --- (1) r10 additions, *_table builds before their consumers ---
-    "image_dhash_table",
-    "image_dhash_dedup",
-    "incremental_image_dedup",
-    "audio_fp_table",
-    "audio_fp_dedup",
-    "video_fp_table",
-    "video_fp_dedup",
-    "bm25_topk",
-    "phrase_search",
-    "hybrid_rrf_topk",
+    # =========== ROUND 12 WINDOW ===========
+    # Priority per the r11 rotation plan (VERDICT r11 #1/#8): (1) the
+    # two queries whose oracles failed the r11 driver gate (HUGEINT
+    # sums, fixed this round — the window must PROVE the fix); (2)
+    # every query whose PLAN round 12 rewrote — the bucketed span-run
+    # and shingle stores and their consumers, the single-asset
+    # audio/video builds, the shared TWS drain, the simhash
+    # ReuseExchange form, the double pointer-jump CC — builds before
+    # consumers in derived-table DAG order; (3) the r7 cohort
+    # remainder per the recorded plan. Everything rotated out passed
+    # in r11 (CORRECTNESS_r11: queries_newly_failing=[]); the WHOLE
+    # registry stays gated locally by tools/check_oracle.py.
+    # --- (1) the r11 gate-breakers, fixed in r12 ---
     "k_anonymity_profile",
-    "snapshot_reconcile_diff",
-    "variant_extract",
     "stream_window_topk",
-    # --- (2) NEW round 11: MJPEG-in-MP4 sample-table demux ---
-    "mp4_frame_stats",
-    # --- (3) store BUILD entries, DAG order (see r10 notes above) ---
+    # --- (2a) store BUILD entries, DAG order ---
     "shingle_index_table",
     "minhash_signature_table",
-    "scored_docs_table",
-    "doc_repetition_table",
-    "contamination_flags_table",
     "span_run_index",
-    "token_table",
+    "contamination_flags_table",
+    "image_dhash_table",
+    "audio_fp_table",
+    "video_fp_table",
     "boilerplate_phrases",
-    # --- (4) plans rewritten in round 11 ---
-    "dim_parts_rollup",
+    # --- (2b) consumers of the r12-bucketed stores ---
+    "ngram_jaccard_dedup",
+    "ngram_jaccard_dedup_capped",
+    "containment_pairs",
+    "benchmark_contamination",
+    "cross_source_dup_matrix",
     "minhash_lsh_dedup",
-    "incremental_minhash_dedup",
     "lsh_bucket_profile",
     "minhash_estimate_error",
+    "incremental_minhash_dedup",
     "dedup_clusters",
     "cluster_canonicals",
-    # --- (5) displaced from the r10 window at r8 staleness ---
-    "cross_source_dup_matrix",
-    # --- (6) r7 cohort, alphabetical head (19 slots left). ROTATION
-    # PLAN for round 12, in priority order: (a) anything round 12
-    # rewrites, (b) the r7 cohort remainder (pivot_status_revenue,
-    # q1..q22 TPC-H members, quality_score, region_performance,
-    # region_performance_sql, repetition_ratio, return_velocity,
-    # ri_orphans, rolling_active_users, rollup_revenue, sessionize,
-    # source_quality_profile, stream_hopping_events,
-    # top_brands_per_nation, winsorized_order_stats, zipf_slope),
-    # (c) the r8 cohort, alphabetical. ---
-    "ann_lsh_topk",
-    "ann_topk",
-    "asof_click_view",
-    "bigram_topk",
-    "blocklist_filter",
-    "bronze_meta_scan",
-    "cms_heavy_hitters",
-    "dedup_first",
-    "dim_customers_rollup",
-    "doc_fingerprint",
-    "duplicate_rate",
-    "enrich_case",
-    "events_near_errors",
-    "fct_surrogate_key",
-    "hash_shuffled_export",
-    "json_extract",
-    "language_id",
-    "null_rate",
-    "null_safe_filter",
+    "curated_docs_v2",
+    "long_run_overlap",
+    "span_dup_clusters",
+    "dup_span_coverage",
+    "dedup_spans_text",
+    "incremental_span_dedup",
+    "image_dhash_dedup",
+    "incremental_image_dedup",
+    "audio_fp_dedup",
+    "video_fp_dedup",
+    # --- (2c) other r12-rewritten plans ---
+    "simhash_dedup",
+    "name_components_converged",
+    "stream_tws_final_state",
+    "ann_pq_topk",
+    # --- (3) r7 cohort remainder (15 slots). ROTATION PLAN for the
+    # next round, in priority order: (a) anything that round
+    # rewrites, (b) the r7 TPC-H members (q1..q22), (c) the r8
+    # cohort, alphabetical. ---
+    "pivot_status_revenue",
+    "quality_score",
+    "region_performance",
+    "region_performance_sql",
+    "repetition_ratio",
+    "return_velocity",
+    "ri_orphans",
+    "rolling_active_users",
+    "rollup_revenue",
+    "sessionize",
+    "source_quality_profile",
+    "stream_hopping_events",
+    "top_brands_per_nation",
+    "winsorized_order_stats",
+    "zipf_slope",
 )
 
 
@@ -430,14 +422,21 @@ def store_backed(df: DataFrame) -> bool:
     block-manager cache first (the write is the full table, the scans
     are column-pruned), but a fallback-built plan re-executes its whole
     explode/aggregate chain per consumer and must be pinned. Metadata
-    only — ``inputFiles`` launches no job."""
-    d = _shared_dir()
-    if not d:
-        return False
+    only — ``inputFiles`` launches no job.
+
+    r12: BUCKETED store assets live in the session warehouse, not the
+    shared dir, so this also recognizes scans of any catalog table
+    this session registered through shared_bucketed_table — without
+    it, bucketing the shingle store silently flipped curated_docs_v2
+    onto its re-tokenize fallback (measured +1.4s)."""
     try:
-        return any(d in f for f in df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # noqa: BLE001 — conservative: pin on any doubt
         return False
+    d = _shared_dir()
+    if d and any(d in f for f in files):
+        return True
+    return any(f"/{t}/" in f for t in _BUCKETED_TABLES for f in files)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
