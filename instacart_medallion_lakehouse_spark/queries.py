@@ -144,15 +144,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # --- (1) the r11 gate-breakers, fixed in r12 ---
     "k_anonymity_profile",
     "stream_window_topk",
-    # --- (2a) store BUILD entries, DAG order ---
+    # --- (2a) store BUILD entries, DAG order (ALL of them — builds
+    # must precede their consumers in bench execution order, or the
+    # window rotation silently re-attributes build costs) ---
     "shingle_index_table",
     "minhash_signature_table",
-    "span_run_index",
+    "scored_docs_table",
+    "doc_repetition_table",
     "contamination_flags_table",
+    "span_run_index",
+    "token_table",
+    "boilerplate_phrases",
     "image_dhash_table",
     "audio_fp_table",
     "video_fp_table",
-    "boilerplate_phrases",
     # --- (2b) consumers of the r12-bucketed stores ---
     "ngram_jaccard_dedup",
     "ngram_jaccard_dedup_capped",
@@ -180,10 +185,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "name_components_converged",
     "stream_tws_final_state",
     "ann_pq_topk",
-    # --- (3) r7 cohort remainder (15 slots). ROTATION PLAN for the
+    # --- (3) r7 cohort remainder (12 slots). ROTATION PLAN for the
     # next round, in priority order: (a) anything that round
-    # rewrites, (b) the r7 TPC-H members (q1..q22), (c) the r8
-    # cohort, alphabetical. ---
+    # rewrites, (b) the r7 remainder (top_brands_per_nation,
+    # winsorized_order_stats, zipf_slope, then the q1..q22 TPC-H
+    # members), (c) the r8 cohort, alphabetical. ---
     "pivot_status_revenue",
     "quality_score",
     "region_performance",
@@ -196,9 +202,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sessionize",
     "source_quality_profile",
     "stream_hopping_events",
-    "top_brands_per_nation",
-    "winsorized_order_stats",
-    "zipf_slope",
 )
 
 

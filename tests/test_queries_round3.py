@@ -44,36 +44,23 @@ class TestDriverWindow:
         # every priority name resolves; the window starts with the list
         names = list(q.queries())
         assert names[: len(q._WINDOW_PRIORITY)] == list(q._WINDOW_PRIORITY)
-        # round 11: exactly the 50 driver slots are allocated — every
-        # r10 no-lifetime-row addition, the new mp4_frame_stats, the
-        # store-build block, the r11 plan rewrites, and the r7 cohort
-        # head (queries.py documents the rotation plan for round 12)
+        # round 12: exactly the 50 driver slots are allocated — the two
+        # r11 oracle-fixed queries, the complete store-build block, the
+        # r12 plan rewrites, and the r7 cohort remainder (queries.py
+        # documents the rotation plan for the next round)
         assert len(q._WINDOW_PRIORITY) == 50
 
-    def test_round11_window_contract(self):
-        """Round 11's rotation contract (VERDICT r10 item #1): every
-        round-10 addition with no lifetime driver row leads the window,
-        the store BUILD entries stay pinned ahead of their consumers,
-        the r11 plan rewrites rotate in, and the r7 cohort head fills
-        the remainder."""
+    def test_round12_window_contract(self):
+        """Round 12's rotation contract (VERDICT r11 #1/#8): the two
+        queries whose oracles failed the r11 driver gate lead the
+        window (the driver must re-verify the fix), the store BUILD
+        entries stay pinned ahead of their consumers, every plan r12
+        rewrote rotates in, and the r7 cohort remainder fills the
+        rest."""
         must_be_in = (
-            # r10 additions with no lifetime driver row
-            "image_dhash_table",
-            "image_dhash_dedup",
-            "incremental_image_dedup",
-            "audio_fp_table",
-            "audio_fp_dedup",
-            "video_fp_table",
-            "video_fp_dedup",
-            "bm25_topk",
-            "phrase_search",
-            "hybrid_rrf_topk",
+            # the r11 gate-breakers, oracle-fixed this round
             "k_anonymity_profile",
-            "snapshot_reconcile_diff",
-            "variant_extract",
             "stream_window_topk",
-            # the round-11 addition
-            "mp4_frame_stats",
             # the complete store-build block
             "shingle_index_table",
             "minhash_signature_table",
@@ -83,19 +70,38 @@ class TestDriverWindow:
             "span_run_index",
             "token_table",
             "boilerplate_phrases",
-            # r11 plan rewrites (two-level distinct; bucketed band
-            # stores under the minhash/fingerprint consumers)
-            "dim_parts_rollup",
+            "image_dhash_table",
+            "audio_fp_table",
+            "video_fp_table",
+            # r12 plan rewrites: bucketed span-run/shingle stores and
+            # their consumers, single-asset audio/video builds, shared
+            # TWS drain, simhash ReuseExchange form, double-jump CC
+            "ngram_jaccard_dedup",
+            "ngram_jaccard_dedup_capped",
+            "containment_pairs",
+            "long_run_overlap",
+            "span_dup_clusters",
+            "dup_span_coverage",
+            "dedup_spans_text",
+            "incremental_span_dedup",
             "minhash_lsh_dedup",
             "incremental_minhash_dedup",
             "lsh_bucket_profile",
             "minhash_estimate_error",
             "dedup_clusters",
             "cluster_canonicals",
-            # r7 cohort head spot checks (full list in queries.py)
-            "ann_lsh_topk",
-            "dedup_first",
-            "null_safe_filter",
+            "curated_docs_v2",
+            "image_dhash_dedup",
+            "audio_fp_dedup",
+            "video_fp_dedup",
+            "simhash_dedup",
+            "name_components_converged",
+            "stream_tws_final_state",
+            "ann_pq_topk",
+            # r7 cohort remainder spot checks (full list in queries.py)
+            "pivot_status_revenue",
+            "region_performance",
+            "sessionize",
         )
         names = list(q.queries())
         window = set(names[:50])
