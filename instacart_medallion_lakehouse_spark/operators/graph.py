@@ -131,7 +131,7 @@ def connected_components(
     max_rounds: int = 16,
     edges_unique: bool = False,
     broadcast_labels: bool = False,
-    pointer_jumps: int = 2,
+    pointer_jumps: int = 1,
 ) -> DataFrame:
     """EXACT connected components, run to convergence — the scalable
     form the fixed-k ``label_propagation`` approximates (and the
@@ -209,12 +209,19 @@ def connected_components(
             # of the LABEL table (|V|-sized — broadcast here, and far
             # smaller than the |E| neighborhood join either way), and
             # k jumps give l <- l(l(...l(v))) 2^k-fold path compression
-            # per |E|-join round. Fewer rounds means fewer per-round
-            # count() actions (the driver floor at bench scale) and
-            # fewer |E| joins (the dominant cost at cluster scale).
-            # least() keeps every hop monotone — a label only ever
-            # decreases toward the component min, so extra jumps can
-            # never overshoot and the fixed point is unchanged.
+            # per |E|-join round — worth it for LONG-DIAMETER graphs,
+            # where it halves the round count (and with it the per-
+            # round count() actions and |E| joins). Default 1: measured
+            # on the only registry caller (name_components_converged,
+            # sf0.1 fuzzy-name blocks), convergence takes 2 rounds at
+            # EVERY jumps setting — one working round plus the
+            # mandatory no-change confirmation round, the floor no
+            # jump scheme can beat — so extra jumps there are pure
+            # added joins (r12 instrumented A/B; the floor is
+            # irreducible locally). least() keeps every hop monotone —
+            # a label only ever decreases toward the component min, so
+            # extra jumps can never overshoot; the fixed point is
+            # jumps-invariant (tests/test_graph_cc.py).
             cur = stepped.withColumnRenamed("_l", "label")
             for _ in range(max(1, pointer_jumps)):
                 inner = cur.select(
