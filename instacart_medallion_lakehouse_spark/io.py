@@ -330,15 +330,14 @@ def write_bucketed(
 
     The input is repartitioned onto the bucket key first (r12):
     bucketBy alone splits each WRITE TASK's rows into per-bucket
-    files, so P input partitions produce up to P x num_buckets files —
-    and Spark only trusts a bucket's ``sortBy`` order when the bucket
-    is a SINGLE file, so multi-file buckets silently re-sort in every
-    consumer's merge join. Repartitioning by the bucket columns into
-    num_buckets partitions makes writer partition == bucket (both
-    sides use murmur3 pmod num_buckets), yielding exactly one file
-    per bucket: consumers get the sort-free scan, and the store stops
-    scattering small files. This is the pre-shuffle the docstring
-    already promised ("pre-shuffles ONCE at write time").
+    files, so P input partitions produce up to P x num_buckets files.
+    Repartitioning by the bucket columns into num_buckets partitions
+    makes writer partition == bucket (both sides use murmur3 pmod
+    num_buckets), yielding exactly one file per bucket — no small-file
+    scatter, one footer per bucket for consumers. (Spark 3+ does NOT
+    propagate bucket sort order to the plan — that's legacy-gated
+    because it is unsound for multi-file buckets — so ``sort_by`` buys
+    within-file layout/stats, not a sort-free merge.)
     """
     writer = (
         df.repartition(num_buckets, *[F.col(c) for c in bucket_by])

@@ -548,10 +548,11 @@ def shared_positioned_runs_bucketed(
     span consumer keys on ``h`` — the pair self-joins
     (long_run_overlap, span_dup_clusters), the dup-hash aggregate +
     semi join (dup_span_coverage), and the canonical-owner window
-    (dedup_spans_text) — so a store bucketed AND sorted on ``h`` serves
-    them all exchange-free (the window even sort-free). ``None`` when
-    the store is disabled or the sources aren't fingerprintable;
-    callers fall back to the in-plan build + pin."""
+    (dedup_spans_text) — so a store bucketed on ``h`` serves them all
+    exchange-free (partition-local sorts remain: Spark 3+ does not
+    propagate bucket sort order into plans). ``None`` when the store
+    is disabled or the sources aren't fingerprintable; callers fall
+    back to the in-plan build + pin."""
     from .queries import shared_bucketed_table
 
     return shared_bucketed_table(

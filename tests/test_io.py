@@ -104,6 +104,20 @@ class TestBucketedJoin:
             plan = joined._jdf.queryExecution().executedPlan().toString()
             assert "SortMergeJoin" in plan
             assert "Exchange" not in plan  # co-located: no shuffle either side
+            # r12: write_bucketed repartitions onto the bucket key, so
+            # each bucket is exactly ONE file (no P x buckets small-file
+            # scatter). NB Spark 3+ still re-sorts the merge inputs —
+            # bucket sort propagation is legacy-gated (unsound for
+            # multi-file buckets), so sortBy only helps the files'
+            # internal layout, not the plan.
+            import glob as _glob
+            import os as _os
+
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            files = _glob.glob(_os.path.join(wh, "b_lineitem", "part-*"))
+            assert len(files) == 4, files  # one file per bucket
             # and the result is still correct
             expect = li.join(
                 orders, li["l_orderkey"] == orders["o_orderkey"]

@@ -448,3 +448,50 @@ class TestStopShingleCap:
         # and fall below threshold anyway, but must also produce no
         # candidate at all
         assert all(p == (0, 1) for p in capped)
+
+
+class TestHashBandTableExtras:
+    def test_extra_cols_ride_the_explode_and_project_back(self, spark):
+        """r12 single-asset fingerprint stores: _hash_band_table's
+        extra_cols carries signature-level metadata (n_frames) through
+        the band explode, so the idx=0 projection reproduces the
+        signature table exactly — the contract audio_fp_table /
+        video_fp_table rely on when the bucketed band store is the
+        family's only persisted asset."""
+        from pyspark.sql import functions as F
+
+        sig = spark.createDataFrame(
+            [(1, 0b1010_0001, 32), (2, 0b0110_1111, 7)],
+            "doc_id long, fp long, n_frames int",
+        )
+        bands = dedup._hash_band_table(
+            sig, "fp", n_bands=4, band_bits=2, id_col="doc_id",
+            extra_cols=("n_frames",),
+        )
+        rows = bands.collect()
+        # 4 band rows per doc, each carrying the doc's metadata + full hash
+        assert len(rows) == 8
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["_id"], set()).add(
+                (r["idx"], r["val"], r["_sh"], r["n_frames"])
+            )
+        assert {i for i, *_ in per_doc[1]} == {0, 1, 2, 3}
+        assert all(nf == 32 for *_, nf in per_doc[1])
+        assert all(sh == 0b1010_0001 for _, _, sh, _ in per_doc[1])
+        # band values are the band_bits-wide slices of the hash
+        assert {(i, v) for i, v, *_ in per_doc[2]} == {
+            (0, 0b11), (1, 0b11), (2, 0b10), (3, 0b01)
+        }
+        # the signature face projects back out of the band table
+        face = (
+            bands.filter(F.col("idx") == 0)
+            .select(
+                F.col("_id").alias("doc_id"),
+                "n_frames",
+                F.col("_sh").alias("fp"),
+            )
+        )
+        assert sorted(map(tuple, face.collect())) == sorted(
+            map(tuple, sig.select("doc_id", "n_frames", "fp").collect())
+        )
